@@ -1,0 +1,24 @@
+"""documentai_ocr_spark — a PySpark-native main-content extraction engine.
+
+A brand-new engine (NOT a port) with the extraction capabilities of the
+reference repo ``wanbiguizhao/DocumentAI_OCR``: per-turn main-content
+extraction over a transcripts table ``(conv_id, turn_idx, role, text,
+tool, ts)`` — density-profile span detection, run-length span decoding,
+content-vs-boilerplate classification, pdfminer-style char-box line
+grouping, DOM text-density boilerplate stripping, weighted multi-candidate
+score fusion — all expressed Spark-first: declarative DataFrame plans for
+everything relational, vectorized pandas/Arrow UDFs (``mapInPandas`` /
+``applyInPandas``) only for the parsing hot paths, zero per-row Python in
+the classify/decode steps.
+
+Layout:
+  rules.py               shared deterministic rule constants (one source of truth)
+  session.py             tuned local SparkSession factory
+  synth.py               deterministic synthetic transcripts generator
+  oracle.py              pure-pandas oracle (independent reimplementation for golden tests)
+  extract/               the extraction core (plain / html / pdfish payloads)
+  operators/             relational operator library (islands, top-k, fusion, dedup, similarity, text stats)
+  pipeline/              checkpoint / lineage / resumable incremental runs
+"""
+
+__version__ = "0.1.0"

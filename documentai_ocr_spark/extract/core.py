@@ -1,0 +1,161 @@
+"""The extraction operator: transcripts DataFrame → extracted DataFrame.
+
+Spark-first design: the whole extraction is ONE narrow ``mapInPandas``
+stage over the scan — no shuffle at all for the per-turn path (each
+turn's extraction is independent; the per-turn text-equality contract
+makes this embarrassingly parallel, which is exactly why it scales to
+10^12 turns: throughput is scan-bound, parallelism is the partition
+count, and there is no key to skew).
+
+Cross-turn operations (conversation assembly) DO need grouping and
+ordering — they live in :func:`assemble_conversations`, which uses an
+order-preserving two-phase (salted) aggregation so a single monster
+conversation cannot straggle one reducer (BASELINE.json north_rule skew
+requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..rules import (
+    HTML_SNIFF_RE,
+    PAYLOAD_HTML,
+    PAYLOAD_PDFISH,
+    PAYLOAD_PLAIN,
+    PDFISH_SNIFF_RE,
+)
+from .textops import extract_html_batch, extract_pdfish_batch, extract_plain_batch
+
+# spans index the EXTRACTED text; beg/end are char offsets, end exclusive
+SPANS_TYPE = "array<struct<beg:int,end:int,kind:string,score:double>>"
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, payload_kind string, "
+    f"text string, spans {SPANS_TYPE}, n_spans int"
+)
+
+
+def classify_payload_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized payload sniffing for a whole Arrow batch."""
+    t = texts.fillna("")
+    is_pdfish = t.str.match(PDFISH_SNIFF_RE.pattern).to_numpy(dtype=bool)
+    is_html = (
+        t.str.match(HTML_SNIFF_RE.pattern).to_numpy(dtype=bool)
+        & t.str.contains("</", regex=False).to_numpy(dtype=bool)
+        & ~is_pdfish
+    )
+    out = np.full(len(t), PAYLOAD_PLAIN, dtype=object)
+    out[is_pdfish] = PAYLOAD_PDFISH
+    out[is_html] = PAYLOAD_HTML
+    return pd.Series(out, index=texts.index)
+
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch of transcript turns → extracted rows (same order)."""
+    texts = pdf["text"].reset_index(drop=True)
+    kinds = classify_payload_batch(texts)
+
+    n = len(texts)
+    result = pd.DataFrame(
+        {"text": [""] * n, "spans": [[] for _ in range(n)],
+         "n_spans": np.zeros(n, dtype=np.int64)}
+    )
+    for kind, fn in (
+        (PAYLOAD_PLAIN, extract_plain_batch),
+        (PAYLOAD_HTML, extract_html_batch),
+        (PAYLOAD_PDFISH, extract_pdfish_batch),
+    ):
+        mask = (kinds == kind).to_numpy()
+        if not mask.any():
+            continue
+        sub = fn(texts[mask].reset_index(drop=True))
+        pos = np.flatnonzero(mask)
+        result.iloc[pos, result.columns.get_loc("text")] = sub["text"].to_numpy()
+        result.iloc[pos, result.columns.get_loc("n_spans")] = sub[
+            "n_spans"
+        ].to_numpy()
+        # object column: positional assignment of the list values
+        spans_col = result["spans"].to_numpy()
+        spans_col[pos] = sub["spans"].to_numpy()
+
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].to_numpy(),
+            "turn_idx": pdf["turn_idx"].to_numpy(),
+            "role": pdf["role"].to_numpy(),
+            "payload_kind": kinds.to_numpy(),
+            "text": result["text"].to_numpy(),
+            "spans": result["spans"].to_numpy(),
+            "n_spans": result["n_spans"].to_numpy(),
+        }
+    )
+
+
+def extract_turns(transcripts: DataFrame) -> DataFrame:
+    """Per-turn main-content extraction. Narrow (no shuffle): the plan is
+    scan → WholeStageCodegen(project) → ArrowEvalPython → output, so it
+    scales linearly with input partitions (tune
+    ``spark.sql.files.maxPartitionBytes`` for split granularity and
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for batch shape).
+    """
+    # prune to the columns the kernel needs — keeps the parquet ReadSchema
+    # minimal even though mapInPandas is a black box to Catalyst
+    src = transcripts.select("conv_id", "turn_idx", "role", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield extract_batch(pdf)
+
+    return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def assemble_conversations(
+    extracted: DataFrame, chunk_turns: int = 4096
+) -> DataFrame:
+    """Concatenate per-turn extracted text into one document per
+    conversation, in stable (conv_id, turn_idx) order.
+
+    Order-preserving two-phase aggregation for skew: phase 1 groups by
+    (conv_id, chunk = turn_idx div chunk_turns) so a conversation with
+    10^6 turns spreads over many reducers; phase 2 merges the (few)
+    ordered chunks per conversation. Both phases use sort-based
+    ``sort_array(collect_list(struct(...)))`` so the result is
+    deterministic regardless of partitioning — the stable-ordering
+    invariant (BASELINE.json north_rule).
+    """
+    chunked = (
+        extracted
+        .where(F.col("n_spans") > 0)
+        .withColumn("chunk", (F.col("turn_idx") / F.lit(chunk_turns)).cast("int"))
+        .groupBy("conv_id", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    return (
+        chunked.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                "\n\n",
+            ).alias("doc_text"),
+            F.sum("n_turns").cast("long").alias("n_turns"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Stdlib DOM-block tokenizer shared by engine and oracle.
+
+Parses an HTML payload into a flat sequence of text *blocks* with
+link-character counts — the input to the jusText/Boilerpipe-family
+text-density classification (SURVEY.md §2.10: the reference's pixel
+density profile `/root/reference/font/project_rec.py:16-54` generalized
+from pixel columns to DOM nodes). Parsing is shared between the Spark
+engine and the golden oracle; *classification* (the density thresholds)
+is implemented independently on each side.
+
+No lxml/bs4 in this environment — html.parser is the stdlib fallback and
+is deterministic, which is what the golden tests need.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from ..rules import HTML_BLOCK_TAGS, HTML_DROP_TAGS
+
+# HTML void elements never get a closing tag; don't push them on the stack
+_VOID = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+
+class _BlockParser(HTMLParser):
+    """Accumulate whitespace-normalized text chunks; flush a block at
+    every block-element boundary."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []  # (block_text, n_link_chars)
+        self._chunks: list[tuple[str, bool]] = []  # (normalized chunk, in_link)
+        self._drop_depth = 0
+        self._link_depth = 0
+
+    # -- block assembly -----------------------------------------------
+    def _flush(self) -> None:
+        if not self._chunks:
+            return
+        text = " ".join(c for c, _ in self._chunks)
+        link_chars = sum(len(c) for c, in_link in self._chunks if in_link)
+        self._chunks = []
+        if text:
+            self.blocks.append((text, link_chars))
+
+    # -- parser callbacks ----------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID:
+            if tag == "br":
+                self._flush()
+            return
+        if tag in HTML_DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in HTML_BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID:
+            return
+        if tag in HTML_DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in HTML_BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        norm = " ".join(data.split())
+        if norm:
+            self._chunks.append((norm, self._link_depth > 0))
+
+
+def html_blocks(text: str) -> list[tuple[str, int]]:
+    """HTML payload → ``[(block_text, n_link_chars), ...]`` in document order.
+
+    ``block_text`` is whitespace-normalized (runs of whitespace collapsed,
+    chunks joined by single spaces).
+    """
+    parser = _BlockParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # malformed markup: fall through with whatever was collected
+        pass
+    parser._flush()
+    return parser.blocks

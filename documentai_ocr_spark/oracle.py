@@ -1,0 +1,203 @@
+"""Pure-Python per-turn oracle — the golden reference implementation.
+
+Plays the role of the reference repo's human-verified ``labels.txt``
+fixtures (/root/reference/Data/1954-01-02/labels.txt, README "校验完毕"):
+an *independent*, deliberately simple per-turn implementation of the
+extraction rules in ``rules.py``, written as straight-line Python loops
+(the style of the reference scripts). The Spark engine must match this
+byte-for-byte per turn — the BASELINE.json per-turn text-equality
+invariant.
+
+Semantics implemented (reference provenance in rules.py):
+  plain  — line density classify + gaps-and-islands run decode
+           (run semantics of /root/reference/mocov1/app.py:88-111, density
+           profile of /root/reference/font/project_rec.py:16-54)
+  html   — DOM-block text-density / link-density boilerplate strip
+           (SURVEY.md §2.10 jusText-shaped generalization)
+  pdfish — char-box line grouping by (page, y-cluster, x) reading order
+           with gap-based space insertion
+           (/root/reference/font/project_rec.py:140-183 semantics)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from .extract.htmlparse import html_blocks
+from .rules import (
+    BOILER_RE,
+    DENSE_CHAR_RE,
+    DENSITY_THRESH,
+    HTML_MAX_LINK_DENSITY,
+    HTML_MIN_BLOCK_LEN,
+    HTML_MIN_DENSITY,
+    MIN_LINE_LEN,
+    PAYLOAD_HTML,
+    PAYLOAD_PDFISH,
+    PAYLOAD_PLAIN,
+    PDF_LINE_Y_TOL,
+    PDF_SPACE_GAP,
+    SPAN_KIND_BLOCK,
+    SPAN_KIND_CONTENT,
+    SPAN_KIND_LINE,
+    detect_payload,
+)
+
+Span = dict[str, Any]  # {"beg": int, "end": int, "kind": str, "score": float}
+
+
+def _density(s: str) -> float:
+    if not s:
+        return 0.0
+    return len(DENSE_CHAR_RE.findall(s)) / len(s)
+
+
+# --------------------------------------------------------------------- plain
+def extract_plain(text: str) -> tuple[str, list[Span]]:
+    lines = text.split("\n")
+    flags: list[bool] = []
+    stripped: list[str] = []
+    dens: list[float] = []
+    for line in lines:
+        s = line.strip()
+        d = _density(s)
+        stripped.append(s)
+        dens.append(d)
+        flags.append(
+            len(s) >= MIN_LINE_LEN
+            and d >= DENSITY_THRESH
+            and not BOILER_RE.search(s)
+        )
+
+    # gaps-and-islands over the content flags (mocov1/app.py:88-111 shape)
+    out_parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    i, n = 0, len(lines)
+    while i < n:
+        if not flags[i]:
+            i += 1
+            continue
+        j = i
+        while j < n and flags[j]:
+            j += 1
+        run_text = "\n".join(stripped[i:j])
+        score = round(sum(dens[i:j]) / (j - i), 6)
+        if out_parts:
+            offset += 1  # the '\n' joining this run to the previous one
+        spans.append(
+            {"beg": offset, "end": offset + len(run_text),
+             "kind": SPAN_KIND_CONTENT, "score": score}
+        )
+        out_parts.append(run_text)
+        offset += len(run_text)
+        i = j
+    return "\n".join(out_parts), spans
+
+
+# ---------------------------------------------------------------------- html
+def extract_html(text: str) -> tuple[str, list[Span]]:
+    blocks = html_blocks(text)
+    out_parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for block_text, link_chars in blocks:
+        n = len(block_text)
+        link_density = link_chars / n if n else 1.0
+        if (
+            n >= HTML_MIN_BLOCK_LEN
+            and link_density <= HTML_MAX_LINK_DENSITY
+            and _density(block_text) >= HTML_MIN_DENSITY
+        ):
+            if out_parts:
+                offset += 1
+            spans.append(
+                {"beg": offset, "end": offset + n,
+                 "kind": SPAN_KIND_BLOCK, "score": round(1.0 - link_density, 6)}
+            )
+            out_parts.append(block_text)
+            offset += n
+    return "\n".join(out_parts), spans
+
+
+# -------------------------------------------------------------------- pdfish
+def extract_pdfish(text: str) -> tuple[str, list[Span]]:
+    boxes = []
+    for raw in text.split("\n"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        try:
+            b = json.loads(raw)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(b, dict) and "c" in b:
+            boxes.append(b)
+
+    boxes.sort(key=lambda b: (b.get("page", 0), b.get("y", 0.0), b.get("x", 0.0)))
+
+    # group into text lines (chain rule): a box extends the current line iff
+    # same page and its y is within tolerance of the previous box's y in the
+    # (page, y, x) sort order — deterministic and identical to the engine's
+    # vectorized lag-based formulation
+    line_groups: list[list[dict]] = []
+    for b in boxes:
+        if line_groups:
+            prev = line_groups[-1][-1]
+            if (
+                b.get("page", 0) == prev.get("page", 0)
+                and abs(b.get("y", 0.0) - prev.get("y", 0.0))
+                <= PDF_LINE_Y_TOL * b.get("h", 0.0)
+            ):
+                line_groups[-1].append(b)
+                continue
+        line_groups.append([b])
+
+    out_parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for group in line_groups:
+        group.sort(key=lambda b: b.get("x", 0.0))
+        chars: list[str] = []
+        prev = None
+        for b in group:
+            if prev is not None:
+                gap = b.get("x", 0.0) - (prev.get("x", 0.0) + prev.get("w", 0.0))
+                if gap > PDF_SPACE_GAP * prev.get("w", 0.0):
+                    chars.append(" ")
+            chars.append(str(b.get("c", "")))
+            prev = b
+        line_text = "".join(chars)
+        if not line_text:
+            continue
+        if out_parts:
+            offset += 1
+        spans.append(
+            {"beg": offset, "end": offset + len(line_text),
+             "kind": SPAN_KIND_LINE, "score": 1.0}
+        )
+        out_parts.append(line_text)
+        offset += len(line_text)
+    return "\n".join(out_parts), spans
+
+
+# ------------------------------------------------------------------ dispatch
+def extract_turn(text: str | None) -> dict[str, Any]:
+    """Per-turn oracle: text payload → extracted main content + spans."""
+    if text is None:
+        text = ""
+    kind = detect_payload(text)
+    if kind == PAYLOAD_PDFISH:
+        extracted, spans = extract_pdfish(text)
+    elif kind == PAYLOAD_HTML:
+        extracted, spans = extract_html(text)
+    else:
+        kind = PAYLOAD_PLAIN
+        extracted, spans = extract_plain(text)
+    return {
+        "payload_kind": kind,
+        "text": extracted,
+        "spans": spans,
+        "n_spans": len(spans),
+    }

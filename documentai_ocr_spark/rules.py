@@ -1,0 +1,108 @@
+"""Deterministic extraction rules — the single source of truth.
+
+Both the Spark engine (``extract/``) and the pure-pandas oracle
+(``oracle.py``) import these constants, so the two independent
+implementations agree byte-for-byte by construction of shared *rules*
+(the implementations themselves are written separately: vectorized
+numpy/pandas on the engine side, simple per-turn Python on the oracle
+side — mirroring how the reference's golden ``labels.txt`` fixtures
+check its scripts).
+
+Rule provenance (reference semantics, re-derived — not copied):
+  * MIN_LINE_LEN=10       — short-row filter, /root/reference/render_han.py:12-13
+                            and /root/reference/ocrclient/app.py:22-23
+  * DENSITY_THRESH=0.5    — fusion-score floor, /root/reference/ocrclient/redisdata.py:312-314
+  * CJK range [一-龥]      — charset predicate, /root/reference/ocrclient/util.py:9-13
+  * run decode semantics  — label-run → span, /root/reference/mocov1/app.py:88-111
+  * density profile shape — hproject/vProject + slide_window_beg_eng,
+                            /root/reference/font/project_rec.py:16-54
+  * line grouping by y    — seg_row_image, /root/reference/font/project_rec.py:140-183
+  * boilerplate stripping — generalizes the reference's 1-D density scan to
+                            DOM nodes (jusText/Boilerpipe-family heuristic,
+                            SURVEY.md §2.10 note)
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------- plain text
+MIN_LINE_LEN = 10          # stripped lines shorter than this are never content
+DENSITY_THRESH = 0.5       # alnum+CJK char ratio a content line must reach
+MIN_RUN_LINES = 1          # contiguous content-line runs shorter than this drop
+
+# chars that count toward "informative density": letters, digits, CJK
+_DENSE_CLASS = r"0-9A-Za-z一-龥"
+DENSE_CHAR_RE = re.compile(f"[{_DENSE_CLASS}]")
+
+# boilerplate phrase list (nav/footer/disclaimer family). Lowercased match.
+BOILER_PHRASES = (
+    "all rights reserved",
+    "copyright",
+    "cookie policy",
+    "privacy policy",
+    "terms of service",
+    "terms of use",
+    "click here",
+    "subscribe to our newsletter",
+    "unsubscribe",
+    "advertisement",
+    "skip to content",
+    "back to top",
+    "follow us on",
+    "nav:",
+    "footer:",
+)
+# one alternation regex, applied case-insensitively on the stripped line
+BOILER_RE = re.compile("|".join(re.escape(p) for p in BOILER_PHRASES), re.IGNORECASE)
+
+# ------------------------------------------------------------------- html
+# jusText/Boilerpipe-family thresholds for DOM block classification
+HTML_MIN_BLOCK_LEN = 10        # blocks with fewer text chars are dropped
+HTML_MAX_LINK_DENSITY = 0.35   # fraction of block chars inside <a> allowed
+HTML_MIN_DENSITY = 0.5         # alnum+CJK ratio the block text must reach
+HTML_DROP_TAGS = frozenset(
+    {"script", "style", "nav", "footer", "header", "aside", "noscript",
+     "form", "button", "iframe", "svg", "head", "template"}
+)
+# elements that delimit text blocks (text under any of these is one block)
+HTML_BLOCK_TAGS = frozenset(
+    {"p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
+     "pre", "blockquote", "article", "section", "main", "body", "caption",
+     "figcaption", "dd", "dt", "tr", "table", "ul", "ol"}
+)
+
+# ------------------------------------------------------------------ pdfish
+# synthetic char-box records: one JSON object per line with keys c,x,y,w,h,page
+PDF_LINE_Y_TOL = 0.6    # same text line iff |y - line_y| <= tol * h
+PDF_SPACE_GAP = 0.5     # emit a space iff x - (prev.x + prev.w) > gap * prev.w
+
+# ------------------------------------------------------- payload detection
+HTML_SNIFF_RE = re.compile(r"^\s*<[a-zA-Z!]")          # starts like markup
+PDFISH_SNIFF_RE = re.compile(r'^\s*\{"c"\s*:')          # first line is a char box
+
+# ------------------------------------------------------------------ fusion
+# weighted multi-candidate score fusion, per-unit (reference weights:
+# engine 1.0 / cg 1.0 / cg_origin 0.5 at /root/reference/ocrclient/redisdata.py:59-64)
+FUSION_WEIGHTS = {"rule_a": 1.0, "rule_b": 1.0, "rescue": 0.5}
+FUSION_SCORE_FLOOR = 0.5   # fused candidates below this are dropped (redisdata.py:312)
+
+# ---------------------------------------------------------------- spans
+SPAN_KIND_CONTENT = "content"     # plain-text content run
+SPAN_KIND_BLOCK = "html_block"    # kept DOM block
+SPAN_KIND_LINE = "line"           # assembled pdfish text line
+
+PAYLOAD_PLAIN = "plain"
+PAYLOAD_HTML = "html"
+PAYLOAD_PDFISH = "pdfish"
+
+
+def detect_payload(text: str) -> str:
+    """Classify a turn's ``text`` payload. Deterministic, order: pdfish, html, plain."""
+    if text is None:
+        return PAYLOAD_PLAIN
+    if PDFISH_SNIFF_RE.match(text):
+        return PAYLOAD_PDFISH
+    if HTML_SNIFF_RE.match(text) and "</" in text:
+        return PAYLOAD_HTML
+    return PAYLOAD_PLAIN

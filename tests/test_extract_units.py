@@ -1,0 +1,91 @@
+"""Unit tests for the extraction kernels against hand-computed outputs
+(SURVEY.md §5 strategy #1)."""
+
+import pandas as pd
+
+from documentai_ocr_spark.extract.textops import (
+    extract_html_batch,
+    extract_pdfish_batch,
+    extract_plain_batch,
+)
+from documentai_ocr_spark.oracle import extract_plain
+from documentai_ocr_spark.rules import detect_payload
+
+
+def test_plain_hand_computed():
+    text = (
+        "This is a real content line with substance.\n"
+        "ok\n"  # too short
+        "Another solid content line follows right here.\n"
+        "Copyright 2024 Example Corp. All rights reserved.\n"  # boilerplate
+        "Final content line closes the document nicely."
+    )
+    out = extract_plain_batch(pd.Series([text]))
+    got_text = out["text"].iloc[0]
+    spans = out["spans"].iloc[0]
+    # line 0 is one island; lines 2 is another; line 4 a third
+    assert got_text == (
+        "This is a real content line with substance.\n"
+        "Another solid content line follows right here.\n"
+        "Final content line closes the document nicely."
+    )
+    assert len(spans) == 3
+    line0 = "This is a real content line with substance."
+    assert spans[0]["beg"] == 0 and spans[0]["end"] == len(line0)
+    assert spans[1]["beg"] == len(line0) + 1  # after the joining newline
+    assert got_text[spans[2]["beg"] : spans[2]["end"]].startswith("Final")
+    # oracle agrees
+    otext, ospans = extract_plain(text)
+    assert otext == got_text
+    assert [(s["beg"], s["end"]) for s in ospans] == [
+        (s["beg"], s["end"]) for s in spans
+    ]
+
+
+def test_plain_island_merging():
+    text = "first good content line here ok\nsecond good content line here yes"
+    out = extract_plain_batch(pd.Series([text]))
+    # adjacent content lines merge into ONE island/span
+    assert len(out["spans"].iloc[0]) == 1
+    assert out["text"].iloc[0] == text
+
+
+def test_low_density_line_dropped():
+    out = extract_plain_batch(pd.Series(["!!! ??? *** --- !!! ??? ***"]))
+    assert out["text"].iloc[0] == ""
+    assert out["n_spans"].iloc[0] == 0
+
+
+def test_html_strips_boilerplate():
+    html = (
+        "<html><body><nav>home | about</nav>"
+        "<p>Main content paragraph with plenty of real words.</p>"
+        '<div><a href="/a">link one</a> <a href="/b">link two</a> '
+        '<a href="/c">link three</a></div>'
+        "<footer>All rights reserved</footer></body></html>"
+    )
+    out = extract_html_batch(pd.Series([html]))
+    assert out["text"].iloc[0] == "Main content paragraph with plenty of real words."
+    assert len(out["spans"].iloc[0]) == 1
+    assert out["spans"].iloc[0]["kind" if False else 0]["kind"] == "html_block"
+
+
+def test_pdfish_line_grouping_and_spaces():
+    boxes = [
+        '{"c":"a","x":0,"y":10,"w":8,"h":10,"page":0}',
+        '{"c":"b","x":9,"y":10,"w":8,"h":10,"page":0}',
+        '{"c":"c","x":30,"y":10.2,"w":8,"h":10,"page":0}',  # big gap → space
+        '{"c":"d","x":0,"y":40,"w":8,"h":10,"page":0}',  # new line (y jump)
+        '{"c":"e","x":0,"y":10,"w":8,"h":10,"page":1}',  # new page
+    ]
+    out = extract_pdfish_batch(pd.Series(["\n".join(boxes)]))
+    assert out["text"].iloc[0] == "ab c\nd\ne"
+    assert [s["kind"] for s in out["spans"].iloc[0]] == ["line"] * 3
+
+
+def test_detect_payload():
+    assert detect_payload("<html><p>x</p></html>") == "html"
+    assert detect_payload('{"c":"a","x":0,"y":0,"w":1,"h":1,"page":0}') == "pdfish"
+    assert detect_payload("hello world") == "plain"
+    assert detect_payload(None) == "plain"
+    assert detect_payload("< 5 and > 3") == "plain"  # math, not markup
