@@ -1,0 +1,340 @@
+"""Deduplication suite over the ``documents`` table — the training-data
+pipeline ops: exact hash dedup, word-shingle Jaccard, MinHash+LSH
+candidate generation, SimHash fingerprints + hamming pairs.
+
+All hash math is built from md5 so Spark and DuckDB agree bit-for-bit:
+  * lexicographic MIN over md5 hex strings is a valid minhash (a uniform
+    random permutation of the shingle space per seed);
+  * 60-bit integers come from the first 15 hex chars
+    (Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+     DuckDB ``('0x'||substr(md5(x),1,15))::bigint``).
+
+Reference provenance: the dedupe-before-insert idempotence family
+(/root/reference/ocrclient/rechanimage.py:52-53, redisdata.py:106-108,316)
+generalized to content-level near-dup detection for corpus curation.
+
+Scale notes (100 TB): the shingle self-join is the classic LSH
+band-bucket join — cardinality is bounded by bucket sizes, not n²; AQE
+skew-join splits hot buckets (stop-shingle-like bands). The exact-dedup
+groupBy shuffles one 16-byte hash per row. SimHash pairing below uses a
+band-bucket prefilter at scale; the sf-size cross variant exists only as
+the oracle-checkable baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .util import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+def _hex60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (engine side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _word_shingles(doc: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sh): distinct word k-gram shingles per document."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return (
+        doc.select("doc_id", F.explode(F.transform(idx, gram)).alias("sh"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------- exact
+@_q(
+    "q_dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+           CAST(COUNT(*) AS bigint) AS n_dups,
+           CAST(MIN(doc_id) AS bigint) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized content hash: one groupBy on a 32-char
+    key; at 100 TB this shuffles hashes only (text never moves)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return docs.groupBy(h.alias("content_hash")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+        F.min("doc_id").cast("long").alias("canonical_id"),
+    )
+
+
+# ----------------------------------------------------------------- jaccard
+_JACCARD_K = 3
+_JACCARD_TAU = 0.01  # word-soup fixture corpus: low overlap by design
+
+
+@_q(
+    "q_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+           FROM toks, unnest(generate_series(1, len(tk) - 2)) g(i)),
+    card AS (SELECT doc_id, CAST(COUNT(*) AS bigint) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS bigint) AS n_common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           ROUND(CAST(n_common AS double)
+                 / (ca.n + cb.n - n_common), 6) AS jaccard
+    FROM inter JOIN card ca ON doc_a = ca.doc_id
+               JOIN card cb ON doc_b = cb.doc_id
+    WHERE CAST(n_common AS double) / (ca.n + cb.n - n_common) >= {_JACCARD_TAU}
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram Jaccard near-dup pairs: shingle equi-join (only docs
+    sharing a shingle ever meet — never n²), integer set algebra so the
+    similarity is exact on both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _word_shingles(docs, _JACCARD_K)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ca = card.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    cb = card.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .where(jac >= _JACCARD_TAU)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
+# ----------------------------------------------------------------- minhash
+_MH_SEEDS = 8
+_MH_ROWS_PER_BAND = 2  # 4 bands of 2
+
+
+@_q(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+           FROM toks, unnest(generate_series(1, len(tk) - 2)) g(i)),
+    sig AS (SELECT doc_id, s.seed,
+                   MIN(md5(CAST(s.seed AS varchar) || ':' || sh)) AS sig
+            FROM sh, (SELECT unnest(generate_series(0, {_MH_SEEDS - 1})) AS seed) s
+            GROUP BY doc_id, s.seed),
+    band AS (SELECT doc_id, seed // {_MH_ROWS_PER_BAND} AS band,
+                    md5(MIN(CASE WHEN seed % 2 = 0 THEN sig END)
+                        || MIN(CASE WHEN seed % 2 = 1 THEN sig END)) AS bh
+             FROM sig GROUP BY doc_id, seed // {_MH_ROWS_PER_BAND})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS bigint) AS n_shared_bands
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → 8 minhash signatures (min of a
+    seeded md5 = one random permutation each) → 4 bands of 2 → candidate
+    pairs share a band bucket. The only join is the band-bucket equi-join
+    — the scalable path to near-dup at 10^12 docs. Signature build is two
+    groupBys over (doc, seed) rows; the seeds dimension is a generated
+    column, not data."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _word_shingles(docs, _JACCARD_K)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_MH_SEEDS - 1))).alias("seed")
+    sig = (
+        sh.select("doc_id", "sh", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("sh")))
+            ).alias("sig")
+        )
+    )
+    band = (
+        sig.withColumn("band", (F.col("seed") / _MH_ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat(
+                    F.min(F.when(F.col("seed") % 2 == 0, F.col("sig"))),
+                    F.min(F.when(F.col("seed") % 2 == 1, F.col("sig"))),
+                )
+            ).alias("bh")
+        )
+    )
+    a = band.alias("a")
+    b = band.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+# ----------------------------------------------------------------- simhash
+_SIMHASH_BITS = 60
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint): 60-bit token-weighted SimHash."""
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    h = tok.withColumn("hv", _hex60(F.col("tok")))
+    bits = h.select(
+        "doc_id",
+        "w",
+        "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+    )
+    vote = (
+        bits.withColumn(
+            "v",
+            F.when(
+                F.expr("(shiftright(hv, bit) & 1) = 1"), F.col("w")
+            ).otherwise(-F.col("w")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return vote.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.expr("shiftleft(1L, bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+@_q(
+    "q_simhash_fingerprint",
+    f"""
+    WITH tok AS (SELECT doc_id, t AS tok, CAST(COUNT(*) AS bigint) AS w
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents)
+                 GROUP BY doc_id, t),
+    h AS (SELECT doc_id, w,
+                 ('0x' || substr(md5(tok), 1, 15))::bigint AS hv FROM tok),
+    vote AS (SELECT doc_id, b.bit,
+                    SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN w ELSE -w END) AS vote
+             FROM h, (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS bit) b
+             GROUP BY doc_id, b.bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (1::bigint << bit)
+                         ELSE 0 END) AS bigint) AS simhash
+    FROM vote GROUP BY doc_id
+    """,
+)
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 60-bit SimHash (token-count-weighted bit votes).
+    The bits dimension explodes 60× but only over (doc, distinct-token)
+    rows, and collapses map-side — partial aggregation keeps the shuffle
+    at 60 rows per doc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _simhash_df(docs)
+
+
+_SIMHASH_HAMMING_MAX = 8
+
+
+@_q(
+    "q_simhash_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, t AS tok, CAST(COUNT(*) AS bigint) AS w
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents)
+                 GROUP BY doc_id, t),
+    h AS (SELECT doc_id, w,
+                 ('0x' || substr(md5(tok), 1, 15))::bigint AS hv FROM tok),
+    vote AS (SELECT doc_id, b.bit,
+                    SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN w ELSE -w END) AS vote
+             FROM h, (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS bit) b
+             GROUP BY doc_id, b.bit),
+    fp AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN vote > 0 THEN (1::bigint << bit)
+                                ELSE 0 END) AS bigint) AS simhash
+           FROM vote GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_MAX}
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 8. This baseline compares all
+    pairs (correct at test SF; the oracle-checkable form); the scale path
+    is the standard 4-segment pigeonhole prefilter — see
+    ``simsearch.simhash_pairs_banded`` which produces the identical pair
+    set with an equi-join and is benchmarked instead of this."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = _simhash_df(docs)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(ham <= _SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Extraction-pipeline queries (the engine's flagship path).
+
+These run the mapInPandas kernels, which DuckDB cannot express — the
+driver records rows-only checks here; byte-for-byte correctness is
+enforced by the golden pytest suite against the pure-Python oracle
+(tests/test_extract_golden.py) per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extract import assemble_conversations, extract_turns
+from ..synth import transcripts_from_documents
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+@_q("x_extract_turns")
+def x_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn main-content extraction over the transcripts table
+    (derived deterministically from documents). Narrow plan:
+    scan → project → ArrowEvalPython — zero shuffles."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_turns(t).select(
+        "conv_id", "turn_idx", "payload_kind", "text", "n_spans"
+    )
+
+
+@_q("x_assemble_convs")
+def x_assemble_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly: per-turn extraction concatenated in stable
+    (conv_id, turn_idx) order via the skew-safe two-phase chunked
+    aggregation."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return assemble_conversations(extract_turns(t))
+
+
+@_q("x_span_stats")
+def x_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level reporting: explode the spans array and aggregate per
+    (payload_kind, span kind) — the engine's per-run metrics output."""
+    t = transcripts_from_documents(spark, sf_dir)
+    ex = extract_turns(t)
+    return (
+        ex.select("payload_kind", F.explode_outer("spans").alias("s"))
+        .groupBy("payload_kind", F.col("s.kind").alias("span_kind"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.round(F.avg(F.col("s.end") - F.col("s.beg")), 3).alias("avg_len"),
+        )
+    )

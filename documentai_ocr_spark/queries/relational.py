@@ -1,0 +1,524 @@
+"""Relational operator parity queries (SURVEY.md §2.2-§2.6).
+
+Each query re-expresses one dataflow operator family of the reference
+(file:line cited per query) as idiomatic DataFrame code, with a DuckDB
+oracle. Numeric discipline for cross-engine equality:
+
+  * integer aggregates are cast to bigint on BOTH sides (DuckDB sums
+    int → hugeint, Spark → bigint);
+  * double sums are grouped (bounded fp-accumulation error) and rounded
+    so both engines land on the same value regardless of accumulation
+    order;
+  * means are computed as exact-integer-sum / count (both engines do the
+    same single double division) — never via avg() whose accumulator
+    differs between engines;
+  * timestamps leave as unix_millis (session TZ pinned to UTC);
+  * every ordering used under row_number()/lag() carries a unique
+    tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+# ------------------------------------------------------------------ scans+agg
+@_q(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS double)                       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                        AS sum_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+           ROUND(CAST(SUM(l_quantity) AS double) / COUNT(*), 6)  AS avg_qty,
+           CAST(COUNT(*) AS bigint)                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan→filter→agg: the pushdown/pruning smoke test.
+    Filter + 6-column projection must reach the parquet scan (the
+    reference's predicate-before-expensive-work, pdf/tools.py:42)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum("l_quantity").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q_charfreq",
+    """
+    SELECT ch, CAST(COUNT(*) AS bigint) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(text, '.')) AS ch FROM documents)
+    GROUP BY ch
+    """,
+)
+def q_charfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char frequency Counter (/root/reference/spiltTools.py:32-43,
+    easyocr/run.py:25-41) as explode→groupBy — map-side partial agg makes
+    this shuffle only one row per distinct char per partition."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch")
+        )
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+@_q(
+    "q_len_hist",
+    """
+    SELECT n_chars, CAST(COUNT(*) AS bigint) AS cnt
+    FROM documents GROUP BY n_chars
+    ORDER BY cnt DESC, n_chars ASC LIMIT 100
+    """,
+)
+def q_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width/height histogram + most_common(100)
+    (/root/reference/font/rec.py:92-108). Fully-tiebroken order makes the
+    limit deterministic; Spark runs it as TakeOrderedAndProject (no full
+    sort at scale)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("n_chars"))
+        .limit(100)
+    )
+
+
+@_q(
+    "q_group_range",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS bigint) AS n_rows
+               FROM documents GROUP BY lang)
+    SELECT lang,
+           CAST(SUM(n_rows) OVER w - n_rows + 1 AS bigint) AS beg_idx,
+           CAST(SUM(n_rows) OVER w AS bigint)              AS end_idx,
+           n_rows
+    FROM c WINDOW w AS (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+    """,
+)
+def q_group_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-range index over a sorted corpus
+    (/root/reference/font/rec.py:140-158: block [beg,end) per word in a
+    text-sorted file). Because the group key prefixes the sort key, the
+    ranges fall out of a tiny aggregate + cumulative sum — O(groups), no
+    global row_number at scale."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    w = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.select(
+        "lang",
+        (F.sum("n_rows").over(w) - F.col("n_rows") + 1).cast("long").alias("beg_idx"),
+        F.sum("n_rows").over(w).cast("long").alias("end_idx"),
+        "n_rows",
+    )
+
+
+# ----------------------------------------------------------- windows+filters
+@_q(
+    "q_mean_filter",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 CAST(SUM(n_chars) OVER (PARTITION BY lang) AS double)
+                   / CAST(COUNT(*) OVER (PARTITION BY lang) AS double) AS m
+          FROM documents)
+    WHERE n_chars >= m
+    """,
+)
+def q_mean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop rows below their group mean (height-mean line filter,
+    /root/reference/font/project_rec.py:159-167). Mean as exact-int-sum /
+    count so both engines produce the identical double."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    m = F.sum("n_chars").over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
+        "double"
+    )
+    return (
+        docs.withColumn("m", m)
+        .where(F.col("n_chars") >= F.col("m"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_FUSION_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 1.0),
+    ("signup", 0.75),
+    ("error", 0.25),
+]
+_FUSION_VALUES = ",".join(f"('{t}', {w})" for t, w in _FUSION_WEIGHTS)
+
+
+@_q(
+    "q_fusion_argmax",
+    f"""
+    WITH wt(event_type, weight) AS (SELECT * FROM (VALUES {_FUSION_VALUES})
+                                    t(event_type, weight)),
+    fused AS (
+      SELECT user_id, e.event_type,
+             ROUND(SUM(value * weight), 4) AS fused_score
+      FROM events e JOIN wt ON e.event_type = wt.event_type
+      GROUP BY user_id, e.event_type
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY fused_score DESC, event_type ASC) AS rn
+      FROM fused WHERE fused_score >= 0.5
+    )
+    SELECT user_id, event_type AS best_type, fused_score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_fusion_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-candidate score fusion + per-key argmax + score
+    floor (/root/reference/ocrclient/redisdata.py:59-64,253-262,295-322:
+    engine 1.0 / cg 1.0 / cg_origin 0.5 weights, best text per image,
+    drop <0.5). The weight rule table is a broadcast join — the
+    north_star's 'broadcast of rule tables'. Ranking on the ROUNDED score
+    (+ unique tiebreak) keeps argmax identical across engines."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    wt = spark.createDataFrame(_FUSION_WEIGHTS, "event_type string, weight double")
+    fused = (
+        ev.join(F.broadcast(wt), "event_type")
+        .groupBy("user_id", "event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("fused_score"))
+        .where(F.col("fused_score") >= 0.5)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("fused_score"), F.asc("event_type")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("best_type"), "fused_score")
+    )
+
+
+@_q(
+    "q_topn_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (/root/reference/ocrclient/redisdata.py:165,184
+    top-10 per han; font/rec.py:160-168). Spark plans the rn<=3 filter as
+    a per-partition running limit inside the window exec."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@_q(
+    "q_gaps_islands",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value >= 50.0 AS flag,
+             lag(value >= 50.0) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS pflag
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, ts, flag,
+             CAST(SUM(CASE WHEN flag AND (pflag IS NULL OR NOT pflag)
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bigint) AS run_id
+      FROM s
+    )
+    SELECT user_id, run_id, CAST(COUNT(*) AS bigint) AS n_events,
+           CAST(MIN(epoch_ms(ts)) AS bigint) AS beg_ms,
+           CAST(MAX(epoch_ms(ts)) AS bigint) AS end_ms
+    FROM r WHERE flag GROUP BY user_id, run_id
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run detection — the reference's core span
+    semantics (slide_window_beg_eng /root/reference/font/project_rec.py:36-54
+    and the label-run decode /root/reference/mocov1/app.py:88-111):
+    lag → run-start marker → cumulative sum run ids → per-run min/max.
+    One shuffle on user_id serves both window passes and the final agg."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    ordw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flag = F.col("value") >= 50.0
+    s = ev.withColumn("flag", flag).withColumn("pflag", F.lag(flag).over(ordw))
+    run_start = F.when(
+        F.col("flag") & (F.col("pflag").isNull() | ~F.col("pflag")), 1
+    ).otherwise(0)
+    r = s.withColumn(
+        "run_id",
+        F.sum(run_start)
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        r.where("flag")
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(F.unix_millis(F.col("ts").cast("timestamp")))
+            .cast("long")
+            .alias("beg_ms"),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+            .cast("long")
+            .alias("end_ms"),
+        )
+    )
+
+
+@_q(
+    "q_pairwise_transitions",
+    """
+    SELECT prev_type, event_type, CAST(COUNT(*) AS bigint) AS n
+    FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_pairwise_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise neighbor comparison over an ordered sequence
+    (/root/reference/ocrclient/pdocr.py:110-133 pre/post-GAN pairs) as a
+    lag() window — no self-join shuffle."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# -------------------------------------------------------------------- joins
+@_q(
+    "q_anti_missing",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti 'missing keys' report
+    (/root/reference/ocrclient/redisdata.py:343-352 missing-han check;
+    also the seen-set skip at :170,183). The probe-side filter is pushed
+    below the anti-join into the scan."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@_q(
+    "q_dedup_earliest",
+    """
+    SELECT o_custkey, o_orderkey, CAST(epoch_ms(o_orderdate) AS bigint) AS order_ms
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping a deterministic canonical row
+    (insert-if-absent / dropDuplicates family,
+    /root/reference/ocrclient/rechanimage.py:52-53, redisdata.py:106-108
+    — made deterministic via full ordering instead of arrival order)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            .cast("long")
+            .alias("order_ms"),
+        )
+    )
+
+
+@_q(
+    "q_region_revenue",
+    """
+    SELECT r_name, CAST(year(o_orderdate) AS int) AS order_year,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS bigint) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, year(o_orderdate)
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dims enrichment (span→image-metadata lookup shape,
+    /root/reference/ocrclient/redisdata.py:57-58). nation/region are
+    broadcast; customer is broadcast-eligible at small SF and a shuffle
+    join at scale — AQE picks per run."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- set ops
+@_q(
+    "q_union_nations",
+    """
+    SELECT DISTINCT n_name FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier
+    ) u JOIN nation ON u.k = n_nationkey
+    """,
+)
+def q_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct across sources
+    (/root/reference/ocrclient/redisdata.py:332-342 han-set union)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.unionByName(s)
+        .join(F.broadcast(n), F.col("k") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+
+
+@_q(
+    "q_charset_stats",
+    """
+    SELECT doc_id,
+           text LIKE '%table%'                                   AS has_kw,
+           CAST(length(text)
+                - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                AS bigint)                                       AS n_alpha,
+           CAST(length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS bigint)                                       AS n_digit,
+           regexp_matches(text, '^[a-z ]+$')                     AS pure_lower
+    FROM documents
+    """,
+)
+def q_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset predicates + char-class counting (CJK-range predicate
+    /root/reference/ocrclient/util.py:9-13 generalized; regex filters
+    §2.2). Counting by length-difference after regexp_replace keeps both
+    engines on the same code path."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_alpha = F.length("text") - F.length(
+        F.regexp_replace("text", "[A-Za-z]", "")
+    )
+    n_digit = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    return docs.select(
+        "doc_id",
+        F.col("text").contains("table").alias("has_kw"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_digit.cast("long").alias("n_digit"),
+        F.col("text").rlike("^[a-z ]+$").alias("pure_lower"),
+    )
+
+
+@_q(
+    "q_train_split",
+    """
+    SELECT split, CAST(COUNT(*) AS bigint) AS n,
+           CAST(MIN(doc_id) AS bigint) AS min_id, CAST(MAX(doc_id) AS bigint) AS max_id
+    FROM (SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5(CAST(doc_id AS varchar)), 1, 4))::bigint
+                           % 10 < 7
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents)
+    GROUP BY split
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 70/30 split (train_test_split
+    /root/reference/spiltTools.py:47-59 — seeded-random replaced by
+    hash-mod so the split is stable across engines, runs, and scale;
+    same trick as the uuid3 deterministic ids at rechanimage.py:51)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < 7, F.lit("train")).otherwise(F.lit("val"))
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+    )

