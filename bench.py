@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: per-turn extraction throughput over the transcripts table
+(derived once from $SPARK_GRAFT_SF_DIR/documents.parquet, cached as
+parquet in /tmp so generation cost never pollutes the measurement),
+plus representative operator queries at the same SF.
+
+Scaling evidence (BASELINE.json north_rule: ≥0.8 throughput scaling
+efficiency from N to 4N executors): the same extraction job runs on a
+larger replicated input at local[N] and local[4N]; efficiency =
+(throughput_4N / throughput_N) / 4. Disable with SPARK_GRAFT_SCALING=0.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from documentai_ocr_spark.extract import assemble_conversations, extract_turns  # noqa: E402
+from documentai_ocr_spark.queries import QUERIES  # noqa: E402
+from documentai_ocr_spark.session import get_spark  # noqa: E402
+from documentai_ocr_spark.synth import transcripts_from_documents  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_gaps_islands",
+    "q_region_revenue",
+    "q_dedup_exact",
+    "q_minhash_lsh_pairs",
+    "q_simhash_fingerprint",
+    "q_knn_cosine",
+    "q_lang_id",
+    "q_winnow_fingerprint",
+]
+
+_SF_TAG = SF_DIR.strip("/").replace("/", "_")
+
+
+def _cache_transcripts(spark, turns_per_doc: int, tag: str) -> str:
+    path = f"/tmp/spark_graft_bench/{_SF_TAG}_t{turns_per_doc}_{tag}.parquet"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        # 64 files so any local[N] read gets real splits (at production
+        # scale the table has thousands of files/buckets anyway)
+        transcripts_from_documents(
+            spark, SF_DIR, turns_per_doc=turns_per_doc
+        ).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _force_extract(spark, path: str) -> int:
+    """Run extraction end-to-end; returns turn count. The aggregate
+    touches text AND spans so nothing is pruned."""
+    tr = spark.read.parquet(path)
+    ext = extract_turns(tr)
+    row = ext.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+        F.sum("n_spans").alias("spans"),
+    ).collect()[0]
+    return row["n"]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS * 2)
+    bench_path = _cache_transcripts(spark, 12, "bench")
+
+    queries: dict[str, float] = {}
+
+    # warm: JVM + python workers + parquet footers
+    spark.read.parquet(bench_path).count()
+
+    def timed(fn) -> float:
+        """min of 2 runs — this sandbox shows intermittent multi-second
+        stalls; the min is the honest steady-state number."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    n_turns = spark.read.parquet(bench_path).count()
+    t_extract = timed(lambda: _force_extract(spark, bench_path))
+    queries["extract_turns"] = round(t_extract, 3)
+
+    def _assemble():
+        tr = spark.read.parquet(bench_path)
+        assemble_conversations(extract_turns(tr)).agg(
+            F.count(F.lit(1)), F.sum(F.length("doc_text"))
+        ).collect()
+
+    queries["assemble_convs"] = round(timed(_assemble), 3)
+
+    for name in BENCH_QUERIES:
+        queries[name] = round(
+            timed(lambda: QUERIES[name](spark, SF_DIR).collect()), 3
+        )
+
+    result = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_num,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / t_extract, 1),
+        "cpus": CPUS,
+    }
+
+    if DO_SCALING:
+        scale_path = _cache_transcripts(spark, 96, "scaling")
+        spark.stop()
+        n_small = max(2, CPUS // 4)
+        tps = {}
+        for cores in (n_small, CPUS):
+            s = get_spark(
+                app_name=f"bench-scale-{cores}",
+                cores=cores,
+                shuffle_partitions=cores * 2,
+            )
+            # warm JVM + python workers with the real kernel on the small input
+            n = _force_extract(s, bench_path)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                n = _force_extract(s, scale_path)
+                best = min(best, time.time() - t0)
+            tps[cores] = n / best
+            s.stop()
+        eff = (tps[CPUS] / tps[n_small]) / (CPUS / n_small)
+        result["scaling"] = {
+            "cores_n": n_small,
+            "cores_4n": CPUS,
+            "turns_per_sec_n": round(tps[n_small], 1),
+            "turns_per_sec_4n": round(tps[CPUS], 1),
+            "efficiency": round(eff, 3),
+        }
+    else:
+        spark.stop()
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

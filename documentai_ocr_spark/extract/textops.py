@@ -57,42 +57,38 @@ def _assemble_rows(
             {"text": [""] * n_rows, "spans": [[] for _ in range(n_rows)],
              "n_spans": np.zeros(n_rows, dtype=np.int64)}
         )
+    # units arrive sorted by row (each producer emits in (row, unit) order)
+    row = units["row"].to_numpy(dtype=np.int64)
     tl = units["text"].str.len().to_numpy(dtype=np.int64)
     lenp1 = tl + 1
-    # prefix sum of (len+1) within each row, excluding self → span start
-    csum = (
-        pd.Series(lenp1, index=units.index).groupby(units["row"]).cumsum().to_numpy()
-    )
-    beg = csum - lenp1
-    end = beg + tl
+    cs = np.cumsum(lenp1)
+    # first unit index of each row-group; base = chars consumed before it
+    first_idx = np.flatnonzero(np.concatenate(([True], row[1:] != row[:-1])))
+    base = np.zeros(len(row), dtype=np.int64)
+    base[first_idx[1:]] = cs[first_idx[1:] - 1]
+    base = np.maximum.accumulate(base)
+    beg = (cs - lenp1 - base).astype(np.int32)
+    end = (beg + tl).astype(np.int32)
 
-    spans_df = pd.DataFrame(
-        {
-            "row": units["row"].to_numpy(),
-            "beg": beg.astype(np.int32),
-            "end": end.astype(np.int32),
-            "kind": units[kind_col].to_numpy(),
-            "score": units["score"].to_numpy(),
-        }
-    )
-    texts = units.groupby("row", sort=True)["text"].agg("\n".join)
-    spans = spans_df.groupby("row", sort=True)[["beg", "end", "kind", "score"]].apply(
-        lambda g: [
-            {"beg": int(b), "end": int(e), "kind": k, "score": float(s)}
-            for b, e, k, s in zip(g["beg"], g["end"], g["kind"], g["score"])
+    txt = units["text"].to_numpy()
+    kind = units[kind_col].to_numpy()
+    score = units["score"].to_numpy()
+    bounds = np.concatenate((first_idx, [len(row)]))
+    texts_out: list[str] = [""] * n_rows
+    spans_out: list[list] = [[] for _ in range(n_rows)]
+    n_spans = np.zeros(n_rows, dtype=np.int64)
+    # batch loop over row-groups (not per input row): builds the Arrow
+    # struct payload; all offset math above is vectorized
+    for k in range(len(first_idx)):
+        a, b = bounds[k], bounds[k + 1]
+        r = row[a]
+        texts_out[r] = "\n".join(txt[a:b])
+        spans_out[r] = [
+            {"beg": int(bg), "end": int(en), "kind": kd, "score": float(sc)}
+            for bg, en, kd, sc in zip(beg[a:b], end[a:b], kind[a:b], score[a:b])
         ]
-    )
-    texts_full = texts.reindex(range(n_rows), fill_value="")
-    spans_full = spans.reindex(range(n_rows)).apply(
-        lambda v: v if isinstance(v, list) else []
-    )
-    return pd.DataFrame(
-        {
-            "text": texts_full.to_numpy(),
-            "spans": spans_full.to_numpy(),
-            "n_spans": spans_full.str.len().astype(np.int64).to_numpy(),
-        }
-    )
+        n_spans[r] = b - a
+    return pd.DataFrame({"text": texts_out, "spans": spans_out, "n_spans": n_spans})
 
 
 # --------------------------------------------------------------------- plain
@@ -137,14 +133,22 @@ def extract_plain_batch(texts: pd.Series) -> pd.DataFrame:
     )
     if runs_src.empty:
         return _assemble_rows(pd.DataFrame(), n_rows)
-    g = runs_src.groupby("run", sort=True)
+    # runs are monotone in (row, line) order → boundary arithmetic, no groupby
+    runs = runs_src["run"].to_numpy()
+    starts = np.flatnonzero(np.concatenate(([True], runs[1:] != runs[:-1])))
+    bounds = np.concatenate((starts, [len(runs)]))
+    counts = np.diff(bounds)
+    dsum = np.add.reduceat(runs_src["dens"].to_numpy(), starts)
+    lines_arr = runs_src["line"].to_numpy()
     units = pd.DataFrame(
         {
-            "row": g["row"].first(),
-            "text": g["line"].agg("\n".join),
-            "score": (g["dens"].sum() / g["dens"].size()).round(6),
+            "row": runs_src["row"].to_numpy()[starts],
+            "text": [
+                "\n".join(lines_arr[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+            ],
+            "score": np.round(dsum / counts, 6),
         }
-    ).reset_index(drop=True)
+    )
     units["kind"] = SPAN_KIND_CONTENT
     return _assemble_rows(units, n_rows)
 
@@ -187,11 +191,52 @@ def extract_html_batch(texts: pd.Series) -> pd.DataFrame:
 
 
 # -------------------------------------------------------------------- pdfish
-def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
-    """Batch char-box line assembly: JSON-line parse per doc (the scan),
-    then line grouping / x-sort / space insertion vectorized over the
-    whole batch's boxes."""
-    n_rows = len(texts)
+def _parse_boxes_fast(texts: pd.Series) -> pd.DataFrame | None:
+    """Whole-batch ndjson parse via pandas' C reader. Returns None when
+    any line is malformed — caller falls back to the line-skipping loop
+    (identical output; the fast path only exists for clean input)."""
+    import io
+
+    lists = texts.fillna("").str.split("\n")
+    counts = lists.str.len().to_numpy(dtype=np.int64)
+    row = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    flat = pd.Series([ln for sub in lists for ln in sub], dtype="object")
+    stripped = flat.str.strip()
+    keep = (stripped.str.len() > 0).to_numpy(dtype=bool)
+    if not keep.any():
+        return pd.DataFrame()
+    row = row[keep]
+    try:
+        parsed = pd.read_json(
+            io.StringIO("\n".join(stripped.to_numpy()[keep])), lines=True
+        )
+    except ValueError:
+        return None
+    if "c" not in parsed.columns or len(parsed) != len(row):
+        return None
+    parsed["row"] = row
+    valid = parsed["c"].notna().to_numpy(dtype=bool)
+    parsed = parsed[valid]
+    out = pd.DataFrame({"row": parsed["row"].to_numpy(dtype=np.int64)})
+    for col, dt, default in (
+        ("page", np.int64, 0),
+        ("y", np.float64, 0.0),
+        ("x", np.float64, 0.0),
+        ("w", np.float64, 0.0),
+        ("h", np.float64, 0.0),
+    ):
+        if col in parsed.columns:
+            out[col] = parsed[col].fillna(default).to_numpy(dtype=dt)
+        else:
+            out[col] = np.full(len(parsed), default, dtype=dt)
+    out["c"] = parsed["c"].astype(str).to_numpy()
+    return out
+
+
+def _parse_boxes_loop(texts: pd.Series) -> pd.DataFrame:
+    """Reference parse: per-line json.loads, silently skipping malformed
+    lines and non-box records (the reference's drop-malformed TSV
+    semantics, /root/reference/spiltTools.py:21-22)."""
     rows: list[int] = []
     recs: list[dict] = []
     for i, t in enumerate(texts.fillna("")):
@@ -203,12 +248,12 @@ def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
                 b = json.loads(raw)
             except (ValueError, TypeError):
                 continue
-            if isinstance(b, dict) and "c" in b:
+            if isinstance(b, dict) and "c" in b and b["c"] is not None:
                 rows.append(i)
                 recs.append(b)
     if not recs:
-        return _assemble_rows(pd.DataFrame(), n_rows)
-    boxes = pd.DataFrame(
+        return pd.DataFrame()
+    return pd.DataFrame(
         {
             "row": np.asarray(rows, dtype=np.int64),
             "page": np.asarray([r.get("page", 0) for r in recs], dtype=np.int64),
@@ -216,9 +261,21 @@ def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
             "x": np.asarray([r.get("x", 0.0) for r in recs], dtype=np.float64),
             "w": np.asarray([r.get("w", 0.0) for r in recs], dtype=np.float64),
             "h": np.asarray([r.get("h", 0.0) for r in recs], dtype=np.float64),
-            "c": pd.array([str(r.get("c", "")) for r in recs], dtype="object"),
+            "c": pd.array([str(r["c"]) for r in recs], dtype="object"),
         }
     )
+
+
+def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
+    """Batch char-box line assembly: whole-batch ndjson parse (C reader,
+    loop fallback for malformed input), then line grouping / x-sort /
+    space insertion vectorized over the whole batch's boxes."""
+    n_rows = len(texts)
+    boxes = _parse_boxes_fast(texts)
+    if boxes is None:
+        boxes = _parse_boxes_loop(texts)
+    if boxes.empty:
+        return _assemble_rows(pd.DataFrame(), n_rows)
     boxes = boxes.sort_values(["row", "page", "y", "x"], kind="stable").reset_index(
         drop=True
     )
@@ -247,10 +304,17 @@ def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
     contrib = np.where(space, " " + boxes["c"].astype(str), boxes["c"].astype(str))
     boxes["contrib"] = contrib
 
-    g = boxes.groupby("line", sort=True)
+    contrib_arr = boxes["contrib"].to_numpy()
+    starts = np.flatnonzero(np.concatenate(([True], line[1:] != line[:-1])))
+    bounds = np.concatenate((starts, [len(line)]))
     units = pd.DataFrame(
-        {"row": g["row"].first(), "text": g["contrib"].agg("".join)}
-    ).reset_index(drop=True)
+        {
+            "row": boxes["row"].to_numpy()[starts],
+            "text": [
+                "".join(contrib_arr[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+            ],
+        }
+    )
     units = units[units["text"].str.len() > 0].reset_index(drop=True)
     units["score"] = 1.0
     units["kind"] = SPAN_KIND_LINE

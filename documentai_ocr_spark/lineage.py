@@ -1,0 +1,182 @@
+"""Checkpointed, resumable extraction runs with per-partition lineage.
+
+The unit of work and of commit is a **conv_id bucket**:
+``pmod(xxhash64(conv_id), n_buckets)`` — the parquet/Iceberg
+``bucket(N, conv_id)`` partition transform. A run:
+
+  1. reads the lineage table → set of committed buckets,
+  2. prunes the scan to pending buckets only (partition pruning on
+     conv_id buckets — north_star requirement),
+  3. extracts and writes results partitioned by bucket with *dynamic
+     partition overwrite* (a half-written bucket from a crashed run is
+     atomically replaced on retry — the snapshot-commit emulation),
+  4. appends lineage rows (bucket, part_id, batch_id, rule_ver, counts)
+     LAST — a bucket is committed iff its lineage row exists, so a crash
+     anywhere before step 4 leaves the dataset logically unchanged and
+     the next run resumes exactly.
+
+This is the Spark-native restructuring of the reference's status-flag
+work queue (``find(easyocr==0)`` poll-drain loop with failure marks,
+/root/reference/ocrclient/rechanimage.py:66-135, pdocr.py:70-101): the
+per-row flags become per-bucket commit records, and the N+1 per-row
+``find()`` calls become one anti-join. On a real cluster the same code
+targets an Iceberg table (snapshot isolation gives step 3+4 atomicity
+for free; the lineage table maps to the snapshot summary + a metrics
+table); this module emulates those semantics on plain parquet so it is
+testable here.
+
+Scale notes: lineage volume is O(buckets × partitions-touched), not
+O(rows). The bucket count is the resume granularity — at 10^12 turns
+you'd use 2^12-2^16 buckets; a failed 1000-executor run loses at most
+one bucket's work per executor.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_turns
+
+DEFAULT_BUCKETS = 64
+
+LINEAGE_SCHEMA = (
+    "bucket int, part_id int, n_turns bigint, n_convs bigint, "
+    "n_chars bigint, n_spans bigint, batch_id bigint, rule_ver string"
+)
+
+
+def bucket_expr(n_buckets: int = DEFAULT_BUCKETS):
+    """Deterministic conv_id → bucket (the bucket(N, conv_id) transform)."""
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = f"{out_dir}/lineage"
+    if not os.path.exists(path):
+        return set()
+    rows = (
+        spark.read.schema(LINEAGE_SCHEMA)
+        .parquet(path)
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r.bucket for r in rows}
+
+
+def _write_extracted(
+    ext: DataFrame, out_dir: str
+) -> None:
+    """Step 3: dynamic-overwrite the pending buckets' output partitions."""
+    (
+        ext.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(f"{out_dir}/extracted")
+    )
+
+
+def run_extraction_increment(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    rule_ver: str = "v1",
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_buckets: int | None = None,
+    _crash_before_commit: bool = False,
+) -> int:
+    """One incremental run. Returns the number of buckets processed
+    (0 = nothing pending: the job is fully caught up).
+
+    ``max_buckets`` bounds one run's work (the reference's batched drain,
+    rechanimage.py:96-135). ``_crash_before_commit`` is a test hook that
+    simulates dying between data write and lineage commit.
+    """
+    done = committed_buckets(spark, out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    if max_buckets is not None:
+        pending = pending[:max_buckets]
+    if not pending:
+        return 0
+
+    src = transcripts.withColumn("bucket", bucket_expr(n_buckets)).where(
+        F.col("bucket").isin(pending)
+    )
+    # carry the bucket through extraction by recomputing it on the output
+    # (pure function of conv_id — cheaper than widening the kernel schema)
+    ext = (
+        extract_turns(src.drop("bucket"))
+        .withColumn("bucket", bucket_expr(n_buckets))
+        .withColumn("part_id", F.spark_partition_id())
+    )
+    _write_extracted(ext, out_dir)
+    if _crash_before_commit:
+        return len(pending)
+
+    batch_id = int(time.time() * 1000)
+    # lineage is aggregated from the files just written: commits exactly
+    # what is durably on disk, and doubles as a write verification
+    written = spark.read.parquet(f"{out_dir}/extracted").where(
+        F.col("bucket").isin(pending)
+    )
+    lineage = written.groupBy("bucket", "part_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+    )
+    # a pending bucket with no input rows still commits (part_id=-1,
+    # zero counts) — otherwise it would be rescanned forever
+    all_pending = spark.createDataFrame([(b,) for b in pending], "bucket int")
+    lineage = (
+        all_pending.join(lineage, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("part_id", F.lit(-1)).cast("int").alias("part_id"),
+            *[
+                F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                for c in ("n_turns", "n_convs", "n_chars", "n_spans")
+            ],
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("rule_ver", F.lit(rule_ver))
+    )
+    lineage.write.mode("append").parquet(f"{out_dir}/lineage")
+    return len(pending)
+
+
+def run_to_completion(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    rule_ver: str = "v1",
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_buckets_per_run: int | None = None,
+) -> int:
+    """Drain the work queue (the while-pending loop of the reference,
+    minus the sleep — each iteration is one committed batch)."""
+    total = 0
+    while True:
+        n = run_extraction_increment(
+            spark,
+            transcripts,
+            out_dir,
+            rule_ver=rule_ver,
+            n_buckets=n_buckets,
+            max_buckets=max_buckets_per_run,
+        )
+        if n == 0:
+            return total
+        total += n
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed view of the output: only buckets with lineage rows (an
+    uncommitted/partial bucket is invisible — snapshot-read emulation)."""
+    done = sorted(committed_buckets(spark, out_dir))
+    df = spark.read.parquet(f"{out_dir}/extracted")
+    return df.where(F.col("bucket").isin(done))

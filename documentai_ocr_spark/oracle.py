@@ -132,7 +132,7 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
             b = json.loads(raw)
         except (ValueError, TypeError):
             continue
-        if isinstance(b, dict) and "c" in b:
+        if isinstance(b, dict) and "c" in b and b["c"] is not None:
             boxes.append(b)
 
     boxes.sort(key=lambda b: (b.get("page", 0), b.get("y", 0.0), b.get("x", 0.0)))
@@ -166,7 +166,7 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
                 gap = b.get("x", 0.0) - (prev.get("x", 0.0) + prev.get("w", 0.0))
                 if gap > PDF_SPACE_GAP * prev.get("w", 0.0):
                     chars.append(" ")
-            chars.append(str(b.get("c", "")))
+            chars.append(str(b["c"]))
             prev = b
         line_text = "".join(chars)
         if not line_text:

@@ -41,6 +41,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # many distinct query shapes per session → lots of janino classes;
+        # an exhausted JIT code cache silently drops to interpreter (10-50×)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in BASE_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,94 @@
+"""Resume/checkpoint semantics: incremental runs must converge to the
+same result as a single-shot run, survive a simulated crash between data
+write and commit, and be idempotent once caught up."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentai_ocr_spark.extract import extract_turns
+from documentai_ocr_spark.lineage import (
+    committed_buckets,
+    read_extracted,
+    run_extraction_increment,
+    run_to_completion,
+)
+from documentai_ocr_spark.synth import synth_transcripts
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return spark.createDataFrame(
+        synth_transcripts(n_convs=20, seed=7, skew_factor=5)
+    ).repartition(5)
+
+
+def _result_set(df):
+    return {
+        (r.conv_id, r.turn_idx, r.text, r.n_spans)
+        for r in df.select("conv_id", "turn_idx", "text", "n_spans").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def oneshot(transcripts):
+    return _result_set(extract_turns(transcripts))
+
+
+def test_full_run_then_idempotent(spark, transcripts, oneshot, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lin") / "out")
+    n = run_extraction_increment(
+        spark, transcripts, out, n_buckets=N_BUCKETS
+    )
+    assert n == N_BUCKETS
+    assert committed_buckets(spark, out) == set(range(N_BUCKETS))
+    assert _result_set(read_extracted(spark, out)) == oneshot
+    # caught up → rerun is a no-op
+    assert run_extraction_increment(spark, transcripts, out, n_buckets=N_BUCKETS) == 0
+    assert _result_set(read_extracted(spark, out)) == oneshot
+
+
+def test_incremental_resume_equals_oneshot(
+    spark, transcripts, oneshot, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("lin") / "out")
+    # drain 3 buckets at a time → several commits
+    total = run_to_completion(
+        spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets_per_run=3
+    )
+    assert total == N_BUCKETS
+    assert _result_set(read_extracted(spark, out)) == oneshot
+    # lineage: every bucket committed exactly once (one batch_id per bucket)
+    lin = spark.read.parquet(f"{out}/lineage")
+    per_bucket = (
+        lin.groupBy("bucket").agg(F.countDistinct("batch_id").alias("nb")).collect()
+    )
+    assert all(r.nb == 1 for r in per_bucket)
+    # per-partition lineage counts roll up to the dataset totals
+    assert lin.agg(F.sum("n_turns")).collect()[0][0] == transcripts.count()
+
+
+def test_crash_before_commit_resumes_exactly(
+    spark, transcripts, oneshot, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("lin") / "out")
+    # run 1 commits 4 buckets
+    run_extraction_increment(
+        spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets=4
+    )
+    # run 2 writes data for the rest but dies before the lineage commit
+    run_extraction_increment(
+        spark, transcripts, out, n_buckets=N_BUCKETS, _crash_before_commit=True
+    )
+    assert committed_buckets(spark, out) == set(range(4))
+    # committed view is unaffected by the orphaned files
+    partial = read_extracted(spark, out)
+    assert partial.select(F.countDistinct("bucket")).collect()[0][0] == 4
+    # resume: reprocesses (and overwrites) the uncommitted buckets
+    n = run_extraction_increment(spark, transcripts, out, n_buckets=N_BUCKETS)
+    assert n == N_BUCKETS - 4
+    assert _result_set(read_extracted(spark, out)) == oneshot
+    # no duplicate rows despite the double write of the crashed buckets
+    full = read_extracted(spark, out)
+    assert full.count() == full.select("conv_id", "turn_idx").distinct().count()
