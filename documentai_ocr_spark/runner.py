@@ -1,0 +1,96 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Cluster invocation (the north_rule's ``spark-submit --py-files`` shape):
+
+    zip -r /tmp/documentai_ocr_spark.zip documentai_ocr_spark
+    spark-submit --master <cluster> \\
+        --py-files /tmp/documentai_ocr_spark.zip \\
+        documentai_ocr_spark/runner.py \\
+        --input <transcripts parquet/Iceberg path> \\
+        --output <output dir> [--n-buckets 4096] [--max-buckets N]
+
+The master/executor topology comes from spark-submit; this script only
+sets semantic confs (AQE, Arrow batching, UTC). Resume is automatic:
+rerunning with the same --output processes only uncommitted buckets
+(see lineage.py). See scripts/spark_submit_extract.sh for a runnable
+local example at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="transcripts parquet path")
+    src.add_argument(
+        "--sf-dir", help="derive transcripts from <sf-dir>/documents.parquet"
+    )
+    p.add_argument("--output", required=True, help="output/checkpoint dir")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--max-buckets", type=int, default=None,
+                   help="bound one run's work (batched drain)")
+    p.add_argument("--rule-ver", default="v1")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from documentai_ocr_spark.lineage import run_to_completion
+    from documentai_ocr_spark.session import BASE_CONFS
+    from documentai_ocr_spark.synth import transcripts_from_documents
+
+    builder = SparkSession.builder.appName("documentai-ocr-extract")
+    for k, v in BASE_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = transcripts_from_documents(spark, args.sf_dir)
+
+    t0 = time.time()
+    n_buckets_done = run_to_completion(
+        spark,
+        transcripts,
+        args.output,
+        rule_ver=args.rule_ver,
+        n_buckets=args.n_buckets,
+        max_buckets_per_run=args.max_buckets,
+    )
+    wall = time.time() - t0
+
+    lin = spark.read.parquet(f"{args.output}/lineage")
+    m = lin.agg(
+        F.sum("n_turns").alias("turns"),
+        F.sum("n_convs").alias("convs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_spans").alias("spans"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "buckets_processed": n_buckets_done,
+                "wall_sec": round(wall, 2),
+                "turns": m["turns"],
+                "convs": m["convs"],
+                "chars": m["chars"],
+                "spans": m["spans"],
+                "turns_per_sec": round(m["turns"] / wall, 1)
+                if n_buckets_done
+                else None,
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

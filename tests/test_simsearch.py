@@ -1,0 +1,51 @@
+"""ANN quality gates: LSH top-k recall vs the brute-force baseline, and
+the banded simhash prefilter vs the all-pairs baseline."""
+
+import pytest
+
+from documentai_ocr_spark.queries.dedup import (
+    _SIMHASH_HAMMING_MAX,
+    _simhash_df,
+    q_simhash_pairs,
+)
+from documentai_ocr_spark.queries.simsearch import (
+    q_knn_cosine,
+    simhash_pairs_banded,
+    x_knn_lsh,
+)
+from documentai_ocr_spark.queries.util import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    exact = {
+        (r.query_id, r.neighbor_id) for r in q_knn_cosine(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in x_knn_lsh(spark, SF).collect()}
+    assert approx, "LSH returned nothing"
+    recall = len(exact & approx) / len(exact)
+    # 6 tables × 4 planes: expected top-5 recall ≈ 0.5-0.7 on random
+    # 64-d vectors; gate well below the expectation but far above chance
+    assert recall > 0.25, recall
+    for r in x_knn_lsh(spark, SF).collect():
+        assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_banded_simhash_equals_allpairs(spark):
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    fp = _simhash_df(docs).cache()
+    base = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in q_simhash_pairs(spark, SF).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_banded(fp, _SIMHASH_HAMMING_MAX, 4).collect()
+    }
+    # pigeonhole guarantee: hamming < n_bands ⇒ candidate found.
+    guaranteed = {t for t in base if t[2] < 4}
+    assert guaranteed <= banded
+    # and nothing spurious: banded output must be a subset of the baseline
+    assert banded <= base
+    fp.unpersist()
