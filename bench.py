@@ -129,7 +129,10 @@ def main() -> None:
     }
 
     if DO_SCALING:
-        scale_path = _cache_transcripts(spark, 96, "scaling")
+        # large enough that the local[N] run amortizes fixed job overhead
+        # (~1.4M turns at sf0.1) — scaling efficiency measures the
+        # pipeline, not the scheduler
+        scale_path = _cache_transcripts(spark, 288, "scaling")
         spark.stop()
         n_small = max(2, CPUS // 4)
         tps = {}

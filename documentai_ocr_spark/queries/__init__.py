@@ -21,9 +21,9 @@ Coverage map (SURVEY.md §2 → module):
 
 from __future__ import annotations
 
-from . import dedup, extraction, relational, simsearch, textstats
+from . import dedup, extraction, labeldsl, relational, simsearch, textstats
 
-_MODULES = (relational, dedup, textstats, simsearch, extraction)
+_MODULES = (relational, dedup, textstats, simsearch, extraction, labeldsl)
 
 QUERIES = {}
 ORACLES = {}

@@ -1,0 +1,101 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference's closest streaming analogue is a poll-drain work queue
+(/root/reference/ocrclient/pdocr.py:70-101: ``while find(flag==0): …
+sleep(10)``). SURVEY.md §2.9 maps that to batch-incremental runs
+(lineage.py). This module adds the true streaming flavor for arriving
+data: ``readStream`` on a file source → the SAME extract_turns kernel →
+``foreachBatch`` append with per-batch lineage. Exactly-once comes from
+the streaming checkpoint (source offsets) + idempotent batch ids.
+
+There is no event-time logic in the reference (no watermarks needed for
+parity); ``windowed_turn_counts`` below shows the watermarked windowed
+aggregation shape for completeness, keyed on the transcript ``ts``.
+
+Scale notes: the hot path is identical to batch (one narrow Arrow
+stage); the streaming layer only adds offset tracking. maxFilesPerTrigger
+bounds batch size; on a real cluster the source is Kafka or an Iceberg
+incremental read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_turns
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """Start (availableNow) a streaming extraction: each micro-batch runs
+    the batch kernel and appends results + one lineage row per batch.
+    Returns the StreamingQuery; callers awaitTermination()."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ext = extract_turns(batch_df)
+        (
+            ext.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_dir}/extracted")
+        )
+        written = spark.read.parquet(f"{output_dir}/extracted").where(
+            F.col("batch_id") == batch_id
+        )
+        (
+            written.agg(
+                F.count(F.lit(1)).cast("long").alias("n_turns"),
+                F.sum("n_spans").cast("long").alias("n_spans"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_dir}/lineage")
+        )
+
+    return (
+        extract_stream_writer(src, sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def extract_stream_writer(src: DataFrame, sink):
+    return src.writeStream.foreachBatch(sink)
+
+
+def windowed_turn_counts(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked event-time windowed aggregation over a transcript
+    stream: turns and conversations per window (the late-data-safe
+    metrics feed)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_turns",
+            "n_convs",
+        )
+    )

@@ -180,7 +180,14 @@ def transcripts_from_documents(
     word stream is chunked into turns and each turn is decorated with a
     payload class chosen by (doc_id, turn_idx) hash. Distributed
     generation via mapInPandas."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # documents.parquet is a single file → one split; spread generation
+    # across all workers before the Python stage
+    n_parts = max(spark.sparkContext.defaultParallelism * 2, 8)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n_parts)
+    )
 
     schema = (
         "conv_id string, turn_idx int, role string, text string, "
