@@ -82,7 +82,18 @@ def main() -> None:
     except ValueError:
         sf_num = None
 
-    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS * 2)
+    # test inputs are tiny vs the 128m default split: force enough file
+    # splits that every core gets work (prod tables tune this to data)
+    _SPLIT_CONFS = {
+        "spark.sql.files.maxPartitionBytes": "8m",
+        "spark.sql.files.openCostInBytes": "1m",
+    }
+    spark = get_spark(
+        app_name="bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS * 2,
+        extra=_SPLIT_CONFS,
+    )
     bench_path = _cache_transcripts(spark, 12, "bench")
 
     queries: dict[str, float] = {}
@@ -141,6 +152,7 @@ def main() -> None:
                 app_name=f"bench-scale-{cores}",
                 cores=cores,
                 shuffle_partitions=cores * 2,
+                extra=_SPLIT_CONFS,
             )
             # warm JVM + python workers with the real kernel on the small input
             n = _force_extract(s, bench_path)

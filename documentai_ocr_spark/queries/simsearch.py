@@ -199,6 +199,48 @@ def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- embedding near-dup
+_NEARDUP_TAU = 0.4
+
+
+@_q(
+    "q_embed_neardup",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS double)) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 3) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {_NEARDUP_TAU}
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). All-pairs
+    baseline for the oracle check; the LSH-bucketed formulation
+    (x_knn_lsh's bucket join) is the scale path — at 10^12 rows this
+    exact variant exists only for sampled validation."""
+    e = _emb_double(spark, sf_dir)
+    n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= _NEARDUP_TAU)
+        .select("vec_a", "vec_b", F.round(cos, 3).alias("cos_sim"))
+    )
+
+
 # ------------------------------------------------- banded simhash (scale path)
 def simhash_pairs_banded(
     fp: DataFrame, hamming_max: int, n_bands: int = 4

@@ -1,0 +1,51 @@
+"""Physical-plan shape assertions: the plans the engine promises at
+scale (pushdown reaching the scan, broadcasts where intended, a narrow
+no-shuffle extraction stage) must be the plans Catalyst actually picks."""
+
+import pytest
+
+from documentai_ocr_spark.extract import extract_turns
+from documentai_ocr_spark.queries import QUERIES
+from documentai_ocr_spark.synth import synth_transcripts
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pricing_summary_pushdown(spark):
+    p = plan(QUERIES["q_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the 6 needed columns reach the scan
+    assert "l_comment" not in p
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_quantity" in rs[0] and "l_orderkey" not in rs[0]
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    p = plan(QUERIES["q_region_revenue"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2  # nation, region
+
+
+def test_extraction_is_narrow(spark):
+    df = extract_turns(
+        spark.createDataFrame(synth_transcripts(n_convs=4, seed=1, skew_factor=1))
+    )
+    p = plan(df)
+    assert "Exchange" not in p, "per-turn extraction must not shuffle"
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_anti_join_filter_pushed(spark):
+    p = plan(QUERIES["q_anti_missing"](spark, SF))
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority" in p
+
+
+def test_topn_partial_limit(spark):
+    # the rn<=3 predicate runs inside the window exec as a group limit
+    p = plan(QUERIES["q_topn_per_group"](spark, SF))
+    assert "WindowGroupLimit" in p or "rn#" in p
