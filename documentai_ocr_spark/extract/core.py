@@ -40,15 +40,23 @@ EXTRACT_SCHEMA = (
 
 
 def classify_payload_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized payload sniffing for a whole Arrow batch."""
-    t = texts.fillna("")
-    is_pdfish = t.str.match(PDFISH_SNIFF_RE.pattern).to_numpy(dtype=bool)
+    """Vectorized payload sniffing for a whole Arrow batch (RE2 scans on
+    contiguous buffers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts.fillna(""), type=pa.string())
+    is_pdfish = pc.match_substring_regex(arr, PDFISH_SNIFF_RE.pattern).to_numpy(
+        zero_copy_only=False
+    )
     is_html = (
-        t.str.match(HTML_SNIFF_RE.pattern).to_numpy(dtype=bool)
-        & t.str.contains("</", regex=False).to_numpy(dtype=bool)
+        pc.match_substring_regex(arr, HTML_SNIFF_RE.pattern).to_numpy(
+            zero_copy_only=False
+        )
+        & pc.match_substring(arr, "</").to_numpy(zero_copy_only=False)
         & ~is_pdfish
     )
-    out = np.full(len(t), PAYLOAD_PLAIN, dtype=object)
+    out = np.full(len(arr), PAYLOAD_PLAIN, dtype=object)
     out[is_pdfish] = PAYLOAD_PDFISH
     out[is_html] = PAYLOAD_HTML
     return pd.Series(out, index=texts.index)
@@ -107,6 +115,9 @@ def extract_turns(transcripts: DataFrame) -> DataFrame:
     src = transcripts.select("conv_id", "turn_idx", "role", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .textops import pin_arrow_pools
+
+        pin_arrow_pools()  # 1 arrow thread per worker process
         for pdf in batches:
             if len(pdf):
                 yield extract_batch(pdf)

@@ -133,7 +133,16 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
         except (ValueError, TypeError):
             continue
         if isinstance(b, dict) and "c" in b and b["c"] is not None:
-            boxes.append(b)
+            boxes.append(
+                {
+                    "c": b["c"],
+                    "page": b.get("page") or 0,
+                    "y": b.get("y") or 0.0,
+                    "x": b.get("x") or 0.0,
+                    "w": b.get("w") or 0.0,
+                    "h": b.get("h") or 0.0,
+                }
+            )
 
     boxes.sort(key=lambda b: (b.get("page", 0), b.get("y", 0.0), b.get("x", 0.0)))
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .util import load
+from .util import load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -77,7 +77,7 @@ def _word_shingles(doc: DataFrame, k: int) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized content hash: one groupBy on a 32-char
     key; at 100 TB this shuffles hashes only (text never moves)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
     return docs.groupBy(h.alias("content_hash")).agg(
         F.count(F.lit(1)).cast("long").alias("n_dups"),
@@ -114,7 +114,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word 3-gram Jaccard near-dup pairs: shingle equi-join (only docs
     sharing a shingle ever meet — never n²), integer set algebra so the
     similarity is exact on both engines."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _word_shingles(docs, _JACCARD_K)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = sh.alias("a")
@@ -183,7 +183,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the scalable path to near-dup at 10^12 docs. Signature build is two
     groupBys over (doc, seed) rows; the seeds dimension is a generated
     column, not data."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _word_shingles(docs, _JACCARD_K)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(_MH_SEEDS - 1))).alias("seed")
     sig = (
@@ -288,7 +288,7 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bits dimension explodes 60× but only over (doc, distinct-token)
     rows, and collapses map-side — partial aggregation keeps the shuffle
     at 60 rows per doc."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return _simhash_df(docs)
 
 
@@ -324,7 +324,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the standard 4-segment pigeonhole prefilter — see
     ``simsearch.simhash_pairs_banded`` which produces the identical pair
     set with an equi-join and is benchmarked instead of this."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     fp = _simhash_df(docs)
     a = fp.alias("a")
     b = fp.alias("b")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load
+from .util import load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -87,7 +87,7 @@ def q_charfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char frequency Counter (/root/reference/spiltTools.py:32-43,
     easyocr/run.py:25-41) as explode→groupBy — map-side partial agg makes
     this shuffle only one row per distinct char per partition."""
-    docs = load(spark, sf_dir, "documents").select("text")
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(
             F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch")

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load
+from .util import load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -45,7 +45,7 @@ _KNN_NQUERIES = 20  # vec_id < 20 are the query vectors
 
 
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = spread(load(spark, sf_dir, "embeddings"))
     return e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load
+from .util import load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -62,7 +62,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-(doc, lang) counts → argmax (ties broken by lang, docs with no
     hits → 'unk'). The rule table broadcast is the reference's
     small-lookup-dict pattern (/root/reference/ocrclient/render2image.py:15-35)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sw = spark.createDataFrame(_STOPWORDS, "w string, lang string")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
@@ -111,7 +111,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation ratio, stopword ratio (the C4/Gopher-style rule family;
     generalizes the reference's length/score filters,
     /root/reference/ocrclient/redisdata.py:226, render_han.py:12-13)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     n = F.length("text")
     n_alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
     n_punct = n - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
@@ -143,7 +143,7 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace split and a BPE-ish regex
     lexer (letters / digits / single punctuation)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
@@ -180,7 +180,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-gram rolling hashes → per-window minimum → distinct selected
     fingerprints. The window min is per-document (partitioned — no global
     sort); the k-gram hash is the rolling-hash analogue over words."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     idx = F.when(

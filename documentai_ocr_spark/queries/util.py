@@ -10,3 +10,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown happen in the callers (keep filters outside UDFs so Catalyst
     sees them)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a single-row-group scan across the cluster before per-row-heavy
+    work (the test tables are one parquet file = one split; production
+    tables have many files/buckets and don't need this). The round-robin
+    shuffle of a few MB buys full parallelism for everything downstream."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
