@@ -1,0 +1,65 @@
+"""Property fuzzing: for ANY text payload, the batch kernel must equal
+the per-turn oracle byte-for-byte (text, spans, n_spans, kind). Runs the
+kernels directly — no Spark session — so hypothesis can afford many
+examples."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from documentai_ocr_spark.extract.core import extract_batch
+from documentai_ocr_spark.oracle import extract_turn
+
+# building blocks that steer generation toward the interesting branches
+_words = st.text(
+    alphabet="abcdefghijklmnop qrstuvwxyz0123456789.,!-一二三文档引擎",
+    min_size=0,
+    max_size=60,
+)
+_tagged = st.builds(
+    lambda w, t: f"<{t}>{w}</{t}>",
+    _words,
+    st.sampled_from(["p", "div", "li", "nav", "a", "script", "td"]),
+)
+_boxline = st.builds(
+    lambda c, x, y: '{"c":"%s","x":%d,"y":%d,"w":8,"h":10,"page":0}' % (c, x, y),
+    st.sampled_from("abcXYZ文"),
+    st.integers(0, 200),
+    st.integers(0, 40),
+)
+_junk = st.sampled_from(
+    ["", " ", "\n", "{", "<", "</", "\x00\x01", "....", "nav: x | y",
+     "Copyright 2024 Example Corp. All rights reserved."]
+)
+_line = st.one_of(_words, _tagged, _boxline, _junk)
+_payload = st.lists(_line, min_size=0, max_size=12).map("\n".join)
+
+
+def _norm_spans(spans):
+    return [
+        (s["beg"], s["end"], s["kind"], round(float(s["score"]), 6))
+        for s in spans
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_payload, min_size=1, max_size=16))
+def test_batch_equals_oracle(payloads):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(payloads),
+            "turn_idx": np.arange(len(payloads)),
+            "role": ["u"] * len(payloads),
+            "text": payloads,
+        }
+    )
+    out = extract_batch(pdf)
+    for i, text in enumerate(payloads):
+        want = extract_turn(text)
+        assert out["payload_kind"].iloc[i] == want["payload_kind"], repr(text)
+        assert out["text"].iloc[i] == want["text"], repr(text)
+        assert _norm_spans(out["spans"].iloc[i]) == _norm_spans(
+            want["spans"]
+        ), repr(text)
+        assert int(out["n_spans"].iloc[i]) == want["n_spans"]
