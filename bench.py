@@ -152,7 +152,8 @@ def main() -> None:
         tps = {}
         n_big = n_small * 4
         time.sleep(3)  # let the stopped session's workers drain
-        for cores in (n_small, n_big):
+        probe = [n_small, n_big] + ([CPUS] if CPUS > n_big else [])
+        for cores in probe:
             s = get_spark(
                 app_name=f"bench-scale-{cores}",
                 cores=cores,
@@ -180,6 +181,9 @@ def main() -> None:
             "turns_per_sec_4n": round(tps[n_big], 1),
             "efficiency": round(eff, 3),
         }
+        if CPUS in tps:
+            result["scaling"]["turns_per_sec_full"] = round(tps[CPUS], 1)
+            result["scaling"]["cores_full"] = CPUS
     else:
         spark.stop()
 

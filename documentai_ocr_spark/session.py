@@ -13,9 +13,12 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Arrow batches are the unit of UDF amortization (SURVEY.md §4)
+    # Arrow batches are the unit of UDF amortization (SURVEY.md §4).
+    # Swept 512..16384 (BENCH.md): ~2048 is the knee — small enough that
+    # the JVM scan pipelines with the Python kernel, large enough to
+    # amortize per-batch pandas/Arrow fixed cost (+25% vs 4096 @8 cores).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     # oracle comparisons need a fixed zone (duckdb is UTC-naive)
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
