@@ -135,8 +135,14 @@ def _flat_lines(texts: pd.Series) -> tuple[np.ndarray, pa.Array]:
 
 
 # --------------------------------------------------------------------- plain
-def extract_plain_batch(texts: pd.Series) -> pd.DataFrame:
-    """Batch plain-text extraction: density classify + island run decode."""
+def extract_plain_batch(
+    texts: pd.Series,
+    min_line_len: int = MIN_LINE_LEN,
+    density_thresh: float = DENSITY_THRESH,
+) -> pd.DataFrame:
+    """Batch plain-text extraction: density classify + island run decode.
+    The two thresholds parameterize the rule variant (fusion engines,
+    rules.RULE_VARIANTS); defaults are the production rules."""
     n_rows = len(texts)
     if n_rows == 0:
         return _empty_result(0)
@@ -145,7 +151,7 @@ def extract_plain_batch(texts: pd.Series) -> pd.DataFrame:
     # staged classification: each regex scans only the survivors of the
     # cheaper predicates (half the lines never see a regex at all)
     n_lines = len(length)
-    cand_idx = np.flatnonzero(length >= MIN_LINE_LEN)
+    cand_idx = np.flatnonzero(length >= min_line_len)
     dens = np.zeros(n_lines, dtype=np.float64)
     flag = np.zeros(n_lines, dtype=bool)
     if len(cand_idx):
@@ -157,7 +163,7 @@ def extract_plain_batch(texts: pd.Series) -> pd.DataFrame:
         )
         dens_c = n_dense / length[cand_idx]
         dens[cand_idx] = dens_c
-        pass2 = np.flatnonzero(dens_c >= DENSITY_THRESH)
+        pass2 = np.flatnonzero(dens_c >= density_thresh)
         if len(pass2):
             boiler = pc.match_substring_regex(
                 cand_lines.take(pa.array(pass2)),

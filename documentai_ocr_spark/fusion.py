@@ -1,0 +1,145 @@
+"""Turn-level multi-engine extraction fusion — the reference's pipeline
+§3.3 (incremental multi-engine fusion, SURVEY.md) at the transcript
+level.
+
+The reference runs N OCR engines per image, then fuses: per (image,
+candidate_text) sum the engines' weighted scores, keep the argmax above
+a floor (/root/reference/ocrclient/redisdata.py:59-64,253-262,295-322).
+Here the "engines" are rule variants of the SAME extraction kernel
+(rules.RULE_VARIANTS: production / strict / lenient-rescue thresholds)
+and the unit is the turn:
+
+  1. one ``mapInPandas`` pass emits one candidate row per (turn, engine)
+     — the kernel runs once per variant per Arrow batch, all vectorized;
+  2. fusion is pure relational: candidates ⋈ broadcast weight table →
+     groupBy (turn, text) sum(weight·score) → floor → argmax window.
+
+Candidates with empty extracted text are dropped (the reference's
+text_len filter, redisdata.py:113). Scoring: a candidate's score is the
+mean of its span scores (round 6), exactly as the oracle computes it.
+
+Scale: stage 1 is narrow ×3 work; stage 2 shuffles one row per
+(turn, distinct candidate) — ≤3 rows per turn.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .extract.core import classify_payload_batch
+from .extract.textops import extract_plain_batch, pin_arrow_pools
+from .rules import (
+    FUSION_SCORE_FLOOR,
+    FUSION_WEIGHTS,
+    PAYLOAD_PLAIN,
+    RULE_VARIANTS,
+)
+
+CANDIDATE_SCHEMA = (
+    "conv_id string, turn_idx int, engine string, cand_text string, "
+    "cand_score double"
+)
+
+
+def _candidate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch → candidate rows (turn × engine). Only plain
+    payloads participate in multi-engine fusion (the variants are
+    line-rule operating points); other payload kinds are skipped here."""
+    texts = pdf["text"].reset_index(drop=True)
+    kinds = classify_payload_batch(texts)
+    mask = (kinds == PAYLOAD_PLAIN).to_numpy()
+    out_frames = []
+    sub = texts[mask].reset_index(drop=True)
+    conv = pdf["conv_id"].to_numpy()[mask]
+    tidx = pdf["turn_idx"].to_numpy()[mask]
+    if len(sub):
+        for engine, (min_len, dens) in RULE_VARIANTS.items():
+            res = extract_plain_batch(sub, min_len, dens)
+            score = np.array(
+                [
+                    round(float(np.mean([s["score"] for s in sp])), 6)
+                    if sp
+                    else 0.0
+                    for sp in res["spans"]
+                ]
+            )
+            keep = res["text"].to_numpy() != ""
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv[keep],
+                        "turn_idx": tidx[keep],
+                        "engine": engine,
+                        "cand_text": res["text"].to_numpy()[keep],
+                        "cand_score": score[keep],
+                    }
+                )
+            )
+    if not out_frames:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.array([], dtype=object),
+                "turn_idx": pd.array([], dtype="int32"),
+                "engine": pd.array([], dtype=object),
+                "cand_text": pd.array([], dtype=object),
+                "cand_score": pd.array([], dtype="float64"),
+            }
+        )
+    res = pd.concat(out_frames, ignore_index=True)
+    res["turn_idx"] = res["turn_idx"].astype("int32")
+    return res
+
+
+def extract_candidates(transcripts: DataFrame) -> DataFrame:
+    """Stage 1: per-(turn, engine) extraction candidates (narrow)."""
+    src = transcripts.select("conv_id", "turn_idx", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pin_arrow_pools()
+        for pdf in batches:
+            if len(pdf):
+                yield _candidate_batch(pdf)
+
+    return src.mapInPandas(run, schema=CANDIDATE_SCHEMA)
+
+
+def fuse_candidates(cands: DataFrame) -> DataFrame:
+    """Stage 2: weighted fusion + per-turn argmax with score floor."""
+    spark = cands.sparkSession
+    wt = spark.createDataFrame(
+        list(FUSION_WEIGHTS.items()), "engine string, weight double"
+    )
+    # no rounding on the fused sum: Spark round is HALF_UP, Python round
+    # is HALF_EVEN, and per-engine scores are rationals that land on
+    # midpoints; raw doubles agree to ~1e-15 across engines instead
+    fused = (
+        cands.join(F.broadcast(wt), "engine")
+        .groupBy("conv_id", "turn_idx", "cand_text")
+        .agg(
+            F.sum(F.col("cand_score") * F.col("weight")).alias("fused_score")
+        )
+        .where(F.col("fused_score") >= FUSION_SCORE_FLOOR)
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.desc("fused_score"), F.asc("cand_text")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("cand_text").alias("best_text"),
+            "fused_score",
+        )
+    )
+
+
+def extract_fused(transcripts: DataFrame) -> DataFrame:
+    """The full fusion pipeline (reference lifecycle §3.3)."""
+    return fuse_candidates(extract_candidates(transcripts))

@@ -54,7 +54,11 @@ def _density(s: str) -> float:
 
 
 # --------------------------------------------------------------------- plain
-def extract_plain(text: str) -> tuple[str, list[Span]]:
+def extract_plain(
+    text: str,
+    min_line_len: int = MIN_LINE_LEN,
+    density_thresh: float = DENSITY_THRESH,
+) -> tuple[str, list[Span]]:
     lines = text.split("\n")
     flags: list[bool] = []
     stripped: list[str] = []
@@ -65,8 +69,8 @@ def extract_plain(text: str) -> tuple[str, list[Span]]:
         stripped.append(s)
         dens.append(d)
         flags.append(
-            len(s) >= MIN_LINE_LEN
-            and d >= DENSITY_THRESH
+            len(s) >= min_line_len
+            and d >= density_thresh
             and not BOILER_RE.search(s)
         )
 
@@ -210,3 +214,28 @@ def extract_turn(text: str | None) -> dict[str, Any]:
         "spans": spans,
         "n_spans": len(spans),
     }
+
+
+# ------------------------------------------------------------------- fusion
+def fuse_turn(text: str | None) -> tuple[str, float] | None:
+    """Per-turn oracle for the multi-engine fusion pipeline (reference
+    /root/reference/ocrclient/redisdata.py:59-64,253-322 semantics):
+    run each rule variant, weight-sum scores per distinct candidate
+    text, return the argmax above the floor — None when no candidate
+    qualifies or the payload is not plain."""
+    from .rules import FUSION_SCORE_FLOOR, FUSION_WEIGHTS, RULE_VARIANTS
+
+    if detect_payload(text or "") != PAYLOAD_PLAIN:
+        return None
+    fused: dict[str, float] = {}
+    for engine, (min_len, dens_t) in RULE_VARIANTS.items():
+        etext, spans = extract_plain(text or "", min_len, dens_t)
+        if not etext:
+            continue
+        score = round(sum(s["score"] for s in spans) / len(spans), 6)
+        fused[etext] = fused.get(etext, 0.0) + FUSION_WEIGHTS[engine] * score
+    cands = [(t, s) for t, s in fused.items() if s >= FUSION_SCORE_FLOOR]
+    if not cands:
+        return None
+    cands.sort(key=lambda x: (-x[1], x[0]))
+    return cands[0]

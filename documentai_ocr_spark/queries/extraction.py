@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extract import assemble_conversations, extract_turns
+from ..fusion import extract_fused
 from ..synth import transcripts_from_documents
 
 QUERIES: dict = {}
@@ -44,6 +45,15 @@ def x_assemble_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation."""
     t = transcripts_from_documents(spark, sf_dir)
     return assemble_conversations(extract_turns(t))
+
+
+@_q("x_extract_fused")
+def x_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-engine fusion pipeline (reference lifecycle §3.3): rule
+    variants as engines, weighted score fusion, per-turn argmax.
+    Golden-tested vs oracle.fuse_turn."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_fused(t)
 
 
 @_q("x_span_stats")

@@ -87,6 +87,14 @@ PDFISH_SNIFF_RE = re.compile(r'^\s*\{"c"\s*:')          # first line is a char b
 FUSION_WEIGHTS = {"rule_a": 1.0, "rule_b": 1.0, "rescue": 0.5}
 FUSION_SCORE_FLOOR = 0.5   # fused candidates below this are dropped (redisdata.py:312)
 
+# rule variants play the reference's OCR engines: same extraction kernel,
+# different (min_line_len, density_thresh) operating points
+RULE_VARIANTS = {
+    "rule_a": (MIN_LINE_LEN, DENSITY_THRESH),  # the production rules
+    "rule_b": (14, 0.65),                      # strict
+    "rescue": (6, 0.35),                       # lenient rescue pass
+}
+
 # ---------------------------------------------------------------- spans
 SPAN_KIND_CONTENT = "content"     # plain-text content run
 SPAN_KIND_BLOCK = "html_block"    # kept DOM block

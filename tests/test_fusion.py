@@ -1,0 +1,53 @@
+"""Golden test for the multi-engine fusion pipeline: Spark output must
+equal the per-turn fusion oracle exactly (text and fused score)."""
+
+import pytest
+
+from documentai_ocr_spark.fusion import extract_fused
+from documentai_ocr_spark.oracle import fuse_turn
+from documentai_ocr_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def fixture_pdf():
+    return synth_transcripts(n_convs=15, seed=11, skew_factor=6)
+
+
+def test_fused_equals_oracle(spark, fixture_pdf):
+    got = {
+        (r.conv_id, r.turn_idx): (r.best_text, r.fused_score)
+        for r in extract_fused(
+            spark.createDataFrame(fixture_pdf).repartition(6)
+        ).collect()
+    }
+    n_checked = 0
+    for _, src in fixture_pdf.iterrows():
+        key = (src["conv_id"], src["turn_idx"])
+        want = fuse_turn(src["text"])
+        if want is None:
+            assert key not in got, key
+        else:
+            assert key in got, key
+            assert got[key][0] == want[0], key
+            assert abs(got[key][1] - want[1]) < 1e-9, key
+            n_checked += 1
+    assert n_checked > 30  # the fixture must actually exercise fusion
+
+
+def test_variants_disagree_somewhere(fixture_pdf):
+    """The rule variants must be genuinely different operating points —
+    otherwise fusion degenerates to a copy of rule_a."""
+    from documentai_ocr_spark.oracle import extract_plain
+    from documentai_ocr_spark.rules import RULE_VARIANTS, detect_payload
+
+    diff = 0
+    for _, src in fixture_pdf.iterrows():
+        if detect_payload(src["text"]) != "plain":
+            continue
+        outs = {
+            extract_plain(src["text"], ml, dt)[0]
+            for ml, dt in RULE_VARIANTS.values()
+        }
+        if len(outs) > 1:
+            diff += 1
+    assert diff > 10
