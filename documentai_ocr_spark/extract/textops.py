@@ -123,6 +123,23 @@ def _assemble_rows(
     return pd.DataFrame({"text": texts_out, "spans": spans_out, "n_spans": n_spans})
 
 
+def _segment_leftfold_sum(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Per-segment sum with STRICT left-fold IEEE order (values[a] +
+    values[a+1] + … one at a time). np.add.reduceat/sum use pairwise
+    accumulation whose last-ulp results differ from the SQL path's
+    aggregate() and the oracle's sum() — bit-parity requires the same
+    fold. Vectorized across segments: one fused add per line-position."""
+    starts = bounds[:-1]
+    seg_len = np.diff(bounds)
+    out = np.zeros(len(starts), dtype=np.float64)
+    if len(starts) == 0:
+        return out
+    for j in range(int(seg_len.max())):
+        m = seg_len > j
+        out[m] += values[starts[m] + j]
+    return out
+
+
 def _flat_lines(texts: pd.Series) -> tuple[np.ndarray, pa.Array]:
     """texts → (row id per line, stripped line array) via arrow splits."""
     arr = pa.array(texts.fillna(""), type=pa.string())
@@ -185,7 +202,7 @@ def extract_plain_batch(
     runs = run_id[content]
     starts = np.flatnonzero(np.concatenate(([True], runs[1:] != runs[:-1])))
     bounds = np.concatenate((starts, [len(content)]))
-    dsum = np.add.reduceat(dens[content], starts)
+    dsum = _segment_leftfold_sum(dens[content], bounds)
     run_texts = pc.binary_join(
         pa.ListArray.from_arrays(
             pa.array(bounds, type=pa.int32()),
@@ -193,10 +210,12 @@ def extract_plain_batch(
         ),
         "\n",
     )
+    # UNROUNDED mean: the SQL path, this kernel, and the oracle all use
+    # the same left-fold sum order, so the doubles are bit-identical
     return _assemble_rows(
         row[content][starts],
         run_texts,
-        np.round(dsum / np.diff(bounds), 6),
+        dsum / np.diff(bounds),
         SPAN_KIND_CONTENT,
         n_rows,
     )

@@ -87,7 +87,7 @@ def extract_plain(
         while j < n and flags[j]:
             j += 1
         run_text = "\n".join(stripped[i:j])
-        score = round(sum(dens[i:j]) / (j - i), 6)
+        score = sum(dens[i:j]) / (j - i)  # unrounded — see textops note
         if out_parts:
             offset += 1  # the '\n' joining this run to the previous one
         spans.append(

@@ -77,6 +77,15 @@ HTML_BLOCK_TAGS = frozenset(
 PDF_LINE_Y_TOL = 0.6    # same text line iff |y - line_y| <= tol * h
 PDF_SPACE_GAP = 0.5     # emit a space iff x - (prev.x + prev.w) > gap * prev.w
 
+# Java-regex whitespace class equal to Python str.strip()'s set (Java \s
+# misses \x1c-\x1f and the Unicode spaces even with (?U)). Doubled
+# backslashes survive Spark SQL string-literal unescaping inside expr().
+# \n is absent on purpose: lines are produced by split(text, '\n').
+WS_CLASS = (
+    r"[\\t\\r\\x{0B}\\f\\x{1C}-\\x{1F} \\x{85}\\x{A0}\\x{1680}"
+    r"\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+)
+
 # ------------------------------------------------------- payload detection
 HTML_SNIFF_RE = re.compile(r"^\s*<[a-zA-Z!]")          # starts like markup
 PDFISH_SNIFF_RE = re.compile(r'^\s*\{"c"\s*:')          # first line is a char box
