@@ -433,6 +433,50 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------- set ops
 @_q(
+    "q_rollup_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(CAST(year(o_orderdate) AS varchar), 'ALL') AS order_year,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS bigint) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, year(o_orderdate))
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (region → year → grand total) —
+    subtotal levels in one shuffle instead of three jobs."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", F.year("o_orderdate").alias("oy"), "o_totalprice")
+    )
+    return (
+        joined.rollup("r_name", "oy")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("oy").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@_q(
     "q_union_nations",
     """
     SELECT DISTINCT n_name FROM (
