@@ -341,6 +341,62 @@ def q_pairwise_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+@_q(
+    "q_sessionize",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_ms
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, ms,
+             CAST(SUM(CASE WHEN prev_ms IS NULL
+                           OR ms - prev_ms > {_SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bigint) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, CAST(COUNT(*) AS bigint) AS n_events,
+           CAST(MIN(ms) AS bigint) AS beg_ms, CAST(MAX(ms) AS bigint) AS end_ms,
+           CAST(MAX(ms) - MIN(ms) AS bigint) AS duration_ms
+    FROM r GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session window = events within 30 min of
+    the previous one): the islands pattern applied to timestamps — the
+    standard log/transcript session segmentation for training-data
+    pipelines. One shuffle on user_id serves both window passes and the
+    final aggregate."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ordw = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = ev.withColumn("ms", ms).withColumn("prev_ms", F.lag("ms").over(ordw))
+    new_sess = F.when(
+        F.col("prev_ms").isNull()
+        | ((F.col("ms") - F.col("prev_ms")) > _SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    r = s.withColumn(
+        "session_id",
+        F.sum(new_sess)
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return r.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ms").cast("long").alias("beg_ms"),
+        F.max("ms").cast("long").alias("end_ms"),
+        (F.max("ms") - F.min("ms")).cast("long").alias("duration_ms"),
+    )
+
+
 # -------------------------------------------------------------------- joins
 @_q(
     "q_anti_missing",
