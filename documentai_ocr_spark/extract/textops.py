@@ -70,6 +70,7 @@ def _empty_result(n_rows: int) -> pd.DataFrame:
             "text": [""] * n_rows,
             "spans": [[] for _ in range(n_rows)],
             "n_spans": np.zeros(n_rows, dtype=np.int64),
+            "score_sum": np.zeros(n_rows, dtype=np.float64),
         }
     )
 
@@ -108,19 +109,33 @@ def _assemble_rows(
         if isinstance(kind, str)
         else np.asarray(kind, dtype=object)
     )
+    # per-row left-fold sum of unit scores (consumers like fusion need
+    # sum(span scores) with the oracle's exact accumulation order — doing
+    # it here is one vectorized pass instead of per-row Python later)
+    score_arr = np.asarray(score, dtype=np.float64)
+    ssum = _segment_leftfold_sum(score_arr, bounds)
     texts_out: list[str] = [""] * n_rows
     spans_out: list[list] = [[] for _ in range(n_rows)]
     n_spans = np.zeros(n_rows, dtype=np.int64)
+    score_sum = np.zeros(n_rows, dtype=np.float64)
     for k in range(len(first_idx)):
         a, b = bounds[k], bounds[k + 1]
         r = row[a]
         texts_out[r] = joined[k]
         spans_out[r] = [
             {"beg": int(bg), "end": int(en), "kind": kd, "score": float(sc)}
-            for bg, en, kd, sc in zip(beg[a:b], end[a:b], kinds[a:b], score[a:b])
+            for bg, en, kd, sc in zip(beg[a:b], end[a:b], kinds[a:b], score_arr[a:b])
         ]
         n_spans[r] = b - a
-    return pd.DataFrame({"text": texts_out, "spans": spans_out, "n_spans": n_spans})
+        score_sum[r] = ssum[k]
+    return pd.DataFrame(
+        {
+            "text": texts_out,
+            "spans": spans_out,
+            "n_spans": n_spans,
+            "score_sum": score_sum,
+        }
+    )
 
 
 def _segment_leftfold_sum(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
@@ -270,7 +285,10 @@ _BOX_SCHEMA = pa.schema(
         ("y", pa.float64()),
         ("w", pa.float64()),
         ("h", pa.float64()),
-        ("page", pa.int64()),
+        # float64, NOT int64: the oracle keeps the raw JSON value, so a
+        # fractional page like {"page":0.5} must group lines the same way
+        # in both implementations (int coercion would merge 0.5 into 0)
+        ("page", pa.float64()),
     ]
 )
 
@@ -314,7 +332,7 @@ def _parse_boxes_fast(texts: pd.Series) -> dict | None:
 
     return {
         "row": row[idx],
-        "page": col("page", 0),
+        "page": col("page", 0.0),
         "y": col("y", 0.0),
         "x": col("x", 0.0),
         "w": col("w", 0.0),
@@ -345,7 +363,7 @@ def _parse_boxes_loop(texts: pd.Series) -> dict:
         return {}
     return {
         "row": np.asarray(rows, dtype=np.int64),
-        "page": np.asarray([r.get("page", 0) or 0 for r in recs], dtype=np.int64),
+        "page": np.asarray([r.get("page", 0) or 0 for r in recs], dtype=np.float64),
         "y": np.asarray([r.get("y", 0.0) or 0.0 for r in recs], dtype=np.float64),
         "x": np.asarray([r.get("x", 0.0) or 0.0 for r in recs], dtype=np.float64),
         "w": np.asarray([r.get("w", 0.0) or 0.0 for r in recs], dtype=np.float64),

@@ -60,12 +60,17 @@ def _candidate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     if len(sub):
         for engine, (min_len, dens) in RULE_VARIANTS.items():
             res = extract_plain_batch(sub, min_len, dens)
+            # candidate score = mean of span scores, computed from the
+            # kernel's vectorized LEFT-FOLD score_sum (same accumulation
+            # order as the oracle's sum()/len — np.mean's pairwise
+            # summation can differ in the last ulp and flip the argmax).
+            # round() stays Python-side: the oracle uses Python round too.
+            cnt = res["n_spans"].to_numpy()
+            ssum = res["score_sum"].to_numpy()
             score = np.array(
                 [
-                    round(float(np.mean([s["score"] for s in sp])), 6)
-                    if sp
-                    else 0.0
-                    for sp in res["spans"]
+                    round(s / c, 6) if c else 0.0
+                    for s, c in zip(ssum.tolist(), cnt.tolist())
                 ]
             )
             keep = res["text"].to_numpy() != ""

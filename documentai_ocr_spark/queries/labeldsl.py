@@ -42,10 +42,16 @@ def label_spec_indices(df: DataFrame, col: str = "spec") -> DataFrame:
         .when(g(4) != "", a + F.length(g(4)))
         .otherwise(a)
     )
+    # reversed ranges ('40-35') yield ZERO rows: Spark sequence() would
+    # descend when end < a, but DuckDB generate_series and the reference
+    # state machine both produce nothing — guard to the common semantics
+    seq = F.when(end >= a, F.sequence(a, end)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         df.where(F.col(col).rlike(_PAT))
         .withColumn("important", F.length(g(5)) > 0)
-        .withColumn("idx", F.explode(F.sequence(a, end)))
+        .withColumn("idx", F.explode(seq))
     )
 
 
@@ -55,7 +61,9 @@ _SPEC_SQL = """
              WHEN 0 THEN CAST(doc_id % 90 + 10 AS varchar)
              WHEN 1 THEN CAST(doc_id % 90 + 10 AS varchar) || '*'
              WHEN 2 THEN CAST(doc_id % 90 + 10 AS varchar) || '-'
-                         || CAST(doc_id % 90 + 13 + doc_id % 7 AS varchar)
+                         || CAST(doc_id % 90 + 13 + doc_id % 7
+                                 - (CASE WHEN doc_id % 5 = 0 THEN 25 ELSE 0 END)
+                                 AS varchar)
              WHEN 3 THEN CAST(doc_id % 90 + 10 AS varchar) || '+'
                          || CAST(doc_id % 5 AS varchar)
              WHEN 4 THEN CAST(doc_id % 90 + 10 AS varchar) || '++'
@@ -75,10 +83,17 @@ def _spec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 1, F.concat(base.cast("string"), F.lit("*")))
         .when(
             m == 2,
+            # doc_id % 5 == 0 rows get a REVERSED (or negative → malformed)
+            # range end, exercising the empty-sequence guard in the gate
             F.concat(
                 base.cast("string"),
                 F.lit("-"),
-                (base + 3 + F.col("doc_id") % 7).cast("string"),
+                (
+                    base
+                    + 3
+                    + F.col("doc_id") % 7
+                    - F.when(F.col("doc_id") % 5 == 0, 25).otherwise(0)
+                ).cast("string"),
             ),
         )
         .when(

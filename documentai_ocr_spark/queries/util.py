@@ -14,7 +14,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def spread(df: DataFrame) -> DataFrame:
     """Fan a single-row-group scan across the cluster before per-row-heavy
-    work (the test tables are one parquet file = one split; production
-    tables have many files/buckets and don't need this). The round-robin
-    shuffle of a few MB buys full parallelism for everything downstream."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    work — but ONLY when the scan is under-split (the test tables are one
+    parquet file = one split). When the input already has at least one
+    partition per core (any production multi-file/bucketed table), this
+    is a no-op: an unconditional repartition would be a needless full
+    shuffle of the corpus at scale."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)

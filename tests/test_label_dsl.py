@@ -42,6 +42,10 @@ CASES = {
     "7": ([7], False),
 }
 MALFORMED = ["x35", "35x", "35++3", "35*-40", "35-40-45", "", "*", "-5", "35 36"]
+# well-formed but REVERSED ranges: the regex matches, but the index set is
+# empty (reference state machine / DuckDB generate_series both yield
+# nothing) — the operator must emit zero rows, not a descending sequence
+EMPTY_RANGE = ["40-35", "40-35*", "10-9"]
 
 
 def test_model_cases():
@@ -49,10 +53,13 @@ def test_model_cases():
         assert model(spec) == want, spec
     for spec in MALFORMED:
         assert model(spec) is None, spec
+    for spec in EMPTY_RANGE:
+        idx, _ = model(spec)
+        assert idx == [], spec
 
 
 def test_spark_operator_matches_model(spark):
-    specs = list(CASES) + MALFORMED
+    specs = list(CASES) + MALFORMED + EMPTY_RANGE
     df = spark.createDataFrame([(s,) for s in specs], "spec string")
     out = label_spec_indices(df).collect()
     got = {}
@@ -60,6 +67,8 @@ def test_spark_operator_matches_model(spark):
         got.setdefault(r.spec, ([], r.important))[0].append(r.idx)
     for spec in MALFORMED:
         assert spec not in got, spec
+    for spec in EMPTY_RANGE:
+        assert spec not in got, spec  # empty sequence → explode drops the row
     for spec, (idx, imp) in CASES.items():
         gi, gimp = got[spec]
         assert sorted(gi) == idx and gimp == imp, spec

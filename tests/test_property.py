@@ -23,10 +23,15 @@ _tagged = st.builds(
     st.sampled_from(["p", "div", "li", "nav", "a", "script", "td"]),
 )
 _boxline = st.builds(
-    lambda c, x, y: '{"c":"%s","x":%d,"y":%d,"w":8,"h":10,"page":0}' % (c, x, y),
+    lambda c, x, y, p: '{"c":"%s","x":%d,"y":%d,"w":8,"h":10,"page":%s}'
+    % (c, x, y, p),
     st.sampled_from("abcXYZ文"),
     st.integers(0, 200),
     st.integers(0, 40),
+    # fractional and null pages: the kernel must keep the raw numeric
+    # value (float64), matching the oracle — int coercion would merge
+    # page 0.5 into page 0 and join lines the oracle keeps apart
+    st.sampled_from(["0", "1", "0.5", "1.5", "null"]),
 )
 _junk = st.sampled_from(
     ["", " ", "\n", "{", "<", "</", "\x00\x01", "....", "nav: x | y",
