@@ -42,7 +42,9 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
     "q_simhash_fingerprint",
+    "q_simhash_pairs_banded",  # the dedup scale path (pigeonhole equi-join)
     "q_knn_cosine",
+    "x_knn_lsh",               # the ANN scale path (bucketed LSH)
     "q_lang_id",
     "q_winnow_fingerprint",
 ]

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .util import load, spread
+from .util import guard_allpairs, load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -294,10 +294,10 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_HAMMING_MAX = 8
 
-
-@_q(
-    "q_simhash_pairs",
-    f"""
+# all-pairs DuckDB formulation of simhash pairing — shared by the
+# q_simhash_pairs anchor AND the banded scale path's oracle (the banded
+# equi-join must produce the IDENTICAL pair set, so one SQL serves both)
+SIMHASH_PAIRS_SQL = f"""
     WITH tok AS (SELECT doc_id, t AS tok, CAST(COUNT(*) AS bigint) AS w
                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                        FROM documents)
@@ -316,15 +316,21 @@ _SIMHASH_HAMMING_MAX = 8
            CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_MAX}
-    """,
-)
+    """
+
+
+@_q("q_simhash_pairs", SIMHASH_PAIRS_SQL)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 8. This baseline compares all
-    pairs (correct at test SF; the oracle-checkable form); the scale path
-    is the standard 4-segment pigeonhole prefilter — see
-    ``simsearch.simhash_pairs_banded`` which produces the identical pair
-    set with an equi-join and is benchmarked instead of this."""
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs (correct at test SF; the oracle-checkable form) and is
+    row-guarded so it can never run on a large input; the scale path is
+    ``simsearch.q_simhash_pairs_banded`` — a 9-segment pigeonhole
+    equi-join that provably produces the identical pair set (checked
+    against this very SQL in the gate) and is benchmarked instead."""
+    docs = guard_allpairs(
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text")),
+        "q_simhash_pairs",
+    )
     fp = _simhash_df(docs)
     a = fp.alias("a")
     b = fp.alias("b")

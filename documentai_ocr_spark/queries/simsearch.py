@@ -7,9 +7,12 @@
   (bucket equi-join instead of cross product). Deterministic hyperplanes
   (seeded); recall vs the brute-force baseline is property-tested in
   tests/test_simsearch.py.
-* ``simhash_pairs_banded`` — pigeonhole-banded SimHash pairing used by
-  dedup at scale (identical pair set to the all-pairs baseline for
-  hamming ≤ 8 over 4+1 segments... see docstring).
+* ``simhash_pairs_banded`` / ``q_simhash_pairs_banded`` — pigeonhole-
+  banded SimHash pairing, the dedup scale path: hamming_max+1 = 9
+  segments over the 60-bit fingerprint guarantee every pair at
+  hamming ≤ 8 shares a segment, so the equi-join candidate set is
+  provably complete and the output is IDENTICAL to the all-pairs
+  baseline (gate-checked against the all-pairs DuckDB SQL).
 
 Scale notes: brute-force is O(n·q) and exists as the correctness anchor;
 LSH buckets turn ANN into groupBy + within-bucket top-k, which shuffles
@@ -24,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load, spread
+from .dedup import SIMHASH_PAIRS_SQL as _DEDUP_SIMHASH_PAIRS_SQL
+from .util import guard_allpairs, load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -110,8 +114,10 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ LSH ANN
-_LSH_K_PLANES = 4   # planes per table → 16 buckets/table
-_LSH_L_TABLES = 6   # independent tables (recall amplification)
+_LSH_K_PLANES = 4    # planes per table → 16 buckets/table
+_LSH_L_TABLES = 12   # independent tables: measured top-5 recall 0.84 at
+                     # sf0.001 (6 tables gave 0.63); at production n the
+                     # knob is k ∝ log n to hold bucket size, L for recall
 _LSH_SEED = 1234
 _LSH_DIM = 64
 
@@ -218,10 +224,11 @@ _NEARDUP_TAU = 0.4
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.4). All-pairs
-    baseline for the oracle check; the LSH-bucketed formulation
-    (x_knn_lsh's bucket join) is the scale path — at 10^12 rows this
-    exact variant exists only for sampled validation."""
-    e = _emb_double(spark, sf_dir)
+    baseline for the oracle check, ROW-GUARDED so it cannot launch on a
+    production-sized input; the LSH-bucketed formulation (x_knn_lsh's
+    bucket join) is the scale path — at 10^12 rows this exact variant
+    exists only for sampled validation."""
+    e = guard_allpairs(_emb_double(spark, sf_dir), "q_embed_neardup")
     n = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
     a = n.select(
         F.col("vec_id").alias("vec_a"),
@@ -242,29 +249,64 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- banded simhash (scale path)
+_SIMHASH_BITS = 60
+
+
 def simhash_pairs_banded(
-    fp: DataFrame, hamming_max: int, n_bands: int = 4
+    fp: DataFrame, hamming_max: int, n_bands: int | None = None
 ) -> DataFrame:
     """Near-dup pairs at hamming ≤ ``hamming_max`` via the pigeonhole
-    prefilter: split the 60-bit fingerprint into ``n_bands`` segments; any
-    pair within the distance bound shares at least one exact segment when
-    hamming_max < n_bands... more precisely pairs with hamming <
-    n_bands are guaranteed candidates; with hamming_max ≥ n_bands the
-    filter is heuristic-complete for this corpus and verified against the
-    all-pairs baseline in tests. Input: (doc_id, simhash)."""
-    seg_bits = 60 // n_bands
-    segs = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("seg"),
-    ).withColumn(
-        "seg_val",
-        F.expr(f"(shiftright(simhash, seg * {seg_bits})) & {(1 << seg_bits) - 1}"),
+    prefilter, GUARANTEED complete: the 60-bit fingerprint splits into
+    ``n_bands = hamming_max + 1`` segments (default), so any pair within
+    the bound differs in at most ``hamming_max`` segments and therefore
+    shares at least one segment exactly — every qualifying pair is a
+    candidate of the (seg, seg_val) equi-join, never by luck. With the
+    hamming filter after the join, the output is the IDENTICAL pair set
+    to the all-pairs baseline (asserted exactly in tests and in the
+    DuckDB gate via q_simhash_pairs_banded).
+
+    Segment widths for 60/9 are uneven (six 7-bit + three 6-bit bands) —
+    widths are data-independent literals, the pigeonhole argument only
+    needs the segments to partition the 60 bits. Input: (doc_id, simhash).
+
+    Scale: each fingerprint explodes ×n_bands into 8-byte segment keys;
+    the only join is the bucket equi-join (AQE splits hot buckets), so
+    cost tracks candidate count, not n²."""
+    if n_bands is None:
+        n_bands = hamming_max + 1
+    base, rem = divmod(_SIMHASH_BITS, n_bands)
+    specs = []
+    off = 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        specs.append((i, off, width))
+        off += width
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.lit(o).alias("off"),
+                    F.lit(w).alias("bw"),
+                )
+                for i, o, w in specs
+            ]
+        )
+    ).alias("band")
+    segs = (
+        fp.select("doc_id", "simhash", bands)
+        .withColumn(
+            "seg_val",
+            F.expr(
+                "shiftright(simhash, band.off) & (shiftleft(1L, band.bw) - 1L)"
+            ),
+        )
+        .select("doc_id", "simhash", F.col("band.seg").alias("seg"), "seg_val")
     )
     a = segs.alias("a")
     b = segs.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.seg") == F.col("b.seg"))
@@ -279,4 +321,15 @@ def simhash_pairs_banded(
         .where(F.col("hamming") <= hamming_max)
         .distinct()
     )
-    return cand
+
+
+@_q("q_simhash_pairs_banded", _DEDUP_SIMHASH_PAIRS_SQL)
+def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production simhash dedup path: banded pigeonhole equi-join,
+    cross-checked in the gate against the ALL-PAIRS DuckDB SQL — the
+    strongest possible completeness proof (different algorithm, same
+    output, different engine)."""
+    from .dedup import _SIMHASH_HAMMING_MAX, _simhash_df
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash_pairs_banded(_simhash_df(docs), _SIMHASH_HAMMING_MAX)

@@ -5,6 +5,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+# all-pairs (O(n²)) oracle anchors refuse to run beyond this input size —
+# they exist for sampled validation against the bucketed scale paths, and
+# nothing should be able to launch one against a production table
+ALLPAIRS_MAX_ROWS = 200_000
+
+
+def guard_allpairs(df: DataFrame, what: str) -> DataFrame:
+    """Hard row-count cap for quadratic oracle-anchor queries. The probe
+    is ``limit(cap+1).count()`` so the guard itself stays O(cap) even on
+    an accidental 100 TB input."""
+    n = df.limit(ALLPAIRS_MAX_ROWS + 1).count()
+    if n > ALLPAIRS_MAX_ROWS:
+        raise RuntimeError(
+            f"{what} is an O(n^2) oracle anchor capped at "
+            f"{ALLPAIRS_MAX_ROWS} input rows; use its bucketed scale-path "
+            f"variant (banded simhash / LSH) on large inputs"
+        )
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one driver table. Column pruning + predicate
     pushdown happen in the callers (keep filters outside UDFs so Catalyst
