@@ -34,7 +34,6 @@ one bucket's work per executor.
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,18 +53,28 @@ def bucket_expr(n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
-def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+def _lineage_state(spark: SparkSession, out_dir: str) -> tuple[set[int], int]:
+    """(committed buckets, next batch_id) in one lineage read. batch_id is
+    a monotonic counter from the table itself — never wall-clock, so a
+    replayed run is byte-reproducible and debugging can order batches."""
     path = f"{out_dir}/lineage"
     if not os.path.exists(path):
-        return set()
-    rows = (
+        return set(), 0
+    row = (
         spark.read.schema(LINEAGE_SCHEMA)
         .parquet(path)
-        .select("bucket")
-        .distinct()
-        .collect()
+        .agg(
+            F.collect_set("bucket").alias("buckets"),
+            F.max("batch_id").alias("max_batch"),
+        )
+        .collect()[0]
     )
-    return {r.bucket for r in rows}
+    max_batch = row["max_batch"] if row["max_batch"] is not None else -1
+    return set(row["buckets"] or []), int(max_batch) + 1
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    return _lineage_state(spark, out_dir)[0]
 
 
 def _write_extracted(
@@ -96,7 +105,7 @@ def run_extraction_increment(
     rechanimage.py:96-135). ``_crash_before_commit`` is a test hook that
     simulates dying between data write and lineage commit.
     """
-    done = committed_buckets(spark, out_dir)
+    done, batch_id = _lineage_state(spark, out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     if max_buckets is not None:
         pending = pending[:max_buckets]
@@ -117,7 +126,6 @@ def run_extraction_increment(
     if _crash_before_commit:
         return len(pending)
 
-    batch_id = int(time.time() * 1000)
     # lineage is aggregated from the files just written: commits exactly
     # what is durably on disk, and doubles as a write verification
     written = spark.read.parquet(f"{out_dir}/extracted").where(

@@ -31,6 +31,53 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
+def make_sink(spark: SparkSession, output_dir: str):
+    """Build the idempotent foreachBatch sink.
+
+    Exactly-once discipline: both outputs are partitioned by ``batch_id``
+    and written with DYNAMIC partition overwrite, so a micro-batch that
+    is retried after a successful write but before the checkpoint commit
+    simply overwrites its own partition — a plain ``append`` would
+    duplicate it. Lineage metrics are aggregated from the in-memory batch
+    (persisted for the two actions), never by re-reading the output
+    directory: the old full-rescan pattern was O(total output) IO per
+    batch, growing without bound over a run."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ext = extract_turns(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        ext.persist()
+        try:
+            stats = ext.agg(
+                F.count(F.lit(1)).cast("long").alias("n_turns"),
+                F.coalesce(F.sum("n_spans"), F.lit(0))
+                .cast("long")
+                .alias("n_spans"),
+            ).collect()[0]
+            (
+                ext.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{output_dir}/extracted")
+            )
+            (
+                spark.createDataFrame(
+                    [(int(batch_id), stats["n_turns"], stats["n_spans"])],
+                    "batch_id long, n_turns long, n_spans long",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(f"{output_dir}/lineage")
+            )
+        finally:
+            ext.unpersist()
+
+    return sink
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -39,36 +86,17 @@ def stream_extract(
     max_files_per_trigger: int = 8,
 ):
     """Start (availableNow) a streaming extraction: each micro-batch runs
-    the batch kernel and appends results + one lineage row per batch.
-    Returns the StreamingQuery; callers awaitTermination()."""
+    the batch kernel and idempotently writes results + one lineage row
+    per batch (see :func:`make_sink`). Returns the StreamingQuery;
+    callers awaitTermination()."""
     src = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        ext = extract_turns(batch_df)
-        (
-            ext.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{output_dir}/extracted")
-        )
-        written = spark.read.parquet(f"{output_dir}/extracted").where(
-            F.col("batch_id") == batch_id
-        )
-        (
-            written.agg(
-                F.count(F.lit(1)).cast("long").alias("n_turns"),
-                F.sum("n_spans").cast("long").alias("n_spans"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{output_dir}/lineage")
-        )
-
     return (
-        extract_stream_writer(src, sink)
+        extract_stream_writer(src, make_sink(spark, output_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

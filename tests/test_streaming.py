@@ -5,7 +5,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from documentai_ocr_spark.extract import extract_turns
-from documentai_ocr_spark.streaming import stream_extract, windowed_turn_counts
+from documentai_ocr_spark.streaming import (
+    make_sink,
+    stream_extract,
+    windowed_turn_counts,
+)
 from documentai_ocr_spark.synth import synth_transcripts
 
 
@@ -40,6 +44,29 @@ def test_stream_equals_batch(spark, input_dir, tmp_path_factory):
     q2.awaitTermination(60)
     again = spark.read.parquet(f"{out}/extracted").count()
     assert again == len(want)
+
+
+def test_sink_retry_is_idempotent(spark, input_dir, tmp_path_factory):
+    """A micro-batch retried after a successful write (crash between the
+    write and the checkpoint commit) must overwrite its own batch_id
+    partition, not duplicate it — the exactly-once contract of the
+    foreachBatch sink."""
+    out = str(tmp_path_factory.mktemp("stream") / "retry_out")
+    sink = make_sink(spark, out)
+    src = spark.read.parquet(input_dir)
+    b0 = src.limit(40)
+    b1 = src.subtract(b0.select(*src.columns)).limit(30)
+    sink(b0, 0)
+    sink(b1, 1)
+    n_after_two = spark.read.parquet(f"{out}/extracted").count()
+    sink(b0, 0)  # the retry
+    ext = spark.read.parquet(f"{out}/extracted")
+    assert ext.count() == n_after_two
+    assert ext.select("conv_id", "turn_idx").distinct().count() == n_after_two
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.count() == 2  # one lineage row per batch, retry overwrote
+    per_batch = {r.batch_id: r.n_turns for r in lin.collect()}
+    assert per_batch[0] == 40 and per_batch[1] == 30
 
 
 def test_windowed_counts_schema(spark, input_dir):
