@@ -29,7 +29,12 @@ from ..rules import (
     PAYLOAD_PLAIN,
     PDFISH_SNIFF_RE,
 )
-from .textops import extract_html_batch, extract_pdfish_batch, extract_plain_batch
+from .textops import (
+    extract_html_batch,
+    extract_pdfish_batch,
+    extract_plain_batch,
+    word_spans_batch,
+)
 
 # spans index the EXTRACTED text; beg/end are char offsets, end exclusive
 SPANS_TYPE = "array<struct<beg:int,end:int,kind:string,score:double>>"
@@ -123,6 +128,49 @@ def extract_turns(transcripts: DataFrame) -> DataFrame:
                 yield extract_batch(pdf)
 
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+WORD_BOX_SCHEMA = (
+    "conv_id string, turn_idx int, line_no int, word_no int, "
+    "beg_px double, end_px double"
+)
+
+
+def extract_word_boxes(transcripts: DataFrame) -> DataFrame:
+    """Pdfish word-box extraction with the reference's span fixups
+    (merge-narrow / split-wide / glue — rules.py word-span constants):
+    one narrow mapInPandas stage emitting a row per refined word span.
+    Non-pdfish turns produce nothing. Golden-tested vs oracle.word_boxes."""
+    src = transcripts.select("conv_id", "turn_idx", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .textops import pin_arrow_pools
+
+        pin_arrow_pools()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf["text"].reset_index(drop=True)
+            kinds = classify_payload_batch(texts)
+            mask = (kinds == PAYLOAD_PDFISH).to_numpy()
+            if not mask.any():
+                continue
+            res = word_spans_batch(texts[mask].reset_index(drop=True))
+            rid = res["row"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[mask][rid],
+                    "turn_idx": pdf["turn_idx"]
+                    .to_numpy()[mask][rid]
+                    .astype("int32"),
+                    "line_no": res["line_no"].to_numpy().astype("int32"),
+                    "word_no": res["word_no"].to_numpy().astype("int32"),
+                    "beg_px": res["beg_px"].to_numpy(),
+                    "end_px": res["end_px"].to_numpy(),
+                }
+            )
+
+    return src.mapInPandas(run, schema=WORD_BOX_SCHEMA)
 
 
 def assemble_conversations(

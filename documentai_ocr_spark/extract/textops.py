@@ -60,6 +60,9 @@ from ..rules import (
     SPAN_KIND_BLOCK,
     SPAN_KIND_CONTENT,
     SPAN_KIND_LINE,
+    WORD_GLUE_MAX_GAP,
+    WORD_GLUE_MAX_W,
+    WORD_SPLIT_SIGMA,
 )
 from .htmlparse import html_blocks
 
@@ -372,16 +375,16 @@ def _parse_boxes_loop(texts: pd.Series) -> dict:
     }
 
 
-def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
-    """Batch char-box line assembly: whole-batch ndjson parse (C++
-    reader, loop fallback for malformed input), then line grouping /
-    x-sort / space insertion vectorized over the whole batch's boxes."""
-    n_rows = len(texts)
+def _line_sorted_boxes(texts: pd.Series) -> dict | None:
+    """Shared pdfish front half: parse char boxes, assign text-line ids
+    by (page, y-cluster), establish x reading order, flag word gaps.
+    Returns None when the batch has no boxes; otherwise arrays sorted in
+    (line, x) order: row, x, w, line (global ids), c, space."""
     boxes = _parse_boxes_fast(texts)
     if boxes is None:
         boxes = _parse_boxes_loop(texts)
     if not boxes:
-        return _empty_result(n_rows)
+        return None
 
     row, page, y, x, w, h, c = (
         boxes["row"], boxes["page"], boxes["y"], boxes["x"],
@@ -393,7 +396,7 @@ def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
         a[order] for a in (row, page, y, x, w, h, c)
     )
     prev_row = np.concatenate(([-1], row[:-1]))
-    prev_page = np.concatenate(([-1], page[:-1]))
+    prev_page = np.concatenate(([-1.0], page[:-1]))
     prev_y = np.concatenate(([np.inf], y[:-1]))
     new_line = (row != prev_row) | (page != prev_page) | (
         np.abs(y - prev_y) > PDF_LINE_Y_TOL * h
@@ -408,6 +411,20 @@ def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
     prev_w = np.concatenate(([0.0], w[:-1]))
     gap = x - (prev_x + prev_w)
     space = (line == prev_line) & (gap > PDF_SPACE_GAP * prev_w)
+    return {"row": row, "x": x, "w": w, "line": line, "c": c, "space": space}
+
+
+def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
+    """Batch char-box line assembly: whole-batch ndjson parse (C++
+    reader, loop fallback for malformed input), then line grouping /
+    x-sort / space insertion vectorized over the whole batch's boxes."""
+    n_rows = len(texts)
+    lb = _line_sorted_boxes(texts)
+    if lb is None:
+        return _empty_result(n_rows)
+    row, x, w, line, c, space = (
+        lb["row"], lb["x"], lb["w"], lb["line"], lb["c"], lb["space"]
+    )
 
     c_arr = pa.array(c, type=pa.string())
     prefix = pa.array(np.where(space, " ", ""), type=pa.string())
@@ -426,4 +443,137 @@ def extract_pdfish_batch(texts: pd.Series) -> pd.DataFrame:
         np.ones(len(kept), dtype=np.float64),
         SPAN_KIND_LINE,
         n_rows,
+    )
+
+
+# ------------------------------------------------------- word-span fixups
+def _leftfold_mean_std(widths: list[float]) -> tuple[float, float]:
+    """Mean and population σ with strict left-fold accumulation (parity
+    with the oracle's straight-line loops; np.mean/np.std are pairwise)."""
+    n = len(widths)
+    acc = 0.0
+    for v in widths:
+        acc += v
+    mean = acc / n
+    acc2 = 0.0
+    for v in widths:
+        d = v - mean
+        acc2 += d * d
+    return mean, (acc2 / n) ** 0.5
+
+
+def refine_word_spans(
+    begs: list[float], ends: list[float]
+) -> list[tuple[float, float]]:
+    """The reference's merge-narrow / split-wide / glue fixup over one
+    line's word intervals (/root/reference/font/project_rec.py:104-127 and
+    :216-223 — semantics re-derived, incl. its quirks: a narrow run that
+    cannot merge is DROPPED; a merge consumes the next run; glue extends
+    a late-starting narrow run back to the previous run's ORIGINAL start).
+    Inherently sequential per line — lines are short, so this stays a
+    scalar loop inside the Arrow batch (SURVEY.md §7 hard-part (c))."""
+    n = len(begs)
+    if n == 0:
+        return []
+    widths = [ends[i] - begs[i] for i in range(n)]
+    mean, sigma = _leftfold_mean_std(widths)
+    hi = WORD_SPLIT_SIGMA * sigma + mean
+    merged: list[tuple[float, float]] = []
+    i = 0
+    while i < n:
+        width = widths[i]
+        if width == 0:
+            i += 1
+            continue
+        if width < mean:
+            if i + 1 < n and (width + widths[i + 1]) < hi:
+                merged.append((begs[i], ends[i + 1]))
+                i += 1  # the merge consumes the next run
+            # else: dropped (the reference appends nothing on this path)
+        elif width > hi:
+            mid = begs[i] + width / 2.0
+            merged.append((begs[i], mid))
+            merged.append((mid, ends[i]))
+        else:
+            merged.append((begs[i], ends[i]))
+        i += 1
+    # glue pass over the merged list
+    out: list[tuple[float, float]] = []
+    for k, (s, e) in enumerate(merged):
+        if (
+            k > 0
+            and s - merged[k - 1][1] < WORD_GLUE_MAX_GAP
+            and e - s < WORD_GLUE_MAX_W
+        ):
+            s = merged[k - 1][0]
+        out.append((s, e))
+    return out
+
+
+def word_spans_batch(texts: pd.Series) -> pd.DataFrame:
+    """Batch pdfish word-box extraction: the line-assembly front half
+    (vectorized), word candidate intervals from the gap rule (vectorized
+    reduceat), then the reference's sequential merge/split/glue fixup per
+    line. Output: one row per refined word span
+    (row, line_no, word_no, beg_px, end_px)."""
+    lb = _line_sorted_boxes(texts)
+    empty = pd.DataFrame(
+        {
+            "row": np.array([], dtype=np.int64),
+            "line_no": np.array([], dtype=np.int64),
+            "word_no": np.array([], dtype=np.int64),
+            "beg_px": np.array([], dtype=np.float64),
+            "end_px": np.array([], dtype=np.float64),
+        }
+    )
+    if lb is None:
+        return empty
+    row, x, w, line, space = lb["row"], lb["x"], lb["w"], lb["line"], lb["space"]
+
+    # word candidates: a new word starts at a line start or a space gap
+    new_line = np.concatenate(([True], line[1:] != line[:-1]))
+    word_start = new_line | space
+    wstarts = np.flatnonzero(word_start)
+    wbounds = np.concatenate((wstarts, [len(x)]))
+    beg = x[wstarts]
+    end = np.maximum.reduceat(x + w, wstarts)
+    wline = line[wstarts]
+    wrow = row[wstarts]
+
+    # per-line fixup (sequential within a line, vectorized batch outside)
+    lstarts = np.flatnonzero(np.concatenate(([True], wline[1:] != wline[:-1])))
+    lbounds = np.concatenate((lstarts, [len(wline)]))
+    # per-row line ordinal: reset the running line number at each new row
+    line_rows = wrow[lstarts]
+    first_of_row = np.concatenate(([True], line_rows[1:] != line_rows[:-1]))
+    lineno_base = np.arange(len(lstarts))
+    row_base = np.zeros(len(lstarts), dtype=np.int64)
+    row_base[first_of_row] = lineno_base[first_of_row]
+    row_base = np.maximum.accumulate(row_base)
+    line_nos = lineno_base - row_base
+
+    out_row: list[int] = []
+    out_line: list[int] = []
+    out_word: list[int] = []
+    out_beg: list[float] = []
+    out_end: list[float] = []
+    for k in range(len(lstarts)):
+        a, b = lbounds[k], lbounds[k + 1]
+        spans = refine_word_spans(list(beg[a:b]), list(end[a:b]))
+        r = int(line_rows[k])
+        ln = int(line_nos[k])
+        for j, (s, e) in enumerate(spans):
+            out_row.append(r)
+            out_line.append(ln)
+            out_word.append(j)
+            out_beg.append(s)
+            out_end.append(e)
+    return pd.DataFrame(
+        {
+            "row": np.asarray(out_row, dtype=np.int64),
+            "line_no": np.asarray(out_line, dtype=np.int64),
+            "word_no": np.asarray(out_word, dtype=np.int64),
+            "beg_px": np.asarray(out_beg, dtype=np.float64),
+            "end_px": np.asarray(out_end, dtype=np.float64),
+        }
     )

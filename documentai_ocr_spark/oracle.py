@@ -195,6 +195,105 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
     return "\n".join(out_parts), spans
 
 
+# --------------------------------------------------------------- word boxes
+def word_boxes(text: str) -> list[tuple[int, int, float, float]]:
+    """Per-turn oracle for the pdfish word-span fixup pass
+    (/root/reference/font/project_rec.py:104-127 merge/split, :216-223
+    glue — constants in rules.py). Returns (line_no, word_no, beg, end)
+    per refined word span. Straight-line reimplementation: parse boxes
+    (as extract_pdfish), group lines, split words at the space-gap rule,
+    then the reference's sequential loop with left-fold width stats."""
+    from .rules import WORD_GLUE_MAX_GAP, WORD_GLUE_MAX_W, WORD_SPLIT_SIGMA
+
+    boxes = []
+    for raw in text.split("\n"):
+        raw = raw.strip()
+        if not raw:
+            continue
+        try:
+            b = json.loads(raw)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(b, dict) and "c" in b and b["c"] is not None:
+            boxes.append(b)
+    boxes.sort(key=lambda b: (b.get("page") or 0, b.get("y") or 0.0,
+                              b.get("x") or 0.0))
+
+    line_groups: list[list[dict]] = []
+    for b in boxes:
+        if line_groups:
+            prev = line_groups[-1][-1]
+            if (
+                (b.get("page") or 0) == (prev.get("page") or 0)
+                and abs((b.get("y") or 0.0) - (prev.get("y") or 0.0))
+                <= PDF_LINE_Y_TOL * (b.get("h") or 0.0)
+            ):
+                line_groups[-1].append(b)
+                continue
+        line_groups.append([b])
+
+    out: list[tuple[int, int, float, float]] = []
+    for line_no, group in enumerate(line_groups):
+        group.sort(key=lambda b: b.get("x") or 0.0)
+        # word candidate intervals: break at the space-gap rule
+        begs: list[float] = []
+        ends: list[float] = []
+        prev = None
+        for b in group:
+            bx = b.get("x") or 0.0
+            bw = b.get("w") or 0.0
+            if prev is not None and not (
+                bx - ((prev.get("x") or 0.0) + (prev.get("w") or 0.0))
+                > PDF_SPACE_GAP * (prev.get("w") or 0.0)
+            ):
+                ends[-1] = max(ends[-1], bx + bw)
+            else:
+                begs.append(bx)
+                ends.append(bx + bw)
+            prev = b
+        if not begs:
+            continue
+        # width stats: left-fold mean + population sigma
+        n = len(begs)
+        acc = 0.0
+        for i in range(n):
+            acc += ends[i] - begs[i]
+        mean = acc / n
+        acc2 = 0.0
+        for i in range(n):
+            d = (ends[i] - begs[i]) - mean
+            acc2 += d * d
+        hi = WORD_SPLIT_SIGMA * (acc2 / n) ** 0.5 + mean
+        merged: list[tuple[float, float]] = []
+        i = 0
+        while i < n:
+            width = ends[i] - begs[i]
+            if width == 0:
+                i += 1
+                continue
+            if width < mean:
+                if i + 1 < n and (width + (ends[i + 1] - begs[i + 1])) < hi:
+                    merged.append((begs[i], ends[i + 1]))
+                    i += 1
+                # else dropped — the reference's silent narrow-drop path
+            elif width > hi:
+                mid = begs[i] + width / 2.0
+                merged.append((begs[i], mid))
+                merged.append((mid, ends[i]))
+            else:
+                merged.append((begs[i], ends[i]))
+            i += 1
+        for k, (s, e) in enumerate(merged):
+            if (
+                k > 0
+                and s - merged[k - 1][1] < WORD_GLUE_MAX_GAP
+                and e - s < WORD_GLUE_MAX_W
+            ):
+                s = merged[k - 1][0]
+            out.append((line_no, k, s, e))
+    return out
+
+
 # ------------------------------------------------------------------ dispatch
 def extract_turn(text: str | None) -> dict[str, Any]:
     """Per-turn oracle: text payload → extracted main content + spans."""

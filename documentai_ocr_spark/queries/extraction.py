@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..extract import assemble_conversations, extract_turns
+from ..extract import (
+    assemble_conversations,
+    extract_turns,
+    extract_word_boxes,
+)
 from ..fusion import extract_fused
 from ..synth import transcripts_from_documents
 
@@ -54,6 +58,16 @@ def x_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     Golden-tested vs oracle.fuse_turn."""
     t = transcripts_from_documents(spark, sf_dir)
     return extract_fused(t)
+
+
+@_q("x_word_boxes")
+def x_word_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pdfish word boxes with the reference's merge/split/glue span
+    fixups (/root/reference/font/project_rec.py:104-127,216-223) — one
+    row per refined word span. Golden-tested byte-equal vs
+    oracle.word_boxes on ragged fixtures."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_word_boxes(t)
 
 
 @_q("x_span_stats")

@@ -77,6 +77,37 @@ HTML_BLOCK_TAGS = frozenset(
 PDF_LINE_Y_TOL = 0.6    # same text line iff |y - line_y| <= tol * h
 PDF_SPACE_GAP = 0.5     # emit a space iff x - (prev.x + prev.w) > gap * prev.w
 
+# ------------------------------------------------------ word-span fixups
+# the reference's char-run post-processing over a line's word intervals
+# (/root/reference/font/project_rec.py:104-127 merge/split,
+#  /root/reference/font/project_rec.py:216-223 glue-fix):
+#   * width stats (mean, population σ, LEFT-FOLD sums) over the line's runs
+#   * narrow run (< mean): merge with the NEXT run if the combined width
+#     stays under mean + 2σ, else DROP it (the reference appends nothing)
+#   * wide run (> mean + 2σ): bisect at the midpoint (float midpoint here;
+#     the reference floor-divides pixel ints)
+#   * glue: a run that starts < 5 px after the previous one and is < 20 px
+#     wide extends back to the previous run's start
+WORD_SPLIT_SIGMA = 2.0
+WORD_GLUE_MAX_GAP = 5.0
+WORD_GLUE_MAX_W = 20.0
+SPAN_KIND_WORD = "word"
+
+# ------------------------------------------------- hysteresis line decoder
+# two-threshold island decoding, the text analogue of the reference's
+# stateful column scanner (/root/reference/font/characterSegment.py:20-96:
+# open a span when ink density crosses the ENTER bar, survive brief dips
+# above the EXIT bar, close only after >1 blank). Here: a region OPENS at
+# a line with density ≥ HYST_ENTER, lines with density ≥ HYST_EXIT keep it
+# open, and up to HYST_BRIDGE consecutive sub-exit lines are bridged
+# (the reference's blank_size>1 tolerance, restated as consecutive-blank
+# tolerance — its cumulative blank counter never resets before close,
+# which for monotone scans is the same bound).
+HYST_ENTER = 0.6
+HYST_EXIT = 0.35
+HYST_BRIDGE = 1
+SPAN_KIND_REGION = "region"
+
 # Java-regex whitespace class equal to Python str.strip()'s set (Java \s
 # misses \x1c-\x1f and the Unicode spaces even with (?U)). Doubled
 # backslashes survive Spark SQL string-literal unescaping inside expr().
