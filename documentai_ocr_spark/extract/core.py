@@ -33,8 +33,17 @@ from .textops import (
     extract_html_batch,
     extract_pdfish_batch,
     extract_plain_batch,
+    extract_plain_hysteresis_batch,
     word_spans_batch,
 )
+
+# selectable plain-path kernels: the single-threshold density rule
+# (production default) and the two-threshold hysteresis decoder
+# (reference characterSegment.py semantics — survives brief dips)
+PLAIN_VARIANTS = {
+    "density": extract_plain_batch,
+    "hysteresis": extract_plain_hysteresis_batch,
+}
 
 # spans index the EXTRACTED text; beg/end are char offsets, end exclusive
 SPANS_TYPE = "array<struct<beg:int,end:int,kind:string,score:double>>"
@@ -67,7 +76,7 @@ def classify_payload_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index)
 
 
-def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def extract_batch(pdf: pd.DataFrame, plain_variant: str = "density") -> pd.DataFrame:
     """One Arrow batch of transcript turns → extracted rows (same order)."""
     texts = pdf["text"].reset_index(drop=True)
     kinds = classify_payload_batch(texts)
@@ -78,7 +87,7 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
          "n_spans": np.zeros(n, dtype=np.int64)}
     )
     for kind, fn in (
-        (PAYLOAD_PLAIN, extract_plain_batch),
+        (PAYLOAD_PLAIN, PLAIN_VARIANTS[plain_variant]),
         (PAYLOAD_HTML, extract_html_batch),
         (PAYLOAD_PDFISH, extract_pdfish_batch),
     ):
@@ -108,13 +117,18 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def extract_turns(transcripts: DataFrame) -> DataFrame:
+def extract_turns(
+    transcripts: DataFrame, plain_variant: str = "density"
+) -> DataFrame:
     """Per-turn main-content extraction. Narrow (no shuffle): the plan is
     scan → WholeStageCodegen(project) → ArrowEvalPython → output, so it
     scales linearly with input partitions (tune
     ``spark.sql.files.maxPartitionBytes`` for split granularity and
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` for batch shape).
+    ``plain_variant`` selects the plain-payload kernel (PLAIN_VARIANTS).
     """
+    if plain_variant not in PLAIN_VARIANTS:
+        raise ValueError(f"unknown plain_variant {plain_variant!r}")
     # prune to the columns the kernel needs — keeps the parquet ReadSchema
     # minimal even though mapInPandas is a black box to Catalyst
     src = transcripts.select("conv_id", "turn_idx", "role", "text")
@@ -125,7 +139,7 @@ def extract_turns(transcripts: DataFrame) -> DataFrame:
         pin_arrow_pools()  # 1 arrow thread per worker process
         for pdf in batches:
             if len(pdf):
-                yield extract_batch(pdf)
+                yield extract_batch(pdf, plain_variant)
 
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
 

@@ -60,6 +60,7 @@ from ..rules import (
     SPAN_KIND_BLOCK,
     SPAN_KIND_CONTENT,
     SPAN_KIND_LINE,
+    SPAN_KIND_REGION,
     WORD_GLUE_MAX_GAP,
     WORD_GLUE_MAX_W,
     WORD_SPLIT_SIGMA,
@@ -236,6 +237,93 @@ def extract_plain_batch(
         dsum / np.diff(bounds),
         SPAN_KIND_CONTENT,
         n_rows,
+    )
+
+
+# --------------------------------------------------------------- hysteresis
+def extract_plain_hysteresis_batch(texts: pd.Series) -> pd.DataFrame:
+    """Two-threshold island decode (rules.HYST_*): a region OPENS at a
+    line whose density reaches HYST_ENTER, lines at HYST_EXIT keep it
+    alive, and up to HYST_BRIDGE consecutive sub-exit lines are bridged —
+    runs survive a brief dip, the semantics of the reference's stateful
+    column scanner (/root/reference/font/characterSegment.py:20-96).
+    Region text spans first..last qualifying line INCLUSIVE of bridged
+    lines (the reference's crop includes interior blanks); score is the
+    left-fold mean density over that whole range."""
+    from ..rules import HYST_BRIDGE, HYST_ENTER, HYST_EXIT
+
+    n_rows = len(texts)
+    if n_rows == 0:
+        return _empty_result(0)
+    row, stripped = _flat_lines(texts)
+    length = pc.utf8_length(stripped).to_numpy().astype(np.int64)
+    n_lines = len(length)
+    dens = np.zeros(n_lines, dtype=np.float64)
+    weak = np.zeros(n_lines, dtype=bool)
+    strong = np.zeros(n_lines, dtype=bool)
+    cand_idx = np.flatnonzero(length >= MIN_LINE_LEN)
+    if len(cand_idx):
+        cand_lines = stripped.take(pa.array(cand_idx))
+        n_dense = (
+            pc.count_substring_regex(cand_lines, DENSE_CHAR_RE.pattern)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        dens_c = n_dense / length[cand_idx]
+        dens[cand_idx] = dens_c
+        pass2 = np.flatnonzero(dens_c >= HYST_EXIT)
+        if len(pass2):
+            boiler = pc.match_substring_regex(
+                cand_lines.take(pa.array(pass2)),
+                BOILER_RE.pattern,
+                ignore_case=True,
+            ).to_numpy(zero_copy_only=False)
+            ok = cand_idx[pass2[~boiler]]
+            weak[ok] = True
+            strong[ok] = dens[ok] >= HYST_ENTER
+
+    wpos = np.flatnonzero(weak)
+    if len(wpos) == 0:
+        return _empty_result(n_rows)
+    # line index within each row (for gap math across rows' boundaries)
+    row_first = np.flatnonzero(np.concatenate(([True], row[1:] != row[:-1])))
+    base = np.zeros(n_lines, dtype=np.int64)
+    base[row_first] = row_first
+    base = np.maximum.accumulate(base)
+    li = np.arange(n_lines, dtype=np.int64) - base
+
+    wrow = row[wpos]
+    wli = li[wpos]
+    new_region = np.concatenate(
+        ([True], (wrow[1:] != wrow[:-1]) | (wli[1:] - wli[:-1] > HYST_BRIDGE + 1))
+    )
+    rstart = np.flatnonzero(new_region)
+    rbounds = np.concatenate((rstart, [len(wpos)]))
+    has_strong = np.logical_or.reduceat(strong[wpos], rstart)
+    keep = np.flatnonzero(has_strong)
+    if len(keep) == 0:
+        return _empty_result(n_rows)
+
+    reg_row = wrow[rstart[keep]]
+    beg_abs = wpos[rstart[keep]]
+    end_abs = wpos[rbounds[1:][keep] - 1]
+    # gather every line (incl. bridged) per kept region
+    idx_parts = [np.arange(b, e + 1) for b, e in zip(beg_abs, end_abs)]
+    lens = np.array([len(p) for p in idx_parts], dtype=np.int64)
+    idx = (
+        np.concatenate(idx_parts)
+        if idx_parts
+        else np.array([], dtype=np.int64)
+    )
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    gathered = stripped.take(pa.array(idx))
+    region_texts = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), gathered),
+        "\n",
+    )
+    dsum = _segment_leftfold_sum(dens[idx], offsets)
+    return _assemble_rows(
+        reg_row, region_texts, dsum / lens, SPAN_KIND_REGION, n_rows
     )
 
 

@@ -100,6 +100,67 @@ def extract_plain(
     return "\n".join(out_parts), spans
 
 
+# --------------------------------------------------------------- hysteresis
+def extract_plain_hysteresis(text: str) -> tuple[str, list[Span]]:
+    """Per-turn oracle for the two-threshold island decoder (rules.HYST_*;
+    reference /root/reference/font/characterSegment.py:20-96 semantics):
+    strong lines (dens ≥ ENTER) open a region, weak lines (dens ≥ EXIT)
+    keep it open, ≤ HYST_BRIDGE consecutive sub-exit lines are bridged; a
+    region without a strong line is dropped. Region text covers first..
+    last weak line inclusive of bridged lines."""
+    from .rules import HYST_BRIDGE, HYST_ENTER, HYST_EXIT, SPAN_KIND_REGION
+
+    lines = text.split("\n")
+    stripped = [ln.strip() for ln in lines]
+    # a line below the length gate can never be content: its density is 0
+    # by rule (the kernel's staged classification computes density only
+    # for length-qualified candidates) — bridged short lines contribute 0
+    dens = [
+        _density(s) if len(s) >= MIN_LINE_LEN else 0.0 for s in stripped
+    ]
+    weak = []
+    strong = []
+    for s, d in zip(stripped, dens):
+        ok = len(s) >= MIN_LINE_LEN and d >= HYST_EXIT and not BOILER_RE.search(s)
+        weak.append(ok)
+        strong.append(ok and d >= HYST_ENTER)
+
+    # group weak lines into regions, bridging short gaps
+    regions: list[list[int]] = []
+    prev_weak_idx = None
+    for i, wk in enumerate(weak):
+        if not wk:
+            continue
+        if prev_weak_idx is not None and i - prev_weak_idx <= HYST_BRIDGE + 1:
+            regions[-1].append(i)
+        else:
+            regions.append([i])
+        prev_weak_idx = i
+
+    out_parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    for reg in regions:
+        if not any(strong[i] for i in reg):
+            continue
+        beg, end = reg[0], reg[-1]
+        covered = list(range(beg, end + 1))
+        region_text = "\n".join(stripped[i] for i in covered)
+        acc = 0.0
+        for i in covered:
+            acc += dens[i]
+        score = acc / len(covered)
+        if out_parts:
+            offset += 1
+        spans.append(
+            {"beg": offset, "end": offset + len(region_text),
+             "kind": SPAN_KIND_REGION, "score": score}
+        )
+        out_parts.append(region_text)
+        offset += len(region_text)
+    return "\n".join(out_parts), spans
+
+
 # ---------------------------------------------------------------------- html
 def extract_html(text: str) -> tuple[str, list[Span]]:
     blocks = html_blocks(text)
@@ -295,8 +356,12 @@ def word_boxes(text: str) -> list[tuple[int, int, float, float]]:
 
 
 # ------------------------------------------------------------------ dispatch
-def extract_turn(text: str | None) -> dict[str, Any]:
-    """Per-turn oracle: text payload → extracted main content + spans."""
+def extract_turn(
+    text: str | None, plain_variant: str = "density"
+) -> dict[str, Any]:
+    """Per-turn oracle: text payload → extracted main content + spans.
+    ``plain_variant``: 'density' (default single-threshold rule) or
+    'hysteresis' (two-threshold island decoder)."""
     if text is None:
         text = ""
     kind = detect_payload(text)
@@ -304,6 +369,9 @@ def extract_turn(text: str | None) -> dict[str, Any]:
         extracted, spans = extract_pdfish(text)
     elif kind == PAYLOAD_HTML:
         extracted, spans = extract_html(text)
+    elif plain_variant == "hysteresis":
+        kind = PAYLOAD_PLAIN
+        extracted, spans = extract_plain_hysteresis(text)
     else:
         kind = PAYLOAD_PLAIN
         extracted, spans = extract_plain(text)

@@ -622,3 +622,166 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_id"),
         )
     )
+
+
+# --------------------------------------------------------------- hysteresis
+# two-threshold island decoding as a PURE-CATALYST window query (the
+# relational form of extract/textops.extract_plain_hysteresis_batch;
+# reference /root/reference/font/characterSegment.py:20-96). The line
+# table is synthesized identically in both engines from documents: token
+# 5-grams as lines, with deterministic noise/short lines injected by
+# (doc_id + line) mod rules so regions really do open, dip, bridge, and
+# split. Output is integer/string only — no doubles cross the gate.
+_HYST_NOISE = "*** !!! *** ???"
+_HYST_DENSE_STRIP = "[^0-9A-Za-z一-龥]"
+
+
+@_q(
+    "q_hysteresis_spans",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS li,
+             CASE WHEN (doc_id + i - 1) % 7 = 5 THEN 'ok'
+                  WHEN (doc_id + i - 1) % 4 = 3 THEN '{_HYST_NOISE}'
+                  ELSE array_to_string(tk[(i-1)*5 + 1 : (i-1)*5 + 5], ' ')
+             END AS s
+      FROM tk, unnest(generate_series(1, CAST(ceil(len(tk) / 5.0) AS int))) g(i)
+    ),
+    feat AS (
+      SELECT doc_id, li, s,
+             length(s) >= 10
+             AND (CASE WHEN length(s) > 0 THEN
+                    CAST(length(regexp_replace(s, '{_HYST_DENSE_STRIP}', '', 'g'))
+                         AS double) / length(s) ELSE 0.0 END) >= 0.35 AS weak,
+             length(s) >= 10
+             AND (CASE WHEN length(s) > 0 THEN
+                    CAST(length(regexp_replace(s, '{_HYST_DENSE_STRIP}', '', 'g'))
+                         AS double) / length(s) ELSE 0.0 END) >= 0.6 AS strong
+      FROM lines
+    ),
+    w AS (
+      SELECT doc_id, li, strong,
+             CASE WHEN lag(li) OVER (PARTITION BY doc_id ORDER BY li) IS NULL
+                    OR li - lag(li) OVER (PARTITION BY doc_id ORDER BY li) > 2
+                  THEN 1 ELSE 0 END AS nr
+      FROM feat WHERE weak
+    ),
+    w2 AS (SELECT doc_id, li, strong,
+                  SUM(nr) OVER (PARTITION BY doc_id ORDER BY li
+                                ROWS UNBOUNDED PRECEDING) AS region
+           FROM w),
+    regs AS (SELECT doc_id, region, MIN(li) AS beg_li, MAX(li) AS end_li,
+                    MAX(CASE WHEN strong THEN 1 ELSE 0 END) AS hs
+             FROM w2 GROUP BY doc_id, region),
+    kept AS (SELECT doc_id, beg_li, end_li FROM regs WHERE hs = 1),
+    texts AS (
+      SELECT k.doc_id, k.beg_li, k.end_li,
+             string_agg(f.s, chr(10) ORDER BY f.li) AS region_text
+      FROM kept k JOIN feat f
+        ON f.doc_id = k.doc_id AND f.li BETWEEN k.beg_li AND k.end_li
+      GROUP BY k.doc_id, k.beg_li, k.end_li
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY beg_li) AS int)
+             AS region_no,
+           CAST(beg_li AS int) AS beg_li, CAST(end_li AS int) AS end_li,
+           region_text
+    FROM texts
+    """,
+)
+def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis region decode, pure Catalyst: lag-window region breaks
+    (a >2-line gap in weak lines closes a region), cumulative-sum region
+    ids, HAVING-style strong-line requirement, then a range join back to
+    the line table for the region text. One shuffle keyed by doc_id
+    serves the windows; the range join is per-doc and bounded."""
+    from ..rules import BOILER_RE, HYST_BRIDGE  # noqa: F401 (provenance)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(tk) / F.lit(5.0)).cast("int")
+    raw = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(tk, i * 5 + 1, 5), " "),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(raw).alias("li", "raw")
+    ).select(
+        "doc_id",
+        "li",
+        F.when((F.col("doc_id") + F.col("li")) % 7 == 5, F.lit("ok"))
+        .when(
+            (F.col("doc_id") + F.col("li")) % 4 == 3, F.lit(_HYST_NOISE)
+        )
+        .otherwise(F.col("raw"))
+        .alias("s"),
+    )
+    ln = F.length("s")
+    dens = F.when(
+        ln > 0,
+        F.length(F.regexp_replace("s", _HYST_DENSE_STRIP, "")).cast("double")
+        / ln,
+    ).otherwise(F.lit(0.0))
+    feat = lines.select(
+        "doc_id",
+        "li",
+        "s",
+        ((ln >= 10) & (dens >= 0.35)).alias("weak"),
+        ((ln >= 10) & (dens >= 0.6)).alias("strong"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("li")
+    prev = F.lag("li").over(win)
+    w = (
+        feat.where("weak")
+        .withColumn(
+            "nr",
+            (prev.isNull() | ((F.col("li") - prev) > 2)).cast("int"),
+        )
+        .withColumn(
+            "region",
+            F.sum("nr").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    regs = (
+        w.groupBy("doc_id", "region")
+        .agg(
+            F.min("li").alias("beg_li"),
+            F.max("li").alias("end_li"),
+            F.max(F.col("strong").cast("int")).alias("hs"),
+        )
+        .where(F.col("hs") == 1)
+    )
+    fl = feat.select(
+        F.col("doc_id").alias("f_doc"),
+        F.col("li").alias("f_li"),
+        "s",
+    )
+    texts = (
+        regs.join(
+            fl,
+            (F.col("doc_id") == F.col("f_doc"))
+            & (F.col("f_li") >= F.col("beg_li"))
+            & (F.col("f_li") <= F.col("end_li")),
+        )
+        .groupBy("doc_id", "beg_li", "end_li")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("f_li", "s"))),
+                    lambda x: x["s"],
+                ),
+                "\n",
+            ).alias("region_text")
+        )
+    )
+    rn = Window.partitionBy("doc_id").orderBy("beg_li")
+    return texts.select(
+        "doc_id",
+        F.row_number().over(rn).cast("int").alias("region_no"),
+        F.col("beg_li").cast("int").alias("beg_li"),
+        F.col("end_li").cast("int").alias("end_li"),
+        "region_text",
+    )
