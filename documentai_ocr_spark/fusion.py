@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .extract.core import classify_payload_batch
-from .extract.textops import extract_plain_batch, pin_arrow_pools
+from .extract.textops import (
+    extract_plain_batch,
+    extract_plain_hysteresis_batch,
+    pin_arrow_pools,
+)
 from .rules import (
     FUSION_SCORE_FLOOR,
     FUSION_WEIGHTS,
@@ -58,8 +62,16 @@ def _candidate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     conv = pdf["conv_id"].to_numpy()[mask]
     tidx = pdf["turn_idx"].to_numpy()[mask]
     if len(sub):
-        for engine, (min_len, dens) in RULE_VARIANTS.items():
-            res = extract_plain_batch(sub, min_len, dens)
+        # the fusion engines (RULE_VARIANTS operating points) plus the
+        # hysteresis decoder as a 4th independent recognizer — fusion's
+        # inner join against FUSION_WEIGHTS ignores it; the ×4 vote
+        # (extract_vote) requires all four to agree
+        engines = [
+            (eng, lambda s, ml=ml, d=d: extract_plain_batch(s, ml, d))
+            for eng, (ml, d) in RULE_VARIANTS.items()
+        ] + [("hysteresis", extract_plain_hysteresis_batch)]
+        for engine, kernel in engines:
+            res = kernel(sub)
             # candidate score = mean of span scores, computed from the
             # kernel's vectorized LEFT-FOLD score_sum (same accumulation
             # order as the oracle's sum()/len — np.mean's pairwise
@@ -148,3 +160,28 @@ def fuse_candidates(cands: DataFrame) -> DataFrame:
 def extract_fused(transcripts: DataFrame) -> DataFrame:
     """The full fusion pipeline (reference lifecycle §3.3)."""
     return fuse_candidates(extract_candidates(transcripts))
+
+
+VOTE_TIMES = 4  # the reference tiles ×4 and requires 4 identical results
+
+
+def extract_vote(transcripts: DataFrame) -> DataFrame:
+    """×4 self-consistency vote (/root/reference/font/rec.py:41-87: OCR a
+    4×-tiled image, accept iff it reads as 4 identical chars): run the
+    four plain-path recognizers (3 rule operating points + hysteresis)
+    per turn and keep only turns where ALL produce the same non-empty
+    text — a correctness-by-agreement data-quality filter. A recognizer
+    returning empty text counts as disagreement (the reference's
+    len(text) != TIMES rejection). Relational core: one groupBy(turn)
+    with countDistinct — shuffles ≤4 rows per turn."""
+    cands = extract_candidates(transcripts)
+    return (
+        cands.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cand_text").alias("nd"),
+            F.min("cand_text").alias("text"),
+        )
+        .where((F.col("n") == VOTE_TIMES) & (F.col("nd") == 1))
+        .select("conv_id", "turn_idx", "text")
+    )

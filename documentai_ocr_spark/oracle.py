@@ -383,6 +383,29 @@ def extract_turn(
     }
 
 
+# --------------------------------------------------------------------- vote
+def vote_turn(text: str | None) -> str | None:
+    """Per-turn oracle for the ×4 self-consistency vote
+    (/root/reference/font/rec.py:41-87 semantics): run the four plain
+    recognizers (3 rule operating points + hysteresis); accept iff all
+    four produce the same non-empty text, else None."""
+    from .rules import RULE_VARIANTS
+
+    if detect_payload(text or "") != PAYLOAD_PLAIN:
+        return None
+    outs: list[str] = []
+    for min_len, dens_t in RULE_VARIANTS.values():
+        etext, _ = extract_plain(text or "", min_len, dens_t)
+        if etext:
+            outs.append(etext)
+    etext, _ = extract_plain_hysteresis(text or "")
+    if etext:
+        outs.append(etext)
+    if len(outs) == 4 and len(set(outs)) == 1:
+        return outs[0]
+    return None
+
+
 # ------------------------------------------------------------------- fusion
 def fuse_turn(text: str | None) -> tuple[str, float] | None:
     """Per-turn oracle for the multi-engine fusion pipeline (reference

@@ -16,7 +16,7 @@ from ..extract import (
     extract_turns,
     extract_word_boxes,
 )
-from ..fusion import extract_fused
+from ..fusion import extract_fused, extract_vote
 from ..synth import transcripts_from_documents
 
 QUERIES: dict = {}
@@ -58,6 +58,15 @@ def x_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     Golden-tested vs oracle.fuse_turn."""
     t = transcripts_from_documents(spark, sf_dir)
     return extract_fused(t)
+
+
+@_q("x_extract_vote")
+def x_extract_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """×4 self-consistency vote (/root/reference/font/rec.py:41-87):
+    keep turns where all four plain recognizers agree on the extracted
+    text. Golden-tested vs oracle.vote_turn."""
+    t = transcripts_from_documents(spark, sf_dir)
+    return extract_vote(t)
 
 
 @_q("x_word_boxes")

@@ -785,3 +785,44 @@ def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_li").cast("int").alias("end_li"),
         "region_text",
     )
+
+
+# --------------------------------------------------------------- agree vote
+@_q(
+    "q_agreement_vote",
+    """
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT v) AS int) AS n_distinct,
+           COUNT(DISTINCT v) = 1 AS agreed
+    FROM (SELECT doc_id,
+                 unnest([text,
+                         trim(text),
+                         regexp_replace(text, ' +', ' ', 'g'),
+                         regexp_replace(text, '[0-9]+', '#', 'g')]) AS v
+          FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def q_agreement_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational core of the ×4 self-consistency vote
+    (/root/reference/font/rec.py:41-87: k replicas → accept iff all
+    agree), gate-checked in SQL: four deterministic normalization probes
+    per document (identity / trim / space-collapse / digit-mask); a
+    document 'agrees' iff all four coincide — i.e. its text is already
+    normalization-stable. Shape: explode ×4 → groupBy(countDistinct)=1,
+    exactly the filter extract_vote applies to kernel candidates."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    variants = F.array(
+        F.col("text"),
+        F.trim(F.col("text")),
+        F.regexp_replace("text", " +", " "),
+        F.regexp_replace("text", "[0-9]+", "#"),
+    )
+    return (
+        docs.select("doc_id", F.explode(variants).alias("v"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("v").cast("int").alias("n_distinct"))
+        .select(
+            "doc_id", "n_distinct", (F.col("n_distinct") == 1).alias("agreed")
+        )
+    )

@@ -34,6 +34,32 @@ def test_fused_equals_oracle(spark, fixture_pdf):
     assert n_checked > 30  # the fixture must actually exercise fusion
 
 
+def test_vote_equals_oracle(spark, fixture_pdf):
+    """×4 self-consistency vote: the Spark operator must keep exactly the
+    turns oracle.vote_turn accepts, with the agreed text — and the vote
+    must actually filter (some turns rejected, some kept)."""
+    from documentai_ocr_spark.fusion import extract_vote
+    from documentai_ocr_spark.oracle import vote_turn
+
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in extract_vote(
+            spark.createDataFrame(fixture_pdf).repartition(6)
+        ).collect()
+    }
+    kept = rejected = 0
+    for _, src in fixture_pdf.iterrows():
+        key = (src["conv_id"], src["turn_idx"])
+        want = vote_turn(src["text"])
+        if want is None:
+            assert key not in got, key
+            rejected += 1
+        else:
+            assert got.get(key) == want, key
+            kept += 1
+    assert kept > 10 and rejected > 10  # a real filter, not a constant
+
+
 def test_variants_disagree_somewhere(fixture_pdf):
     """The rule variants must be genuinely different operating points —
     otherwise fusion degenerates to a copy of rule_a."""
