@@ -212,3 +212,43 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mh").cast("long").alias("min_fp"),
         F.max("mh").cast("long").alias("max_fp"),
     )
+
+
+# -------------------------------------------------------------- model hook
+@_q(
+    "q_model_classify",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n,
+             least(length(text), 1000) / 1000.0 AS f1,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^0-9A-Za-z一-龥]', '', 'g'))
+                    AS double) / length(text) ELSE 0.0 END AS f2,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    AS double) / length(text) ELSE 0.0 END AS f3,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                    AS double) / length(text) ELSE 0.0 END AS f4
+      FROM documents
+    )
+    SELECT doc_id,
+           0.1 + 0.3 * f1 + 0.5 * f2 + -0.2 * f3 + 0.1 * f4 AS score,
+           CAST(CASE WHEN 0.1 + 0.3 * f1 + 0.5 * f2 + -0.2 * f3 + 0.1 * f4
+                          >= 0.5
+                     THEN 1 ELSE 0 END AS int) AS label
+    FROM f
+    """,
+)
+def q_model_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched model-inference hook end-to-end (inference.py):
+    broadcast weights → per-worker model singleton → 256-row DataLoader
+    micro-batches inside each Arrow batch. The bundled model is a
+    deterministic linear scorer, so DuckDB reproduces the exact doubles —
+    the gate checks the WHOLE hook path (batching, broadcast, schema),
+    not just the arithmetic."""
+    from ..inference import batch_classify
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return batch_classify(docs, id_col="doc_id", text_col="text")

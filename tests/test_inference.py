@@ -1,0 +1,82 @@
+"""Model-inference hook: per-worker singleton init, DataLoader-sized
+micro-batches, and score parity with a straight-line Python model."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from documentai_ocr_spark.inference import (
+    BATCH_SIZE,
+    DEFAULT_WEIGHTS,
+    LABEL_TAU,
+    batch_classify,
+)
+
+
+def model_score(text):
+    """Independent per-row model of the scorer (same accumulation order)."""
+    n = len(text)
+    f1 = min(n, 1000) / 1000.0
+    if n > 0:
+        import re
+
+        f2 = len(re.findall(r"[0-9A-Za-z一-龥]", text)) / n
+        f3 = len(re.findall(r"[0-9]", text)) / n
+        f4 = text.count(" ") / n
+    else:
+        f2 = f3 = f4 = 0.0
+    w = DEFAULT_WEIGHTS
+    s = w[0] * 1.0
+    s = s + w[1] * f1
+    s = s + w[2] * f2
+    s = s + w[3] * f3
+    s = s + w[4] * f4
+    return s
+
+
+def test_scores_match_python_model(spark):
+    texts = [
+        "", "abc def 123", "x" * 2000, "   ", "一二三 456!",
+        "The quick brown fox jumps over 42 lazy dogs",
+    ] + [f"row {i} content line with words {i * 7}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {r.doc_id: (r.score, r.label) for r in batch_classify(df).collect()}
+    for i, t in enumerate(texts):
+        want = model_score(t)
+        assert got[str(i)] == (want, int(want >= LABEL_TAU)), repr(t)
+
+
+def test_one_init_per_worker_and_batched_calls(spark, tmp_path):
+    """The markers prove the reference's two amortizations: the model
+    initializes once per worker process (lazy singleton, not per task or
+    per batch), and inference happens in micro-batches of ≤ BATCH_SIZE
+    rows (DataLoader 256), far fewer calls than rows."""
+    marker = str(tmp_path / "markers")
+    os.makedirs(marker)
+    n_rows = 3000
+    df = spark.createDataFrame(
+        [(str(i), f"text number {i} with some words") for i in range(n_rows)],
+        "doc_id string, text string",
+    ).repartition(12)  # 12 tasks on local[4] → tasks per worker > 1
+    # a weights tuple unique to this test = a fresh model VERSION, so the
+    # reused workers (warm from other tests' DEFAULT_WEIGHTS singleton)
+    # must init exactly once each for it
+    weights = (0.1, 0.3, 0.5, -0.2, 0.11)
+    out = batch_classify(df, weights=weights, marker_dir=marker).count()
+    assert out == n_rows
+    inits = [f for f in os.listdir(marker) if f.startswith("init-")]
+    calls = [f for f in os.listdir(marker) if f.startswith("call-")]
+    pids_init = {f.split("-")[1] for f in inits}
+    pids_call = {f.split("-")[1] for f in calls}
+    # every worker process that predicted initialized exactly once
+    assert pids_call == pids_init
+    assert len(inits) == len(pids_init), "a worker re-initialized the model"
+    assert len(inits) <= 4  # at most one init per core's worker
+    # batch-level calls: ≤ BATCH_SIZE rows each, and far fewer than rows
+    sizes = [int(f.split("-")[3]) for f in calls]
+    assert all(1 <= s <= BATCH_SIZE for s in sizes)
+    assert sum(sizes) == n_rows
+    assert len(calls) < n_rows / 50
