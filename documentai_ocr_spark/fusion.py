@@ -172,16 +172,18 @@ def extract_vote(transcripts: DataFrame) -> DataFrame:
     per turn and keep only turns where ALL produce the same non-empty
     text — a correctness-by-agreement data-quality filter. A recognizer
     returning empty text counts as disagreement (the reference's
-    len(text) != TIMES rejection). Relational core: one groupBy(turn)
-    with countDistinct — shuffles ≤4 rows per turn."""
+    len(text) != TIMES rejection). Relational core: unanimity as
+    ``min(text) == max(text)`` — a single-pass aggregate (ONE shuffle of
+    ≤4 rows per turn, plan-asserted), where countDistinct would force a
+    two-phase expand+reshuffle."""
     cands = extract_candidates(transcripts)
     return (
         cands.groupBy("conv_id", "turn_idx")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct("cand_text").alias("nd"),
-            F.min("cand_text").alias("text"),
+            F.min("cand_text").alias("tmin"),
+            F.max("cand_text").alias("tmax"),
         )
-        .where((F.col("n") == VOTE_TIMES) & (F.col("nd") == 1))
-        .select("conv_id", "turn_idx", "text")
+        .where((F.col("n") == VOTE_TIMES) & (F.col("tmin") == F.col("tmax")))
+        .select("conv_id", "turn_idx", F.col("tmin").alias("text"))
     )

@@ -49,3 +49,41 @@ def test_topn_partial_limit(spark):
     # the rn<=3 predicate runs inside the window exec as a group limit
     p = plan(QUERIES["q_topn_per_group"](spark, SF))
     assert "WindowGroupLimit" in p or "rn#" in p
+
+
+def test_banded_simhash_is_equijoin(spark):
+    """The dedup scale path must plan as a hash equi-join on the band
+    bucket — never a cartesian/nested-loop product (that is exactly what
+    the banding exists to avoid at 10^12 rows)."""
+    p = plan(QUERIES["q_simhash_pairs_banded"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # equi-join on (seg, seg_val): broadcast at test SF, shuffle at scale
+    assert any(
+        j in p
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_lsh_ann_no_cartesian(spark):
+    """x_knn_lsh joins on the bucket id: the broadcast side is the 20
+    query vectors, and there must be no unconditioned cross product."""
+    p = plan(QUERIES["x_knn_lsh"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_vote_single_shuffle(spark):
+    """extract_vote = one narrow candidate stage + one groupBy(turn):
+    exactly one exchange for the aggregation (plus nothing else)."""
+    from documentai_ocr_spark.fusion import extract_vote
+
+    df = extract_vote(
+        spark.createDataFrame(synth_transcripts(n_convs=4, seed=1, skew_factor=1))
+    )
+    import re
+
+    p = plan(df)
+    # the formatted plan's detail section lists each node once: "(6) Exchange"
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    assert n_exchange == 1, p
