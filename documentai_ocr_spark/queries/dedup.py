@@ -180,32 +180,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle → 8 minhash signatures (min of a
     seeded md5 = one random permutation each) → 4 bands of 2 → candidate
     pairs share a band bucket. The only join is the band-bucket equi-join
-    — the scalable path to near-dup at 10^12 docs. Signature build is two
-    groupBys over (doc, seed) rows; the seeds dimension is a generated
-    column, not data."""
+    — the scalable path to near-dup at 10^12 docs.
+
+    The signature builds in ONE groupBy(doc_id) with 8 parallel min
+    aggregates (columns, not exploded seed rows): one shuffle of one row
+    × 8 hashes per doc instead of the naive (doc, seed)-row double
+    aggregation — map-side partial mins do all the work. Band ids/hashes
+    are then pure projections, and the self-join's two identical
+    subplans collapse into a ReusedExchange."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = _word_shingles(docs, _JACCARD_K)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_MH_SEEDS - 1))).alias("seed")
-    sig = (
-        sh.select("doc_id", "sh", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(
+    sig = sh.groupBy("doc_id").agg(
+        *[
             F.min(
-                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("sh")))
-            ).alias("sig")
-        )
+                F.md5(F.concat_ws(":", F.lit(str(s)), F.col("sh")))
+            ).alias(f"s{s}")
+            for s in range(_MH_SEEDS)
+        ]
     )
-    band = (
-        sig.withColumn("band", (F.col("seed") / _MH_ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat(
-                    F.min(F.when(F.col("seed") % 2 == 0, F.col("sig"))),
-                    F.min(F.when(F.col("seed") % 2 == 1, F.col("sig"))),
-                )
-            ).alias("bh")
-        )
+    n_bands = _MH_SEEDS // _MH_ROWS_PER_BAND
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}"))
+                ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    band = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     a = band.alias("a")
     b = band.alias("b")
