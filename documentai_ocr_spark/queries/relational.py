@@ -636,9 +636,7 @@ _HYST_NOISE = "*** !!! *** ???"
 _HYST_DENSE_STRIP = "[^0-9A-Za-z一-龥]"
 
 
-@_q(
-    "q_hysteresis_spans",
-    f"""
+_HYST_SQL = f"""
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     lines AS (
       SELECT doc_id, i - 1 AS li,
@@ -688,16 +686,14 @@ _HYST_DENSE_STRIP = "[^0-9A-Za-z一-龥]"
            CAST(beg_li AS int) AS beg_li, CAST(end_li AS int) AS end_li,
            region_text
     FROM texts
-    """,
-)
-def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hysteresis region decode, pure Catalyst: lag-window region breaks
-    (a >2-line gap in weak lines closes a region), cumulative-sum region
-    ids, HAVING-style strong-line requirement, then a range join back to
-    the line table for the region text. One shuffle keyed by doc_id
-    serves the windows; the range join is per-doc and bounded."""
-    from ..rules import BOILER_RE, HYST_BRIDGE  # noqa: F401 (provenance)
+    """
 
+
+def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared line table (doc_id, li, s) both engines derive from
+    documents: 5-token chunks as lines, with deterministic noise and
+    sub-length lines injected by (doc_id + li) mod rules so content runs
+    genuinely open, dip, bridge, and split."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tk = F.split(F.col("text"), " ")
     nl = F.ceil(F.size(tk) / F.lit(5.0)).cast("int")
@@ -705,7 +701,7 @@ def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), nl - 1),
         lambda i: F.array_join(F.slice(tk, i * 5 + 1, 5), " "),
     )
-    lines = docs.select(
+    return docs.select(
         "doc_id", F.posexplode(raw).alias("li", "raw")
     ).select(
         "doc_id",
@@ -717,12 +713,29 @@ def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("raw"))
         .alias("s"),
     )
+
+
+def _dens_col():
     ln = F.length("s")
-    dens = F.when(
+    return F.when(
         ln > 0,
         F.length(F.regexp_replace("s", _HYST_DENSE_STRIP, "")).cast("double")
         / ln,
     ).otherwise(F.lit(0.0))
+
+
+@_q("q_hysteresis_spans", _HYST_SQL)
+def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis region decode, pure Catalyst: lag-window region breaks
+    (a >2-line gap in weak lines closes a region), cumulative-sum region
+    ids, HAVING-style strong-line requirement, then a range join back to
+    the line table for the region text. One shuffle keyed by doc_id
+    serves the windows; the range join is per-doc and bounded."""
+    from ..rules import BOILER_RE, HYST_BRIDGE  # noqa: F401 (provenance)
+
+    lines = _synth_lines(spark, sf_dir)
+    ln = F.length("s")
+    dens = _dens_col()
     feat = lines.select(
         "doc_id",
         "li",
@@ -825,4 +838,234 @@ def q_agreement_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "n_distinct", (F.col("n_distinct") == 1).alias("agreed")
         )
+    )
+
+
+# ------------------------------------------------------------ rename + trim
+@_q(
+    "q_rename_normalize",
+    """
+    WITH named AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 9 = 8
+                  THEN 'scan' || CAST(doc_id % 37 AS varchar) || '.bmp'
+                  ELSE 'I' || CAST(doc_id % 37 AS varchar) || '.bmp'
+             END AS fname
+      FROM documents
+    )
+    SELECT doc_id, fname,
+           CASE WHEN regexp_matches(fname, '^I(\\d+)\\.bmp$')
+                THEN lang || '_' ||
+                     lpad(regexp_extract(fname, '^I(\\d+)\\.bmp$', 1), 2, '0')
+                     || '.png'
+                ELSE fname END AS renamed
+    FROM named
+    """,
+)
+def q_rename_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File rename normalizer (/root/reference/pdf/tools.py:51-71:
+    ``I0.bmp → 1954-01_00.bmp`` — regex-gate on ^I, zero-pad the page
+    number, re-prefix): pure column exprs (regexp_extract + lpad +
+    concat), no filesystem mutation. Non-matching names pass through
+    unchanged (the reference skips them). Filenames are synthesized
+    deterministically from doc_id; doc_id % 9 == 8 rows get a
+    non-matching name to exercise the gate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    num = (F.col("doc_id") % 37).cast("string")
+    fname = F.when(
+        F.col("doc_id") % 9 == 8, F.concat(F.lit("scan"), num, F.lit(".bmp"))
+    ).otherwise(F.concat(F.lit("I"), num, F.lit(".bmp")))
+    named = docs.select("doc_id", "lang", fname.alias("fname"))
+    pat = r"^I(\d+)\.bmp$"
+    renamed = F.when(
+        F.col("fname").rlike(pat),
+        F.concat(
+            F.col("lang"),
+            F.lit("_"),
+            F.lpad(F.regexp_extract("fname", pat, 1), 2, "0"),
+            F.lit(".png"),
+        ),
+    ).otherwise(F.col("fname"))
+    return named.select("doc_id", "fname", renamed.alias("renamed"))
+
+
+@_q(
+    "q_edge_trim",
+    """
+    WITH tok AS (
+      SELECT doc_id, i AS pos, length(tk[i]) AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           unnest(generate_series(1, len(tk))) g(i)
+    ),
+    ink AS (SELECT doc_id,
+                   MIN(CASE WHEN w > 2 THEN pos END) AS first_ink,
+                   MAX(CASE WHEN w > 2 THEN pos END) AS last_ink,
+                   CAST(MAX(pos) AS int) AS n
+            FROM tok GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(greatest(1, first_ink - 1) AS int) AS beg_pos,
+           CAST(least(n, last_ink + 1) AS int) AS end_pos, n
+    FROM ink WHERE first_ink IS NOT NULL
+    """,
+)
+def q_edge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-trim (/root/reference/mocov1/data/dataset.py:11-36
+    ``imageStrip``: advance from both ends while the projection profile
+    is ≤ threshold, keep a margin): the token-stream analogue — profile =
+    token length, ink = length > 2, trimmed span = [first_ink-1,
+    last_ink+1] clamped. Relational form: min/max over a conditional —
+    one aggregate, no ordered scan needed."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "t")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.length("t").alias("w"),
+    )
+    ink = tok.groupBy("doc_id").agg(
+        F.min(F.when(F.col("w") > 2, F.col("pos"))).alias("first_ink"),
+        F.max(F.when(F.col("w") > 2, F.col("pos"))).alias("last_ink"),
+        F.max("pos").cast("int").alias("n"),
+    )
+    return ink.where(F.col("first_ink").isNotNull()).select(
+        "doc_id",
+        F.greatest(F.lit(1), F.col("first_ink") - 1).cast("int").alias("beg_pos"),
+        F.least(F.col("n"), F.col("last_ink") + 1).cast("int").alias("end_pos"),
+        "n",
+    )
+
+
+@_q(
+    "q_slide_windows",
+    """
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+    SELECT doc_id, CAST(g.i / 4 AS int) AS win_no,
+           CAST(g.i AS int) AS beg_tok,
+           CAST(least(g.i + 16, n) AS int) AS end_tok
+    FROM d, unnest(generate_series(0, greatest(0, n - 12), 4)) g(i)
+    WHERE n >= 1
+    """,
+)
+def q_slide_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window slicer (/root/reference/mocov1/data/dataset.py:37-51
+    ``splitImage``: 16-wide windows, stride 4, over the padded line):
+    window starts = sequence(0, n-12, 4) (the reference pads by one
+    stride block so the tail is covered), clamped ends. Pure
+    sequence→explode — zero UDF, zero shuffle beyond the scan."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(F.split("text", " "))
+    starts = F.sequence(F.lit(0), F.greatest(F.lit(0), n - 12), F.lit(4))
+    return (
+        docs.select("doc_id", n.alias("n"), F.explode(starts).alias("i"))
+        .where(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            (F.col("i") / 4).cast("int").alias("win_no"),
+            F.col("i").cast("int").alias("beg_tok"),
+            F.least(F.col("i") + 16, F.col("n")).cast("int").alias("end_tok"),
+        )
+    )
+
+
+# ------------------------------------------------- plain extraction (gated)
+# the flagship plain-path semantics (line classify → gaps-and-islands →
+# run assembly WITH char offsets into the joined output) as a fully
+# SQL-expressible query — upgrading the extraction contract's evidence
+# from rows-only to a DuckDB value-hash gate. Same rules as the Arrow
+# kernel / sqlpath.py / oracle.extract_plain: len ≥ 10, density ≥ 0.5,
+# boiler phrase veto; runs joined by '\n'; beg/end are codepoint offsets.
+def _boiler_alt() -> str:
+    import re as _re
+
+    from ..rules import BOILER_PHRASES
+
+    return "|".join(_re.escape(p) for p in BOILER_PHRASES)
+
+
+@_q(
+    "q_extract_plain_runs",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS li,
+             CASE WHEN (doc_id + i - 1) % 7 = 5 THEN 'ok'
+                  WHEN (doc_id + i - 1) % 4 = 3 THEN '{_HYST_NOISE}'
+                  ELSE array_to_string(tk[(i-1)*5 + 1 : (i-1)*5 + 5], ' ')
+             END AS s
+      FROM tk, unnest(generate_series(1, CAST(ceil(len(tk) / 5.0) AS int))) g(i)
+    ),
+    fl AS (
+      SELECT doc_id, li, s FROM lines
+      WHERE length(s) >= 10
+        AND (CASE WHEN length(s) > 0 THEN
+               CAST(length(regexp_replace(s, '{_HYST_DENSE_STRIP}', '', 'g'))
+                    AS double) / length(s) ELSE 0.0 END) >= 0.5
+        AND NOT regexp_matches(s, '{{0}}', 'i')
+    ),
+    grp AS (
+      SELECT doc_id, li, s,
+             li - row_number() OVER (PARTITION BY doc_id ORDER BY li) AS g
+      FROM fl
+    ),
+    runs AS (
+      SELECT doc_id, g, MIN(li) AS beg_li,
+             string_agg(s, chr(10) ORDER BY li) AS run_text
+      FROM grp GROUP BY doc_id, g
+    ),
+    seq AS (
+      SELECT doc_id, run_text, beg_li,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY beg_li)
+                  AS int) AS run_no,
+             length(run_text) AS rl,
+             SUM(length(run_text)) OVER (PARTITION BY doc_id ORDER BY beg_li
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+      FROM runs
+    )
+    SELECT doc_id, run_no, run_text,
+           CAST(cum - rl + run_no - 1 AS int) AS beg,
+           CAST(cum + run_no - 1 AS int) AS "end"
+    FROM seq
+    """.replace("{0}", "all\ rights\ reserved|copyright|cookie\ policy|privacy\ policy|terms\ of\ service|terms\ of\ use|click\ here|subscribe\ to\ our\ newsletter|unsubscribe|advertisement|skip\ to\ content|back\ to\ top|follow\ us\ on|nav:|footer:"),
+)
+def q_extract_plain_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-path extraction runs with span offsets, pure Catalyst:
+    islands via the li − row_number trick (one window), run text via
+    ordered collect, offsets via a cumulative length window — the exact
+    per-turn contract (runs joined by '\\n', codepoint beg/end) that the
+    Arrow kernel implements, here value-hash-checked against DuckDB."""
+    lines = _synth_lines(spark, sf_dir)
+    ln = F.length("s")
+    dens = _dens_col()
+    boiler = F.col("s").rlike("(?i)(" + _boiler_alt() + ")")
+    fl = lines.where((ln >= 10) & (dens >= 0.5) & ~boiler)
+    win = Window.partitionBy("doc_id").orderBy("li")
+    grp = fl.withColumn("g", F.col("li") - F.row_number().over(win))
+    runs = grp.groupBy("doc_id", "g").agg(
+        F.min("li").alias("beg_li"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("li", "s"))),
+                lambda x: x["s"],
+            ),
+            "\n",
+        ).alias("run_text"),
+    )
+    rwin = Window.partitionBy("doc_id").orderBy("beg_li")
+    cwin = rwin.rowsBetween(Window.unboundedPreceding, 0)
+    seq = runs.select(
+        "doc_id",
+        "run_text",
+        F.row_number().over(rwin).cast("int").alias("run_no"),
+        F.length("run_text").alias("rl"),
+        F.sum(F.length("run_text")).over(cwin).alias("cum"),
+    )
+    return seq.select(
+        "doc_id",
+        "run_no",
+        "run_text",
+        (F.col("cum") - F.col("rl") + F.col("run_no") - 1)
+        .cast("int")
+        .alias("beg"),
+        (F.col("cum") + F.col("run_no") - 1).cast("int").alias("end"),
     )
