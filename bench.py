@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "x_knn_lsh",               # the ANN scale path (bucketed LSH)
     "q_lang_id",
     "q_winnow_fingerprint",
+    "q_hysteresis_spans",       # two-threshold island decode (pure Catalyst)
+    "q_extract_plain_runs",     # plain extraction runs, SQL-gated form
+    "q_model_classify",         # batched model hook (singleton + broadcast)
 ]
 
 _SF_TAG = SF_DIR.strip("/").replace("/", "_")

@@ -332,4 +332,10 @@ def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _SIMHASH_HAMMING_MAX, _simhash_df
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return simhash_pairs_banded(_simhash_df(docs), _SIMHASH_HAMMING_MAX)
+    # merge hint: without it one self-join side broadcasts and Spark
+    # recomputes the whole fingerprint pipeline for both sides (no
+    # ReusedExchange across Broadcast/Shuffle exchange kinds); with both
+    # sides shuffled the plan shares the work — measured ~2× at sf0.1,
+    # and SMJ is what this join would pick at production scale anyway
+    fp = _simhash_df(docs).hint("merge")
+    return simhash_pairs_banded(fp, _SIMHASH_HAMMING_MAX)
