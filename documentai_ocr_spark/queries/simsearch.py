@@ -7,6 +7,10 @@
   (bucket equi-join instead of cross product). Deterministic hyperplanes
   (seeded); recall vs the brute-force baseline is property-tested in
   tests/test_simsearch.py.
+* ``x_knn_ivf`` — IVF-flat ANN: deterministic k-means coarse quantizer
+  (strided seeds + Lloyd passes with driver-combined partial sums) →
+  inverted lists → nprobe cluster equi-join → exact re-rank. The second
+  scale path, recall-gated like LSH.
 * ``simhash_pairs_banded`` / ``q_simhash_pairs_banded`` — pigeonhole-
   banded SimHash pairing, the dedup scale path: hamming_max+1 = 9
   segments over the 60-bit fingerprint guarantee every pair at
@@ -339,3 +343,158 @@ def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and SMJ is what this join would pick at production scale anyway
     fp = _simhash_df(docs).hint("merge")
     return simhash_pairs_banded(fp, _SIMHASH_HAMMING_MAX)
+
+
+# ---------------------------------------------------------------- IVF ANN
+_IVF_K = 16        # coarse centroids (∝ sqrt(n) at scale)
+_IVF_NPROBE = 6    # centroids probed per query: measured top-5 recall
+                   # 0.79 at sf0.001 (4 → 0.60, 8 → 0.84) — random
+                   # gaussian vectors are IVF's worst case; clustered
+                   # real embeddings do far better at the same nprobe
+_IVF_ITERS = 2     # Lloyd refinement passes
+
+
+def _ivf_centroids(e: DataFrame, k: int, iters: int) -> np.ndarray:
+    """Deterministic k-means coarse quantizer: seeds are evenly-strided
+    vec_ids, then ``iters`` Lloyd passes. Assignment is a vectorized
+    einsum per Arrow batch; the update collects per-cluster partial sums
+    (k×dim floats per partition — tiny) and combines them on the driver
+    in sorted order, so the centroids are bit-deterministic regardless of
+    partitioning. At 10^12 rows this is the standard sample-then-train
+    loop: the update traffic is k×dim per partition, never data-sized."""
+    n = e.count()
+    stride = max(1, n // k)
+    seed_ids = [i * stride for i in range(k)]
+    seeds = (
+        e.where(F.col("vec_id").isin(seed_ids))
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r.emb, dtype=np.float64) for r in seeds])
+
+    for _ in range(iters):
+        bc = e.sparkSession.sparkContext.broadcast(cents)
+
+        def partial(batches):
+            import pandas as _pd
+
+            c = bc.value
+            sums = np.zeros_like(c)
+            cnts = np.zeros(len(c), dtype=np.int64)
+            pid = -1
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["emb"].to_numpy())
+                # cosine assignment on normalized dot (centroids unnormalized
+                # → use euclidean argmin, the classic Lloyd objective)
+                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for j in range(len(c)):
+                    mask = a == j
+                    if mask.any():
+                        sums[j] += m[mask].sum(axis=0)
+                        cnts[j] += int(mask.sum())
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+            yield _pd.DataFrame(
+                {
+                    "pid": [pid] * len(c),
+                    "cl": list(range(len(c))),
+                    "s": [row.tolist() for row in sums],
+                    "n": cnts,
+                }
+            )
+
+        parts = e.mapInPandas(
+            partial, schema="pid int, cl int, s array<double>, n long"
+        ).collect()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        # fixed combine order → deterministic float accumulation
+        for r in sorted(parts, key=lambda r: (r.cl, r.pid)):
+            sums[r.cl] += np.asarray(r.s, dtype=np.float64)
+            cnts[r.cl] += r.n
+        nz = cnts > 0
+        cents[nz] = sums[nz] / cnts[nz][:, None]
+    return cents
+
+
+def _assign_clusters(e: DataFrame, cents: np.ndarray, top: int) -> DataFrame:
+    """(vec_id, emb, cluster) — ``top`` nearest centroids per vector
+    (top=1 for the index side, nprobe for the query side)."""
+    bc = e.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        import pandas as _pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["emb"].to_numpy())
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            idx = np.argsort(d, axis=1)[:, :top]
+            n = len(pdf)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), top),
+                    "emb": [e_ for e_ in pdf["emb"] for _ in range(top)],
+                    "cluster": idx.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return e.mapInPandas(
+        assign, schema="vec_id bigint, emb array<double>, cluster int"
+    )
+
+
+@_q("x_knn_ivf")  # approximate — recall-gated in tests, no SQL oracle
+def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer → inverted lists
+    keyed by cluster id → queries probe their nprobe nearest centroids →
+    exact cosine top-k within the probed lists. The search is a cluster
+    equi-join (each vector sits in exactly one list; a query touches
+    nprobe lists) — candidate count ≈ nprobe/k of the corpus, the
+    IVF-flat layout every vector store uses at scale."""
+    e = _emb_double(spark, sf_dir)
+    cents = _ivf_centroids(e, _IVF_K, _IVF_ITERS)
+    data = _assign_clusters(e, cents, 1).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    q = (
+        _assign_clusters(
+            e.where(F.col("vec_id") < _KNN_NQUERIES), cents, _IVF_NPROBE
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "cluster",
+        )
+    )
+    cand = (
+        F.broadcast(q)
+        .join(data, ["cluster"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qemb", "qnrm", "vec_id", "emb", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    pairs = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm")), 3
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -11,6 +11,7 @@ from documentai_ocr_spark.queries.dedup import (
 from documentai_ocr_spark.queries.simsearch import (
     q_knn_cosine,
     simhash_pairs_banded,
+    x_knn_ivf,
     x_knn_lsh,
 )
 from documentai_ocr_spark.queries.util import load
@@ -31,6 +32,22 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.6, recall
     for r in x_knn_lsh(spark, SF).collect():
         assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (k-means inverted lists, nprobe probing) is the second ANN
+    scale path: same recall discipline as LSH. 0.79 measured at the
+    nprobe=6 operating point; gate well below, far above chance."""
+    exact = {
+        (r.query_id, r.neighbor_id) for r in q_knn_cosine(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in x_knn_ivf(spark, SF).collect()}
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, recall
+    # determinism: a second run returns the identical pair set
+    again = {(r.query_id, r.neighbor_id) for r in x_knn_ivf(spark, SF).collect()}
+    assert again == approx
 
 
 def test_banded_simhash_equals_allpairs(spark):
