@@ -107,6 +107,61 @@ def extract_stream_writer(src: DataFrame, sink):
     return src.writeStream.foreachBatch(sink)
 
 
+CONV_STATE_SCHEMA = "n_turns long, n_chars long, max_turn int"
+CONV_PROGRESS_SCHEMA = "conv_id string, n_turns long, n_chars long, max_turn int"
+
+
+def stateful_conv_progress(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-conversation progress (turn count, char volume, high-water
+    turn_idx) maintained across micro-batches. This is the streaming
+    form of the reference's incremental per-key accumulation (the Redis
+    counters of /root/reference/ocrclient/redisdata.py:145-156) — state
+    lives in the streaming state store, survives restarts via the
+    checkpoint, and each batch emits one updated row per touched
+    conversation (Update mode).
+
+    Scale: state is 3 numbers per conv_id; the operator shuffles each
+    micro-batch once on conv_id (the same key the table is bucketed by,
+    so a Kafka-partitioned source arrives pre-grouped)."""
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n_turns, n_chars, max_turn = state.get
+        else:
+            n_turns, n_chars, max_turn = 0, 0, -1
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].fillna("").str.len().sum())
+            if len(pdf):
+                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_chars, max_turn))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "max_turn": [max_turn],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_PROGRESS_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_turn_counts(
     stream: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

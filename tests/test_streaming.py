@@ -69,6 +69,56 @@ def test_sink_retry_is_idempotent(spark, input_dir, tmp_path_factory):
     assert per_batch[0] == 40 and per_batch[1] == 30
 
 
+def test_stateful_conv_progress(spark, input_dir, tmp_path_factory):
+    """applyInPandasWithState across several micro-batches: the FINAL
+    update per conversation must equal the batch groupBy over the whole
+    input (state accumulated correctly across batches), and multi-batch
+    conversations must have emitted multiple progressively-growing
+    updates."""
+    from documentai_ocr_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        stateful_conv_progress,
+    )
+
+    ckpt = str(tmp_path_factory.mktemp("stream") / "state_ckpt")
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    q = (
+        stateful_conv_progress(src)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM conv_progress").collect()
+    assert updates
+    final = {}
+    for r in updates:  # memory sink appends updates in batch order
+        final[r.conv_id] = (r.n_turns, r.n_chars, r.max_turn)
+    want = {
+        r.conv_id: (r.n_turns, r.n_chars, r.max_turn)
+        for r in spark.read.parquet(input_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.length(F.coalesce("text", F.lit(""))))
+            .cast("long")
+            .alias("n_chars"),
+            F.max("turn_idx").cast("int").alias("max_turn"),
+        )
+        .collect()
+    }
+    assert final == want
+    # the input spans several micro-batches → some conv got >1 update
+    assert len(updates) > len(want)
+
+
 def test_windowed_counts_schema(spark, input_dir):
     # batch-mode check of the windowed aggregation logic
     df = windowed_turn_counts(spark.read.parquet(input_dir))
