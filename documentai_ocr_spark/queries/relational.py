@@ -1069,3 +1069,63 @@ def q_extract_plain_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("beg"),
         (F.col("cum") + F.col("run_no") - 1).cast("int").alias("end"),
     )
+
+
+# ------------------------------------------------------------ verdict merge
+@_q(
+    "q_verdict_merge",
+    """
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 3 - 1 AS int) AS old_label FROM documents
+    ),
+    verdicts AS (
+      SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS int)
+               AS verdict
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT b.doc_id, b.old_label,
+           CAST(CASE WHEN b.old_label = 1 THEN 1
+                     WHEN v.verdict IS NOT NULL THEN v.verdict
+                     ELSE b.old_label END AS int) AS new_label,
+           v.verdict IS NOT NULL AND b.old_label <> 1 AS updated
+    FROM base b LEFT JOIN verdicts v ON b.doc_id = v.doc_id
+    """,
+)
+def q_verdict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-verdict MERGE (/root/reference/ocrclient/redisdata.py:88-98:
+    propagate a labeling verdict, but never overwrite a confirmed
+    ``labeled == 1`` row): the relational form of MERGE INTO ... WHEN
+    MATCHED AND old <> confirmed THEN UPDATE — a left join + guarded
+    coalesce, broadcastable because verdicts are human-scale while the
+    corpus is not. Labels: -1 rejected / 0 unlabeled / 1 confirmed."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id", (F.col("doc_id") % 3 - 1).cast("int").alias("old_label")
+    )
+    verdicts = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, 1)
+            .otherwise(-1)
+            .cast("int")
+            .alias("verdict"),
+        )
+    )
+    new_label = (
+        F.when(F.col("old_label") == 1, 1)
+        .when(F.col("verdict").isNotNull(), F.col("verdict"))
+        .otherwise(F.col("old_label"))
+        .cast("int")
+    )
+    return (
+        base.join(F.broadcast(verdicts), "doc_id", "left")
+        .select(
+            "doc_id",
+            "old_label",
+            new_label.alias("new_label"),
+            (F.col("verdict").isNotNull() & (F.col("old_label") != 1)).alias(
+                "updated"
+            ),
+        )
+    )
