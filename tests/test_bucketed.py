@@ -1,0 +1,68 @@
+"""Co-located bucketed joins: two tables bucketed by conv_id must join
+and aggregate with ZERO Exchange nodes — the shuffle-elision the 100 TB
+layout depends on."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from documentai_ocr_spark.bucketing import colocated_join, write_bucketed
+from documentai_ocr_spark.extract import extract_turns
+from documentai_ocr_spark.synth import synth_transcripts
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_exchanges(p: str) -> int:
+    return len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    tr = spark.createDataFrame(synth_transcripts(n_convs=12, seed=9))
+    write_bucketed(tr, "b_transcripts", str(base / "tr"), n_buckets=4)
+    ext = extract_turns(tr).select("conv_id", "turn_idx", "n_spans")
+    write_bucketed(ext, "b_extracted", str(base / "ext"), n_buckets=4)
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_transcripts")
+    spark.sql("DROP TABLE IF EXISTS b_extracted")
+
+
+def test_colocated_join_no_shuffle(spark, bucketed):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # bucket col ⊂ join keys: allow co-partition on the subset (the
+    # pre-3.3 behavior; correct because equal keys still co-locate)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        j = colocated_join(
+            spark, "b_transcripts", "b_extracted", ["conv_id", "turn_idx"]
+        )
+        p = plan(j)
+        assert "SortMergeJoin" in p
+        assert n_exchanges(p) == 0, p  # both sides read bucketed scans
+        # and the join is actually correct: 1:1 on the full turn key
+        n = j.count()
+        assert n == spark.table("b_transcripts").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+
+
+def test_bucketed_agg_no_shuffle(spark, bucketed):
+    """A groupBy on the bucket key aggregates within buckets — no
+    exchange before the aggregate."""
+    agg = (
+        spark.table("b_extracted")
+        .groupBy("conv_id")
+        .agg(F.sum("n_spans").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    p = plan(agg)
+    assert n_exchanges(p) == 0, p
+    rows = {r.conv_id: r.n for r in agg.collect()}
+    assert len(rows) == 12
