@@ -5,9 +5,9 @@ level.
 The reference runs N OCR engines per image, then fuses: per (image,
 candidate_text) sum the engines' weighted scores, keep the argmax above
 a floor (/root/reference/ocrclient/redisdata.py:59-64,253-262,295-322).
-Here the "engines" are rule variants of the SAME extraction kernel
-(rules.RULE_VARIANTS: production / strict / lenient-rescue thresholds)
-and the unit is the turn:
+Here the "engines" are four plain-path recognizers — the three
+rules.RULE_VARIANTS operating points (production / strict /
+lenient-rescue) plus the hysteresis decoder — and the unit is the turn:
 
   1. one ``mapInPandas`` pass emits one candidate row per (turn, engine)
      — the kernel runs once per variant per Arrow batch, all vectorized;
@@ -18,8 +18,9 @@ Candidates with empty extracted text are dropped (the reference's
 text_len filter, redisdata.py:113). Scoring: a candidate's score is the
 mean of its span scores (round 6), exactly as the oracle computes it.
 
-Scale: stage 1 is narrow ×3 work; stage 2 shuffles one row per
-(turn, distinct candidate) — ≤3 rows per turn.
+Scale: stage 1 is narrow ×4 work; stage 2 shuffles one row per
+(turn, distinct candidate) — ≤4 rows per turn (the weight join keeps
+only the 3 weighted engines for fusion; the vote consumes all 4).
 """
 
 from __future__ import annotations

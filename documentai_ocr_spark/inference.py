@@ -38,7 +38,11 @@ LABEL_TAU = 0.5
 # weights over [bias, len_capped, alnum_ratio, digit_ratio, space_ratio]
 DEFAULT_WEIGHTS = (0.1, 0.3, 0.5, -0.2, 0.1)
 
-_MODEL_CACHE: dict = {}  # per-Python-worker-process singletons, keyed by bc id
+# per-Python-worker-process singletons, keyed by the broadcast VALUE (the
+# weights tuple = model version). NOT by the Broadcast handle: worker-side
+# Broadcast objects expose no stable id, and each batch_classify call
+# creates a new broadcast — keying by handle would re-init every job.
+_MODEL_CACHE: dict = {}
 
 
 class RuleModel:

@@ -22,6 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..rules import (
+    DENSITY_THRESH as _R_DENSITY_THRESH,
+    HYST_BRIDGE as _R_HYST_BRIDGE,
+    HYST_ENTER as _R_HYST_ENTER,
+    HYST_EXIT as _R_HYST_EXIT,
+    MIN_LINE_LEN as _R_MIN_LINE_LEN,
+)
 from .util import load, spread
 
 QUERIES: dict = {}
@@ -648,20 +655,23 @@ _HYST_SQL = f"""
     ),
     feat AS (
       SELECT doc_id, li, s,
-             length(s) >= 10
+             length(s) >= {_R_MIN_LINE_LEN}
              AND (CASE WHEN length(s) > 0 THEN
                     CAST(length(regexp_replace(s, '{_HYST_DENSE_STRIP}', '', 'g'))
-                         AS double) / length(s) ELSE 0.0 END) >= 0.35 AS weak,
-             length(s) >= 10
+                         AS double) / length(s) ELSE 0.0 END)
+                 >= {_R_HYST_EXIT} AS weak,
+             length(s) >= {_R_MIN_LINE_LEN}
              AND (CASE WHEN length(s) > 0 THEN
                     CAST(length(regexp_replace(s, '{_HYST_DENSE_STRIP}', '', 'g'))
-                         AS double) / length(s) ELSE 0.0 END) >= 0.6 AS strong
+                         AS double) / length(s) ELSE 0.0 END)
+                 >= {_R_HYST_ENTER} AS strong
       FROM lines
     ),
     w AS (
       SELECT doc_id, li, strong,
              CASE WHEN lag(li) OVER (PARTITION BY doc_id ORDER BY li) IS NULL
-                    OR li - lag(li) OVER (PARTITION BY doc_id ORDER BY li) > 2
+                    OR li - lag(li) OVER (PARTITION BY doc_id ORDER BY li)
+                       > {_R_HYST_BRIDGE + 1}
                   THEN 1 ELSE 0 END AS nr
       FROM feat WHERE weak
     ),
@@ -731,8 +741,6 @@ def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, HAVING-style strong-line requirement, then a range join back to
     the line table for the region text. One shuffle keyed by doc_id
     serves the windows; the range join is per-doc and bounded."""
-    from ..rules import BOILER_RE, HYST_BRIDGE  # noqa: F401 (provenance)
-
     lines = _synth_lines(spark, sf_dir)
     ln = F.length("s")
     dens = _dens_col()
@@ -740,8 +748,8 @@ def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "li",
         "s",
-        ((ln >= 10) & (dens >= 0.35)).alias("weak"),
-        ((ln >= 10) & (dens >= 0.6)).alias("strong"),
+        ((ln >= _R_MIN_LINE_LEN) & (dens >= _R_HYST_EXIT)).alias("weak"),
+        ((ln >= _R_MIN_LINE_LEN) & (dens >= _R_HYST_ENTER)).alias("strong"),
     )
     win = Window.partitionBy("doc_id").orderBy("li")
     prev = F.lag("li").over(win)
@@ -749,7 +757,9 @@ def q_hysteresis_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.where("weak")
         .withColumn(
             "nr",
-            (prev.isNull() | ((F.col("li") - prev) > 2)).cast("int"),
+            (
+                prev.isNull() | ((F.col("li") - prev) > _R_HYST_BRIDGE + 1)
+            ).cast("int"),
         )
         .withColumn(
             "region",
@@ -972,9 +982,11 @@ def q_slide_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the flagship plain-path semantics (line classify → gaps-and-islands →
 # run assembly WITH char offsets into the joined output) as a fully
 # SQL-expressible query — upgrading the extraction contract's evidence
-# from rows-only to a DuckDB value-hash gate. Same rules as the Arrow
-# kernel / sqlpath.py / oracle.extract_plain: len ≥ 10, density ≥ 0.5,
-# boiler phrase veto; runs joined by '\n'; beg/end are codepoint offsets.
+# from rows-only to a DuckDB value-hash gate. Rules come from rules.py
+# (single source of truth shared with the Arrow kernel / sqlpath.py /
+# oracle.extract_plain) — both the Spark exprs and the DuckDB SQL
+# interpolate the SAME constants (imported at module top), so tuning a
+# threshold cannot silently decouple this query from the kernel.
 def _boiler_alt() -> str:
     import re as _re
 
@@ -997,11 +1009,11 @@ def _boiler_alt() -> str:
     ),
     fl AS (
       SELECT doc_id, li, s FROM lines
-      WHERE length(s) >= 10
+      WHERE length(s) >= {_R_MIN_LINE_LEN}
         AND (CASE WHEN length(s) > 0 THEN
                CAST(length(regexp_replace(s, '{_HYST_DENSE_STRIP}', '', 'g'))
-                    AS double) / length(s) ELSE 0.0 END) >= 0.5
-        AND NOT regexp_matches(s, '{{0}}', 'i')
+                    AS double) / length(s) ELSE 0.0 END) >= {_R_DENSITY_THRESH}
+        AND NOT regexp_matches(s, '__BOILER__', 'i')
     ),
     grp AS (
       SELECT doc_id, li, s,
@@ -1026,7 +1038,7 @@ def _boiler_alt() -> str:
            CAST(cum - rl + run_no - 1 AS int) AS beg,
            CAST(cum + run_no - 1 AS int) AS "end"
     FROM seq
-    """.replace("{0}", "all\ rights\ reserved|copyright|cookie\ policy|privacy\ policy|terms\ of\ service|terms\ of\ use|click\ here|subscribe\ to\ our\ newsletter|unsubscribe|advertisement|skip\ to\ content|back\ to\ top|follow\ us\ on|nav:|footer:"),
+    """.replace("__BOILER__", _boiler_alt()),
 )
 def q_extract_plain_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-path extraction runs with span offsets, pure Catalyst:
@@ -1038,7 +1050,9 @@ def q_extract_plain_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln = F.length("s")
     dens = _dens_col()
     boiler = F.col("s").rlike("(?i)(" + _boiler_alt() + ")")
-    fl = lines.where((ln >= 10) & (dens >= 0.5) & ~boiler)
+    fl = lines.where(
+        (ln >= _R_MIN_LINE_LEN) & (dens >= _R_DENSITY_THRESH) & ~boiler
+    )
     win = Window.partitionBy("doc_id").orderBy("li")
     grp = fl.withColumn("g", F.col("li") - F.row_number().over(win))
     runs = grp.groupBy("doc_id", "g").agg(

@@ -476,12 +476,15 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster",
         )
     )
+    # no dedup needed (unlike LSH's L tables): each vector sits in
+    # EXACTLY one inverted list (top=1), so a (query, vec) pair can join
+    # through at most one cluster — a dropDuplicates here would shuffle
+    # every candidate row's two 64-d arrays for nothing
     cand = (
         F.broadcast(q)
         .join(data, ["cluster"])
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qemb", "qnrm", "vec_id", "emb", "nrm")
-        .dropDuplicates(["query_id", "vec_id"])
     )
     pairs = cand.select(
         "query_id",

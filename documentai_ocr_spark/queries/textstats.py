@@ -218,7 +218,8 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q_model_classify",
     """
-    WITH f AS (
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    f AS (
       SELECT doc_id,
              length(text) AS n,
              least(length(text), 1000) / 1000.0 AS f1,
@@ -231,7 +232,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(text) > 0 THEN
                CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
                     AS double) / length(text) ELSE 0.0 END AS f4
-      FROM documents
+      FROM t
     )
     SELECT doc_id,
            0.1 + 0.3 * f1 + 0.5 * f2 + -0.2 * f3 + 0.1 * f4 AS score,
