@@ -253,3 +253,74 @@ def q_model_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return batch_classify(docs, id_col="doc_id", text_col="text")
+
+
+# ------------------------------------------------------------ curation gate
+@_q(
+    "q_curation_gate",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n,
+             len(string_split(text, ' ')) AS n_tok,
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^0-9A-Za-z一-龥]', '', 'g'))
+                    AS double) / length(text) ELSE 0.0 END AS dens,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+               AS canonical
+      FROM f
+    )
+    SELECT f.doc_id,
+           f.n >= 100 AS len_ok,
+           f.dens >= 0.6 AS dens_ok,
+           f.n_tok BETWEEN 20 AND 2000 AS tok_ok,
+           c.canonical,
+           f.n >= 100 AND f.dens >= 0.6 AND f.n_tok BETWEEN 20 AND 2000
+             AND c.canonical AS keep
+    FROM f JOIN canon c ON f.doc_id = c.doc_id
+    """,
+)
+def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation decision a training-data pipeline
+    runs per document: length floor, informative-density floor, token
+    band, and exact-dedup canonicality (first doc_id per normalized
+    content hash survives — the reference's dedupe-before-insert rule,
+    /root/reference/ocrclient/rechanimage.py:52-53, applied corpus-wide).
+    One scan computes the features; canonicality is one window over the
+    16-byte hash — at 100 TB the only shuffle is hash-keyed and narrow."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    n_tok = F.size(F.split("text", " "))
+    dens = F.when(
+        n > 0,
+        F.length(F.regexp_replace("text", "[^0-9A-Za-z一-龥]", "")).cast(
+            "double"
+        )
+        / n,
+    ).otherwise(F.lit(0.0))
+    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    f = docs.select(
+        "doc_id",
+        n.alias("n"),
+        n_tok.alias("n_tok"),
+        dens.alias("dens"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    c = f.withColumn("canonical", F.row_number().over(w) == 1)
+    len_ok = F.col("n") >= 100
+    dens_ok = F.col("dens") >= 0.6
+    tok_ok = (F.col("n_tok") >= 20) & (F.col("n_tok") <= 2000)
+    return c.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        dens_ok.alias("dens_ok"),
+        tok_ok.alias("tok_ok"),
+        "canonical",
+        (len_ok & dens_ok & tok_ok & F.col("canonical")).alias("keep"),
+    )
