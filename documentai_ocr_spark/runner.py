@@ -20,7 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# invoked as `spark-submit documentai_ocr_spark/runner.py` (or plain
+# python), sys.path[0] is this script's directory, not the repo root —
+# make the package importable without requiring --py-files locally
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
