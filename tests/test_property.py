@@ -48,6 +48,25 @@ def _norm_spans(spans):
     ]
 
 
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_payload, min_size=1, max_size=8))
+def test_word_spans_equal_oracle(payloads):
+    """For ANY payload (incl. malformed/non-pdfish), the word-box kernel
+    must agree with oracle.word_boxes — non-box inputs yield nothing on
+    both sides, box inputs yield identical refined spans."""
+    from documentai_ocr_spark.extract.textops import word_spans_batch
+    from documentai_ocr_spark.oracle import word_boxes
+
+    out = word_spans_batch(pd.Series(payloads))
+    got: dict[int, list] = {i: [] for i in range(len(payloads))}
+    for r, l, wn, b, e in zip(
+        out["row"], out["line_no"], out["word_no"], out["beg_px"], out["end_px"]
+    ):
+        got[int(r)].append((int(l), int(wn), float(b), float(e)))
+    for i, text in enumerate(payloads):
+        assert got[i] == word_boxes(text), repr(text)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.lists(_payload, min_size=1, max_size=16))
 def test_batch_equals_oracle(payloads):
