@@ -324,3 +324,88 @@ def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical",
         (len_ok & dens_ok & tok_ok & F.col("canonical")).alias("keep"),
     )
+
+
+# ------------------------------------------------------------- repetition
+@_q(
+    "q_repetition",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    t AS (SELECT doc_id, CAST(len(tk) AS bigint) AS n_tok,
+                 CAST(len(list_distinct(tk)) AS bigint) AS n_distinct
+          FROM tok),
+    g AS (SELECT doc_id,
+                 CAST(COUNT(*) AS bigint) AS n_g3,
+                 CAST(COUNT(DISTINCT s) AS bigint) AS n_g3_distinct
+          FROM (SELECT doc_id,
+                       tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+                FROM tok, unnest(generate_series(1, len(tk) - 2)) u(i))
+          GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tok, t.n_distinct,
+           ROUND(1.0 - CAST(t.n_distinct AS double) / t.n_tok, 6)
+             AS dup_tok_ratio,
+           CAST(coalesce(g.n_g3, 0) AS bigint) AS n_g3,
+           ROUND(CASE WHEN g.n_g3 > 0
+                      THEN 1.0 - CAST(g.n_g3_distinct AS double) / g.n_g3
+                      ELSE 0.0 END, 6) AS dup_g3_ratio
+    FROM t LEFT JOIN g ON t.doc_id = g.doc_id
+    WHERE t.n_tok > 0
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher repetition rules): dup
+    token fraction and dup word-3-gram fraction — high values mark the
+    degenerate/boilerplate docs a training pipeline drops. Exact integer
+    distinct counts on both engines; one groupBy per granularity."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = F.split("text", " ")
+    t = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
+    )
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(tk) >= 3, F.sequence(F.lit(1), F.size(tk) - 2)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+            tk.alias("tk"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("tk", F.col("i")),
+                F.element_at("tk", F.col("i") + 1),
+                F.element_at("tk", F.col("i") + 2),
+            ).alias("s"),
+        )
+    )
+    g = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g3"),
+        F.countDistinct("s").cast("long").alias("n_g3_distinct"),
+    )
+    return (
+        t.where(F.col("n_tok") > 0)
+        .join(g, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_tok"), 6
+            ).alias("dup_tok_ratio"),
+            F.coalesce("n_g3", F.lit(0)).cast("long").alias("n_g3"),
+            F.round(
+                F.when(
+                    F.col("n_g3") > 0,
+                    1.0
+                    - F.col("n_g3_distinct").cast("double") / F.col("n_g3"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_g3_ratio"),
+        )
+    )
