@@ -79,6 +79,26 @@ def x_word_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_word_boxes(t)
 
 
+@_q("x_conv_dedup")
+def x_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: extraction → conversation assembly → exact
+    dedup at CONVERSATION granularity (normalized doc_text hash, earliest
+    conv_id canonical). The post-extraction dedup pass a training
+    pipeline runs before packing documents; shuffles one 32-char hash
+    per conversation."""
+    t = transcripts_from_documents(spark, sf_dir)
+    convs = assemble_conversations(extract_turns(t))
+    h = F.md5(F.lower(F.regexp_replace("doc_text", r"\s+", " ")))
+    return (
+        convs.select("conv_id", h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("conv_id").alias("canonical_conv"),
+        )
+    )
+
+
 @_q("x_span_stats")
 def x_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level reporting: explode the spans array and aggregate per

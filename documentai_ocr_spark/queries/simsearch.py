@@ -163,7 +163,8 @@ def lsh_bucket_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
 @_q("x_knn_lsh")  # engine-only: ANN is approximate — no SQL oracle
 def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH ANN (6 tables × 4 hyperplanes): candidates share a
+    """Multi-table LSH ANN (_LSH_L_TABLES tables × 4 hyperplanes):
+    candidates share a
     sign bucket in ≥1 table, so the search is an exploded bucket
     equi-join + distinct + within-bucket top-k — the plan that survives
     10^12 rows (no cross product; each vector appears L times). Recall
