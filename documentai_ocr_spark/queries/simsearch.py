@@ -276,7 +276,14 @@ def simhash_pairs_banded(
 
     Scale: each fingerprint explodes ×n_bands into 8-byte segment keys;
     the only join is the bucket equi-join (AQE splits hot buckets), so
-    cost tracks candidate count, not n²."""
+    cost tracks candidate count, not n². Knee to watch: with 60-bit
+    fingerprints a segment key has only ~2^6-2^7 values, so beyond ~10^5
+    docs per partition-of-keyspace the buckets themselves grow dense and
+    candidate count creeps toward quadratic — the standard remedy is
+    hierarchical banding (extend the join key with a second segment at
+    hamming budget split k1+k2, i.e. candidates must match one segment
+    exactly AND a second within budget), or widen the fingerprint to 128
+    bits. The pigeonhole completeness argument carries over unchanged."""
     if n_bands is None:
         n_bands = hamming_max + 1
     base, rem = divmod(_SIMHASH_BITS, n_bands)
