@@ -15,10 +15,19 @@ Layout:
   rules.py               shared deterministic rule constants (one source of truth)
   session.py             tuned local SparkSession factory
   synth.py               deterministic synthetic transcripts generator
-  oracle.py              pure-pandas oracle (independent reimplementation for golden tests)
-  extract/               the extraction core (plain / html / pdfish payloads)
-  operators/             relational operator library (islands, top-k, fusion, dedup, similarity, text stats)
-  pipeline/              checkpoint / lineage / resumable incremental runs
+  oracle.py              pure-Python oracle (independent reimplementation for golden tests)
+  extract/               the extraction core (plain / html / pdfish payloads,
+                         hysteresis variant, word-span fixups, pure-SQL path)
+  queries/               operator registry (relational, dedup, textstats,
+                         simsearch, extraction, labeldsl) with DuckDB oracles
+  fusion.py              multi-recognizer weighted fusion + the ×4 vote
+  lineage.py             checkpoint / lineage / resumable incremental runs
+  streaming.py           structured-streaming front end (idempotent sink,
+                         stateful per-conversation progress)
+  pdfbin.py              PDF-binary ingestion front door (SPDF container)
+  inference.py           batched model hook (broadcast + worker singleton)
+  bucketing.py           co-located bucketed table layout (shuffle-free joins)
+  multimodal.py / skew.py  binary media columns; skew salting utilities
 """
 
 __version__ = "0.1.0"

@@ -82,10 +82,13 @@ def extract_batch(pdf: pd.DataFrame, plain_variant: str = "density") -> pd.DataF
     kinds = classify_payload_batch(texts)
 
     n = len(texts)
-    result = pd.DataFrame(
-        {"text": [""] * n, "spans": [[] for _ in range(n)],
-         "n_spans": np.zeros(n, dtype=np.int64)}
-    )
+    # plain numpy arrays, NOT views into a DataFrame: Series.to_numpy()
+    # under pandas Copy-on-Write returns read-only/copied buffers, so
+    # writing through it would either raise or silently lose the spans
+    text_out = np.full(n, "", dtype=object)
+    spans_out = np.empty(n, dtype=object)
+    spans_out[:] = [[] for _ in range(n)]
+    n_spans_out = np.zeros(n, dtype=np.int64)
     for kind, fn in (
         (PAYLOAD_PLAIN, PLAIN_VARIANTS[plain_variant]),
         (PAYLOAD_HTML, extract_html_batch),
@@ -96,13 +99,9 @@ def extract_batch(pdf: pd.DataFrame, plain_variant: str = "density") -> pd.DataF
             continue
         sub = fn(texts[mask].reset_index(drop=True))
         pos = np.flatnonzero(mask)
-        result.iloc[pos, result.columns.get_loc("text")] = sub["text"].to_numpy()
-        result.iloc[pos, result.columns.get_loc("n_spans")] = sub[
-            "n_spans"
-        ].to_numpy()
-        # object column: positional assignment of the list values
-        spans_col = result["spans"].to_numpy()
-        spans_col[pos] = sub["spans"].to_numpy()
+        text_out[pos] = sub["text"].to_numpy()
+        spans_out[pos] = sub["spans"].to_numpy()
+        n_spans_out[pos] = sub["n_spans"].to_numpy()
 
     return pd.DataFrame(
         {
@@ -110,9 +109,9 @@ def extract_batch(pdf: pd.DataFrame, plain_variant: str = "density") -> pd.DataF
             "turn_idx": pdf["turn_idx"].to_numpy(),
             "role": pdf["role"].to_numpy(),
             "payload_kind": kinds.to_numpy(),
-            "text": result["text"].to_numpy(),
-            "spans": result["spans"].to_numpy(),
-            "n_spans": result["n_spans"].to_numpy(),
+            "text": text_out,
+            "spans": spans_out,
+            "n_spans": n_spans_out,
         }
     )
 

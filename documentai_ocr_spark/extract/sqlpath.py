@@ -109,7 +109,10 @@ def extract_plain_sql(
     payloads, entirely in Catalyst expressions."""
     e = _plain_exprs(min_line_len, density_thresh)
     out = (
-        df.withColumn("lines", F.expr(e["lines"]))
+        # NULL text must behave as '' (kernel + oracle semantics: empty
+        # extraction, not NULL-propagation through every expression)
+        df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("lines", F.expr(e["lines"]))
         .withColumn("dens", F.expr(e["dens"]))
         .withColumn("flags", F.expr(e["flags"]))
         .withColumn("idxs", F.expr(e["idxs"]))

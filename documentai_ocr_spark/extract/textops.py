@@ -147,15 +147,30 @@ def _segment_leftfold_sum(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     values[a+1] + … one at a time). np.add.reduceat/sum use pairwise
     accumulation whose last-ulp results differ from the SQL path's
     aggregate() and the oracle's sum() — bit-parity requires the same
-    fold. Vectorized across segments: one fused add per line-position."""
+    fold. Common case (short segments): vectorized across segments, one
+    fused add per position. A skewed batch (one huge segment) would make
+    that O(max_len × n_segments), so long segments fall back to
+    ``np.add.accumulate`` — which IS a sequential left fold (verified
+    bit-equal to the Python loop), keeping the whole thing O(total)."""
     starts = bounds[:-1]
     seg_len = np.diff(bounds)
     out = np.zeros(len(starts), dtype=np.float64)
     if len(starts) == 0:
         return out
-    for j in range(int(seg_len.max())):
+    max_len = int(seg_len.max())
+    cap = 256
+    for j in range(min(max_len, cap)):
         m = seg_len > j
         out[m] += values[starts[m] + j]
+    if max_len > cap:
+        # the rare skewed segments: finish each tail with accumulate
+        # SEEDED by the running sum — [out_k, v_cap, v_cap+1, …] folds as
+        # (((out_k + v_cap) + v_cap+1) + …), the exact same order, in C
+        for k in np.flatnonzero(seg_len > cap):
+            a = starts[k] + cap
+            b = starts[k] + seg_len[k]
+            seeded = np.concatenate(([out[k]], values[a:b]))
+            out[k] = np.add.accumulate(seeded)[-1]
     return out
 
 
@@ -359,10 +374,17 @@ def extract_html_batch(texts: pd.Series) -> pd.DataFrame:
         & (dens >= HTML_MIN_DENSITY)
     )
     kept = np.flatnonzero(keep)
+    # Python round(), not np.round: the oracle rounds each block score
+    # with Python round and the two differ in the last ulp at some
+    # midpoints (e.g. 1 - 1/640) — same discipline as fusion.py
+    scores = np.array(
+        [round(float(1.0 - ld), 6) for ld in link_density[kept]],
+        dtype=np.float64,
+    )
     return _assemble_rows(
         np.asarray(rows, dtype=np.int64)[kept],
         barr.take(pa.array(kept)),
-        np.round(1.0 - link_density[kept], 6),
+        scores,
         SPAN_KIND_BLOCK,
         n_rows,
     )
@@ -622,7 +644,6 @@ def word_spans_batch(texts: pd.Series) -> pd.DataFrame:
     new_line = np.concatenate(([True], line[1:] != line[:-1]))
     word_start = new_line | space
     wstarts = np.flatnonzero(word_start)
-    wbounds = np.concatenate((wstarts, [len(x)]))
     beg = x[wstarts]
     end = np.maximum.reduceat(x + w, wstarts)
     wline = line[wstarts]

@@ -127,10 +127,14 @@ def run_extraction_increment(
         return len(pending)
 
     # lineage is aggregated from the files just written: commits exactly
-    # what is durably on disk, and doubles as a write verification
-    written = spark.read.parquet(f"{out_dir}/extracted").where(
-        F.col("bucket").isin(pending)
-    )
+    # what is durably on disk, and doubles as a write verification.
+    # Explicit schema: a run whose pending buckets had zero input rows
+    # writes no part files, and schema inference would raise
+    # UNABLE_TO_INFER_SCHEMA — with the schema given, the read is simply
+    # empty and the empty-bucket commit below still happens.
+    written = spark.read.schema(ext.schema).parquet(
+        f"{out_dir}/extracted"
+    ).where(F.col("bucket").isin(pending))
     lineage = written.groupBy("bucket", "part_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
         F.countDistinct("conv_id").cast("long").alias("n_convs"),

@@ -67,7 +67,8 @@ def _word_shingles(doc: DataFrame, k: int) -> DataFrame:
 @_q(
     "q_dedup_exact",
     """
-    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+    SELECT md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+             AS content_hash,
            CAST(COUNT(*) AS bigint) AS n_dups,
            CAST(MIN(doc_id) AS bigint) AS canonical_id
     FROM documents
@@ -76,9 +77,11 @@ def _word_shingles(doc: DataFrame, k: int) -> DataFrame:
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized content hash: one groupBy on a 32-char
-    key; at 100 TB this shuffles hashes only (text never moves)."""
+    key; at 100 TB this shuffles hashes only (text never moves).
+    Whitespace class is EXPLICIT, not \\s: Java \\s includes \\x0B, RE2's
+    does not — the explicit class hashes identically on both engines."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    h = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")))
     return docs.groupBy(h.alias("content_hash")).agg(
         F.count(F.lit(1)).cast("long").alias("n_dups"),
         F.min("doc_id").cast("long").alias("canonical_id"),

@@ -88,7 +88,7 @@ def x_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per conversation."""
     t = transcripts_from_documents(spark, sf_dir)
     convs = assemble_conversations(extract_turns(t))
-    h = F.md5(F.lower(F.regexp_replace("doc_text", r"\s+", " ")))
+    h = F.md5(F.lower(F.regexp_replace("doc_text", r"[ \t\n\x0B\f\r]+", " ")))
     return (
         convs.select("conv_id", h.alias("content_hash"))
         .groupBy("content_hash")

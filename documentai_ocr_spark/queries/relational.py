@@ -86,18 +86,23 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_charfreq",
     """
     SELECT ch, CAST(COUNT(*) AS bigint) AS cnt
-    FROM (SELECT unnest(regexp_extract_all(text, '.')) AS ch FROM documents)
+    FROM (SELECT unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents)
     GROUP BY ch
     """,
 )
 def q_charfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char frequency Counter (/root/reference/spiltTools.py:32-43,
     easyocr/run.py:25-41) as explode→groupBy — map-side partial agg makes
-    this shuffle only one row per distinct char per partition."""
+    this shuffle only one row per distinct char per partition.
+    '(?s).' on BOTH engines: plain '.' excludes different line
+    terminators in Java (\\r, \\u2028…) vs RE2 (\\n only), so dotall mode
+    is the only spelling that counts every character identically."""
     docs = spread(load(spark, sf_dir, "documents").select("text"))
     return (
         docs.select(
-            F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch")
+            F.explode(
+                F.regexp_extract_all("text", F.lit("(?s)."), 0)
+            ).alias("ch")
         )
         .groupBy("ch")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -266,7 +266,7 @@ def q_model_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(text) > 0 THEN
                CAST(length(regexp_replace(text, '[^0-9A-Za-z一-龥]', '', 'g'))
                     AS double) / length(text) ELSE 0.0 END AS dens,
-             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+             md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS h
       FROM documents
     ),
     canon AS (
@@ -303,7 +303,7 @@ def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / n,
     ).otherwise(F.lit(0.0))
-    h = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    h = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")))
     f = docs.select(
         "doc_id",
         n.alias("n"),

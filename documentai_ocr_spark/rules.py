@@ -118,8 +118,14 @@ WS_CLASS = (
 )
 
 # ------------------------------------------------------- payload detection
-HTML_SNIFF_RE = re.compile(r"^\s*<[a-zA-Z!]")          # starts like markup
-PDFISH_SNIFF_RE = re.compile(r'^\s*\{"c"\s*:')          # first line is a char box
+# EXPLICIT ASCII whitespace class, not \s: Python re's \s is Unicode-wide
+# while RE2 (pyarrow kernel) and Java regex (sqlpath rlike) use ASCII \s —
+# a Unicode-space-prefixed payload would sniff differently per engine and
+# break the per-turn text-equality invariant. The explicit class below
+# means the same thing to all three regex engines.
+_SNIFF_WS = r"[ \t\r\n\f\x0B]"
+HTML_SNIFF_RE = re.compile(rf"^{_SNIFF_WS}*<[a-zA-Z!]")    # starts like markup
+PDFISH_SNIFF_RE = re.compile(rf'^{_SNIFF_WS}*\{{"c"{_SNIFF_WS}*:')  # char box
 
 # ------------------------------------------------------------------ fusion
 # weighted multi-candidate score fusion, per-unit (reference weights:

@@ -92,3 +92,23 @@ def test_crash_before_commit_resumes_exactly(
     # no duplicate rows despite the double write of the crashed buckets
     full = read_extracted(spark, out)
     assert full.count() == full.select("conv_id", "turn_idx").distinct().count()
+
+
+def test_empty_input_commits_and_converges(spark, tmp_path):
+    """A run whose pending buckets contain zero input rows must still
+    commit them (zero-count lineage rows) rather than crash on schema
+    inference over an empty output dir — otherwise run_to_completion
+    could never converge on an empty slice."""
+    from documentai_ocr_spark.lineage import (
+        run_extraction_increment,
+        run_to_completion,
+    )
+    from documentai_ocr_spark.streaming import TRANSCRIPT_SCHEMA
+
+    out = str(tmp_path / "empty_run")
+    empty = spark.createDataFrame([], TRANSCRIPT_SCHEMA)
+    assert run_extraction_increment(spark, empty, out, n_buckets=8) == 8
+    assert run_to_completion(spark, empty, out, n_buckets=8) == 0
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.count() == 8
+    assert lin.where("n_turns = 0").count() == 8

@@ -35,7 +35,14 @@ _boxline = st.builds(
 )
 _junk = st.sampled_from(
     ["", " ", "\n", "{", "<", "</", "\x00\x01", "....", "nav: x | y",
-     "Copyright 2024 Example Corp. All rights reserved."]
+     "Copyright 2024 Example Corp. All rights reserved.",
+     # sniff-prefix hostiles: ASCII \x0b and Unicode spaces before a
+     # payload marker — the engines' regex \s classes differ, so the
+     # sniff patterns use an explicit ASCII class; these lock that in
+     "\x0b<p>hello wonderful world of text</p>",
+     "　<div>unicode-space prefixed</div>",
+     '\xa0{"c":"a","x":1,"y":1,"w":8,"h":10,"page":0}',
+     '\t{"c":"b","x":2,"y":1,"w":8,"h":10,"page":0}']
 )
 _line = st.one_of(_words, _tagged, _boxline, _junk)
 _payload = st.lists(_line, min_size=0, max_size=12).map("\n".join)
