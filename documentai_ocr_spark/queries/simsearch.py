@@ -119,9 +119,12 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ LSH ANN
 _LSH_K_PLANES = 4    # planes per table → 16 buckets/table
-_LSH_L_TABLES = 12   # independent tables: measured top-5 recall 0.84 at
-                     # sf0.001 (6 tables gave 0.63); at production n the
-                     # knob is k ∝ log n to hold bucket size, L for recall
+_LSH_L_TABLES = 8    # independent tables. Measured top-5 recall at
+                     # sf0.001: single-probe L=6→0.63, L=12→0.84;
+                     # MULTI-PROBE (1-bit flips, query side) L=8→1.00 —
+                     # so the index stays 8× and the probe fan-out (k+1)×
+                     # lands only on the query side. At production n the
+                     # knob is k ∝ log n to hold bucket size.
 _LSH_SEED = 1234
 _LSH_DIM = 64
 
@@ -131,10 +134,17 @@ def _hyperplanes() -> np.ndarray:
     return rng.standard_normal((_LSH_L_TABLES, _LSH_K_PLANES, _LSH_DIM))
 
 
-def lsh_bucket_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def lsh_bucket_ids(
+    spark: SparkSession, emb: DataFrame, multiprobe: bool = False
+) -> DataFrame:
     """Add a ``buckets array<bigint>`` column: one sign-pattern bucket id
     per LSH table (bucket id encodes the table index so tables never
-    collide). One Arrow-batch matmul per partition — no per-row Python."""
+    collide). One Arrow-batch matmul per partition — no per-row Python.
+
+    ``multiprobe=True`` (QUERY side only) also emits every 1-bit-flip
+    neighbor of each bucket — the standard multi-probe trick: recall of
+    a much larger L at the cost of (k+1)× more probe keys on the tiny
+    query side, while the data-side index stays L× exactly."""
     planes = _hyperplanes()
     bc = spark.sparkContext.broadcast(planes)
 
@@ -146,8 +156,20 @@ def lsh_bucket_ids(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 np.einsum("nd,lkd->nlk", m, p) > 0
             )  # (n, L, k)
             packed = (signs * (1 << np.arange(_LSH_K_PLANES))).sum(axis=2)
-            table_base = (np.arange(_LSH_L_TABLES) + 1) << _LSH_K_PLANES
-            buckets = packed + table_base  # (n, L), disjoint per table
+            if multiprobe:
+                flips = packed[:, :, None] ^ (
+                    1 << np.arange(_LSH_K_PLANES)
+                )  # (n, L, k)
+                packed = np.concatenate(
+                    (packed[:, :, None], flips), axis=2
+                )  # (n, L, k+1)
+                table_base = (
+                    (np.arange(_LSH_L_TABLES) + 1) << _LSH_K_PLANES
+                )[None, :, None]
+                buckets = (packed + table_base).reshape(len(m), -1)
+            else:
+                table_base = (np.arange(_LSH_L_TABLES) + 1) << _LSH_K_PLANES
+                buckets = packed + table_base  # (n, L), disjoint per table
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -177,11 +199,18 @@ def x_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "emb", "nrm", F.explode("buckets").alias("bucket")
         )
     )
-    q = b.where(F.col("vec_id") < _KNN_NQUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"),
+    # query side probes its bucket AND every 1-bit-flip neighbor
+    q = (
+        lsh_bucket_ids(
+            spark, e.where(F.col("vec_id") < _KNN_NQUERIES), multiprobe=True
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            F.explode("buckets").alias("qbucket"),
+        )
     )
     cand = (
         F.broadcast(q)

@@ -26,10 +26,10 @@ def test_lsh_recall_vs_bruteforce(spark):
     approx = {(r.query_id, r.neighbor_id) for r in x_knn_lsh(spark, SF).collect()}
     assert approx, "LSH returned nothing"
     recall = len(exact & approx) / len(exact)
-    # 12 tables × 4 planes measure 0.84 top-5 recall on this fixture;
-    # gate at 0.6 — a real regression (fewer tables, broken bucketing)
-    # lands far below, seed jitter does not
-    assert recall >= 0.6, recall
+    # 8 tables × 4 planes with 1-bit multi-probe measure 1.00 top-5
+    # recall on this fixture; gate at 0.85 — a regression (broken
+    # probing/bucketing) lands far below, seed jitter does not
+    assert recall >= 0.85, recall
     for r in x_knn_lsh(spark, SF).collect():
         assert -1.0 <= r.cos_sim <= 1.0
 
