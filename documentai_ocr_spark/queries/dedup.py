@@ -353,3 +353,149 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("int").alias("hamming"),
         )
     )
+
+
+# ------------------------------------------------------- wide simhash (120b)
+# the documented remedy for the 60-bit banded path's bucket-density knee
+# (see simsearch.simhash_pairs_banded): double the fingerprint. Two
+# independent 60-bit simhashes (different hash salts) = 120 bits; 12
+# bands of 10 bits (6 per half) guarantee pairs at hamming ≤ 11 share a
+# band — we filter at ≤ 10. Segment keyspace grows from ~2^7 to 2^10
+# per band, pushing the dense-bucket knee ~8× further out.
+_SIMHASH_W_HAMMING_MAX = 10
+_SIMHASH_W_SEG_BITS = 10
+
+_W_VOTE_CTE = """
+    tok AS (SELECT doc_id, t AS tok, CAST(COUNT(*) AS bigint) AS w
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY doc_id, t),
+    h AS (SELECT doc_id, w,
+                 ('0x' || substr(md5(tok), 1, 15))::bigint AS hv1,
+                 ('0x' || substr(md5('x2:' || tok), 1, 15))::bigint AS hv2
+          FROM tok),
+    v1 AS (SELECT doc_id, b.bit,
+                  SUM(CASE WHEN (hv1 >> b.bit) & 1 = 1 THEN w ELSE -w END) AS vote
+           FROM h, (SELECT unnest(generate_series(0, 59)) AS bit) b
+           GROUP BY doc_id, b.bit),
+    v2 AS (SELECT doc_id, b.bit,
+                  SUM(CASE WHEN (hv2 >> b.bit) & 1 = 1 THEN w ELSE -w END) AS vote
+           FROM h, (SELECT unnest(generate_series(0, 59)) AS bit) b
+           GROUP BY doc_id, b.bit),
+    fp AS (SELECT f1.doc_id, f1.h1, f2.h2 FROM
+             (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::bigint << bit)
+                                           ELSE 0 END) AS bigint) AS h1
+              FROM v1 GROUP BY doc_id) f1
+           JOIN
+             (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (1::bigint << bit)
+                                           ELSE 0 END) AS bigint) AS h2
+              FROM v2 GROUP BY doc_id) f2
+           ON f1.doc_id = f2.doc_id)
+"""
+
+SIMHASH_WIDE_PAIRS_SQL = f"""
+    WITH {_W_VOTE_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.h1, b.h1))
+                + bit_count(xor(a.h2, b.h2)) AS int) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+          <= {_SIMHASH_W_HAMMING_MAX}
+    """
+
+
+def _simhash_wide_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2): two independent 60-bit simhashes = a 120-bit
+    fingerprint. Second hash = md5 over a salted token ('x2:' prefix)."""
+    a = _simhash_df(docs)
+    # the salt applies PER TOKEN ('x2:'||tok), giving an independent bit
+    # pattern per token — salting the whole text would shift tokenization
+    t = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    h2src = t.withColumn("hv", _hex60(F.concat(F.lit("x2:"), F.col("tok"))))
+    bits = h2src.select(
+        "doc_id",
+        "w",
+        "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+    )
+    vote = (
+        bits.withColumn(
+            "v",
+            F.when(
+                F.expr("(shiftright(hv, bit) & 1) = 1"), F.col("w")
+            ).otherwise(-F.col("w")),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    b = vote.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.expr("shiftleft(1L, bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("h2")
+    )
+    return a.withColumnRenamed("simhash", "h1").join(b, "doc_id")
+
+
+@_q("q_simhash_wide_banded", SIMHASH_WIDE_PAIRS_SQL)
+def q_simhash_wide_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120-bit banded simhash pairing at hamming ≤ 10: 12 bands of 10
+    bits (six per 60-bit half) — pigeonhole-complete since 10 < 12 —
+    joined on (seg, seg_val) and gate-checked against the ALL-PAIRS
+    two-long DuckDB SQL. The wide fingerprint is the scale remedy for
+    60-bit band density: 2^10-value segments keep buckets sparse ~8×
+    longer as the corpus grows."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    fp = _simhash_wide_df(docs).hint("merge")
+    n_bands_per_half = _SIMHASH_BITS // _SIMHASH_W_SEG_BITS  # 6
+    bands = []
+    for half, col in ((0, "h1"), (1, "h2")):
+        for i in range(n_bands_per_half):
+            off = i * _SIMHASH_W_SEG_BITS
+            bands.append(
+                F.struct(
+                    F.lit(half * n_bands_per_half + i).alias("seg"),
+                    F.expr(
+                        f"shiftright({col}, {off}) & "
+                        f"{(1 << _SIMHASH_W_SEG_BITS) - 1}L"
+                    ).alias("seg_val"),
+                )
+            )
+    segs = fp.select(
+        "doc_id", "h1", "h2", F.explode(F.array(*bands)).alias("b")
+    ).select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.col("b.seg").alias("seg"),
+        F.col("b.seg_val").alias("seg_val"),
+    )
+    a = segs.alias("a")
+    b = segs.alias("b")
+    ham = F.expr(
+        "bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= _SIMHASH_W_HAMMING_MAX)
+        .distinct()
+    )

@@ -50,6 +50,34 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert again == approx
 
 
+def test_wide_banded_simhash_complete(spark):
+    """120-bit banded pairing must equal a brute-force all-pairs scan of
+    the collected fingerprints (pigeonhole: hamming ≤ 10 < 12 bands)."""
+    from documentai_ocr_spark.queries.dedup import (
+        _SIMHASH_W_HAMMING_MAX,
+        _simhash_wide_df,
+        q_simhash_wide_banded,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    fps = {r.doc_id: (r.h1, r.h2) for r in _simhash_wide_df(docs).collect()}
+    ids = sorted(fps)
+    base = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            h = bin(fps[da][0] ^ fps[db][0]).count("1") + bin(
+                fps[da][1] ^ fps[db][1]
+            ).count("1")
+            if h <= _SIMHASH_W_HAMMING_MAX:
+                base.add((da, db, h))
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in q_simhash_wide_banded(spark, SF).collect()
+    }
+    assert banded == base
+    assert base, "fixture produced no wide near-dup pairs — vacuous"
+
+
 def test_banded_simhash_equals_allpairs(spark):
     docs = load(spark, SF, "documents").select("doc_id", "text")
     fp = _simhash_df(docs).cache()
