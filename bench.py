@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_minhash_lsh_pairs",
     "q_simhash_fingerprint",
     "q_simhash_pairs_banded",  # the dedup scale path (pigeonhole equi-join)
+    "q_simhash_wide_banded",   # 120-bit variant (density-knee remedy)
     "q_knn_cosine",
     "x_knn_lsh",               # the ANN scale path (bucketed LSH)
     "q_lang_id",
