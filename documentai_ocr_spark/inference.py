@@ -43,6 +43,7 @@ DEFAULT_WEIGHTS = (0.1, 0.3, 0.5, -0.2, 0.1)
 # Broadcast objects expose no stable id, and each batch_classify call
 # creates a new broadcast — keying by handle would re-init every job.
 _MODEL_CACHE: dict = {}
+_INIT_SEQ = 0  # per-process init-event counter (test observability)
 
 
 class RuleModel:
@@ -96,8 +97,15 @@ def _get_model(bc, marker_dir: str | None):
         model = RuleModel(bc.value)
         _MODEL_CACHE[key] = model
         if marker_dir:
+            # unique file PER INIT EVENT (monotonic per-process seq), not
+            # per (pid, key): a broken singleton that re-inits would
+            # otherwise overwrite the same marker and hide from the test
+            global _INIT_SEQ
+            _INIT_SEQ += 1
             open(
-                os.path.join(marker_dir, f"init-{os.getpid()}-{hash(key)}"),
+                os.path.join(
+                    marker_dir, f"init-{os.getpid()}-{_INIT_SEQ}"
+                ),
                 "w",
             ).close()
     return model

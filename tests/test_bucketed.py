@@ -2,24 +2,13 @@
 and aggregate with ZERO Exchange nodes — the shuffle-elision the 100 TB
 layout depends on."""
 
-import re
-
 import pytest
+from planutil import n_exchanges, plan
 from pyspark.sql import functions as F
 
 from documentai_ocr_spark.bucketing import colocated_join, write_bucketed
 from documentai_ocr_spark.extract import extract_turns
 from documentai_ocr_spark.synth import synth_transcripts
-
-
-def plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def n_exchanges(p: str) -> int:
-    return len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
 
 
 @pytest.fixture(scope="module")

@@ -67,7 +67,7 @@ def test_html_strips_boilerplate():
     out = extract_html_batch(pd.Series([html]))
     assert out["text"].iloc[0] == "Main content paragraph with plenty of real words."
     assert len(out["spans"].iloc[0]) == 1
-    assert out["spans"].iloc[0]["kind" if False else 0]["kind"] == "html_block"
+    assert out["spans"].iloc[0][0]["kind"] == "html_block"
 
 
 def test_pdfish_line_grouping_and_spaces():

@@ -1,7 +1,6 @@
 """Two-threshold hysteresis island decoder: dip fixtures pin the
 enter/exit/bridge semantics; kernel == oracle byte-for-byte."""
 
-import numpy as np
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st

@@ -3,7 +3,6 @@ the reference state-machine semantics
 (/root/reference/mocov1/cls/pdpd/datapreprocess.py:20-94), checked
 against an independent straight-line Python model."""
 
-import pytest
 
 from documentai_ocr_spark.queries.labeldsl import label_spec_indices
 
@@ -64,7 +63,10 @@ def test_spark_operator_matches_model(spark):
     out = label_spec_indices(df).collect()
     got = {}
     for r in out:
-        got.setdefault(r.spec, ([], r.important))[0].append(r.idx)
+        entry = got.setdefault(r.spec, ([], r.important))
+        entry[0].append(r.idx)
+        # every exploded row of a spec must carry the same flag
+        assert entry[1] == r.important, r.spec
     for spec in MALFORMED:
         assert spec not in got, spec
     for spec in EMPTY_RANGE:

@@ -99,10 +99,6 @@ def test_empty_input_commits_and_converges(spark, tmp_path):
     commit them (zero-count lineage rows) rather than crash on schema
     inference over an empty output dir — otherwise run_to_completion
     could never converge on an empty slice."""
-    from documentai_ocr_spark.lineage import (
-        run_extraction_increment,
-        run_to_completion,
-    )
     from documentai_ocr_spark.streaming import TRANSCRIPT_SCHEMA
 
     out = str(tmp_path / "empty_run")

@@ -3,7 +3,6 @@ box rows → pdfish extraction parity with the oracle, malformed-drop, and
 the honest real-PDF stub boundary."""
 
 import json
-import os
 
 import numpy as np
 import pytest

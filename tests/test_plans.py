@@ -2,19 +2,13 @@
 scale (pushdown reaching the scan, broadcasts where intended, a narrow
 no-shuffle extraction stage) must be the plans Catalyst actually picks."""
 
-import pytest
+from planutil import n_exchanges, plan
 
 from documentai_ocr_spark.extract import extract_turns
 from documentai_ocr_spark.queries import QUERIES
 from documentai_ocr_spark.synth import synth_transcripts
 
 SF = "/root/testdata/sf0.001"
-
-
-def plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
 
 
 def test_pricing_summary_pushdown(spark):
@@ -46,9 +40,11 @@ def test_anti_join_filter_pushed(spark):
 
 
 def test_topn_partial_limit(spark):
-    # the rn<=3 predicate runs inside the window exec as a group limit
+    # the rn<=3 predicate runs inside the window exec as a group limit —
+    # no fallback clause: a plan without WindowGroupLimit is a full
+    # window + post-filter, exactly the at-scale regression to catch
     p = plan(QUERIES["q_topn_per_group"](spark, SF))
-    assert "WindowGroupLimit" in p or "rn#" in p
+    assert "WindowGroupLimit" in p
 
 
 def test_banded_simhash_is_equijoin(spark):
@@ -81,9 +77,5 @@ def test_vote_single_shuffle(spark):
     df = extract_vote(
         spark.createDataFrame(synth_transcripts(n_convs=4, seed=1, skew_factor=1))
     )
-    import re
-
     p = plan(df)
-    # the formatted plan's detail section lists each node once: "(6) Exchange"
-    n_exchange = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
-    assert n_exchange == 1, p
+    assert n_exchanges(p) == 1, p

@@ -1,7 +1,6 @@
 """Source/sink parity (SURVEY.md §2.1): TSV with drop-malformed, binary
 file scan, JSON round-trip — the reference's file-based IO re-expressed."""
 
-import pytest
 from pyspark.sql import functions as F
 
 

@@ -52,10 +52,10 @@ def test_sql_plain_matches_oracle_on_edges(spark):
     rows = extract_plain_sql(df.withColumn("i", F.monotonically_increasing_id())).collect()
     got = {r.i: r for r in rows}
     by_pos = sorted(got)
+    from documentai_ocr_spark.oracle import extract_plain
+
     for pos, case in zip(by_pos, cases):
-        want_text, want_spans = __import__(
-            "documentai_ocr_spark.oracle", fromlist=["extract_plain"]
-        ).extract_plain(case)
+        want_text, want_spans = extract_plain(case)
         r = got[pos]
         assert r.text == want_text, repr(case)
         assert [

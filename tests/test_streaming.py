@@ -26,7 +26,7 @@ def test_stream_equals_batch(spark, input_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("stream") / "out")
     ckpt = str(tmp_path_factory.mktemp("stream") / "ckpt")
     q = stream_extract(spark, input_dir, out, ckpt, max_files_per_trigger=2)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drain did not finish in time"
     got = {
         (r.conv_id, r.turn_idx): (r.text, r.n_spans)
         for r in spark.read.parquet(f"{out}/extracted").collect()
@@ -41,7 +41,7 @@ def test_stream_equals_batch(spark, input_dir, tmp_path_factory):
 
     # restart on the same checkpoint: no new data → no duplicates
     q2 = stream_extract(spark, input_dir, out, ckpt, max_files_per_trigger=2)
-    q2.awaitTermination(60)
+    assert q2.awaitTermination(60), "restart drain did not finish in time"
     again = spark.read.parquet(f"{out}/extracted").count()
     assert again == len(want)
 
@@ -95,7 +95,7 @@ def test_stateful_conv_progress(spark, input_dir, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stateful drain did not finish in time"
     updates = spark.sql("SELECT * FROM conv_progress").collect()
     assert updates
     final = {}

@@ -5,7 +5,6 @@ the per-turn oracle, and the Spark operator must all agree exactly."""
 
 import json
 
-import numpy as np
 import pandas as pd
 
 from documentai_ocr_spark.extract.textops import word_spans_batch
