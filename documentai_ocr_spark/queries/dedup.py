@@ -499,3 +499,59 @@ def q_simhash_wide_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _SIMHASH_W_HAMMING_MAX)
         .distinct()
     )
+
+
+# ------------------------------------------------------- decontamination
+_CONTAM_K = 8  # word 8-grams: long enough that overlap means real leakage
+
+
+@_q(
+    "q_contamination",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS varchar)), 1, 4))::int
+                       % 10 < 7
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(tk[i : i + {_CONTAM_K - 1}], ' ') AS sh
+      FROM (SELECT doc_id, split, string_split(text, ' ') AS tk FROM split),
+           unnest(generate_series(1, len(tk) - {_CONTAM_K - 1})) g(i)
+    )
+    SELECT v.doc_id,
+           CAST(COUNT(DISTINCT v.sh) AS bigint) AS n_shared_shingles
+    FROM sh v JOIN (SELECT DISTINCT sh FROM sh WHERE split = 'train') t
+      ON v.sh = t.sh
+    WHERE v.split = 'val'
+    GROUP BY v.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag val-split documents sharing any
+    word 8-gram with the train split (the n-gram overlap check every LLM
+    training pipeline runs before holding out an eval set). The split is
+    the same deterministic md5-mod as q_train_split; the only join is a
+    shingle equi-join (train shingles deduped first), so cost tracks
+    shared-shingle count — never |train|×|val|."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10
+    tagged = docs.withColumn(
+        "split", F.when(bucket < 7, F.lit("train")).otherwise(F.lit("val"))
+    )
+    sh = _word_shingles(tagged, _CONTAM_K).join(
+        tagged.select("doc_id", "split"), "doc_id"
+    )
+    train_sh = (
+        sh.where(F.col("split") == "train").select("sh").distinct()
+    )
+    return (
+        sh.where(F.col("split") == "val")
+        .join(train_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").cast("long").alias("n_shared_shingles"))
+    )

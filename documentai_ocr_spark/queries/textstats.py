@@ -409,3 +409,77 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_g3_ratio"),
         )
     )
+
+
+# -------------------------------------------------------------- PII scrub
+# conservative char-class-only patterns (identical semantics in Java
+# regex and RE2 — no \s, no unicode classes, no backrefs)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
+
+
+@_q(
+    "q_pii_scrub",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ' contact bob' || CAST(doc_id AS varchar)
+                           || '@example.com now'
+               WHEN 1 THEN ' call 555-123-4567 or 555 987 6543 today'
+               WHEN 2 THEN ' mail a.b+c@sub.domain.org please'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS bigint)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS bigint)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>',
+                                             'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM seeded
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing (emails, phone-shaped numbers): count
+    and redact with engine-portable char-class patterns — the privacy
+    pass a training pipeline runs before packing text. PII strings are
+    seeded deterministically per doc_id so the fixture corpus actually
+    exercises the scrubber; the scrubbed text is hashed so the gate
+    value-compares full redaction results without shipping megabytes."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    m = F.col("doc_id") % 4
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit(" contact bob"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(m == 1, F.lit(" call 555-123-4567 or 555 987 6543 today"))
+            .when(m == 2, F.lit(" mail a.b+c@sub.domain.org please"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
