@@ -96,6 +96,7 @@ def run_extraction_increment(
     rule_ver: str = "v1",
     n_buckets: int = DEFAULT_BUCKETS,
     max_buckets: int | None = None,
+    plain_variant: str = "density",
     _crash_before_commit: bool = False,
 ) -> int:
     """One incremental run. Returns the number of buckets processed
@@ -118,7 +119,7 @@ def run_extraction_increment(
     # carry the bucket through extraction by recomputing it on the output
     # (pure function of conv_id — cheaper than widening the kernel schema)
     ext = (
-        extract_turns(src.drop("bucket"))
+        extract_turns(src.drop("bucket"), plain_variant=plain_variant)
         .withColumn("bucket", bucket_expr(n_buckets))
         .withColumn("part_id", F.spark_partition_id())
     )
@@ -168,6 +169,7 @@ def run_to_completion(
     rule_ver: str = "v1",
     n_buckets: int = DEFAULT_BUCKETS,
     max_buckets_per_run: int | None = None,
+    plain_variant: str = "density",
 ) -> int:
     """Drain the work queue (the while-pending loop of the reference,
     minus the sleep — each iteration is one committed batch)."""
@@ -180,6 +182,7 @@ def run_to_completion(
             rule_ver=rule_ver,
             n_buckets=n_buckets,
             max_buckets=max_buckets_per_run,
+            plain_variant=plain_variant,
         )
         if n == 0:
             return total
