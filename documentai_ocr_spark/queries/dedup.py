@@ -23,7 +23,7 @@ the oracle-checkable baseline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .util import guard_allpairs, load, spread
@@ -156,11 +156,11 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_SEEDS = 8
 _MH_ROWS_PER_BAND = 2  # 4 bands of 2
 
-
-@_q(
-    "q_minhash_lsh_pairs",
-    f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+# the shingle→signature→band CTE chain, shared by the LSH pair oracle AND
+# the connected-components oracle below — one SQL text so the two gates
+# can never disagree about what a band bucket is
+_MH_BAND_CTE = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     sh AS (SELECT DISTINCT doc_id,
                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
            FROM toks, unnest(generate_series(1, len(tk) - 2)) g(i)),
@@ -171,27 +171,14 @@ _MH_ROWS_PER_BAND = 2  # 4 bands of 2
     band AS (SELECT doc_id, seed // {_MH_ROWS_PER_BAND} AS band,
                     md5(MIN(CASE WHEN seed % 2 = 0 THEN sig END)
                         || MIN(CASE WHEN seed % 2 = 1 THEN sig END)) AS bh
-             FROM sig GROUP BY doc_id, seed // {_MH_ROWS_PER_BAND})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(COUNT(*) AS bigint) AS n_shared_bands
-    FROM band a JOIN band b
-      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
-)
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: shingle → 8 minhash signatures (min of a
-    seeded md5 = one random permutation each) → 4 bands of 2 → candidate
-    pairs share a band bucket. The only join is the band-bucket equi-join
-    — the scalable path to near-dup at 10^12 docs.
+             FROM sig GROUP BY doc_id, seed // {_MH_ROWS_PER_BAND})"""
 
-    The signature builds in ONE groupBy(doc_id) with 8 parallel min
-    aggregates (columns, not exploded seed rows): one shuffle of one row
-    × 8 hashes per doc instead of the naive (doc, seed)-row double
-    aggregation — map-side partial mins do all the work. Band ids/hashes
-    are then pure projections, and the self-join's two identical
-    subplans collapse into a ReusedExchange."""
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+def _mh_band_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): MinHash LSH band buckets. The signature builds
+    in ONE groupBy(doc_id) with 8 parallel min aggregates (columns, not
+    exploded seed rows) — map-side partial mins do all the work; band
+    ids/hashes are then pure projections."""
     sh = _word_shingles(docs, _JACCARD_K)
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -213,9 +200,36 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    band = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+
+
+@_q(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH {_MH_BAND_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS bigint) AS n_shared_bands
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → 8 minhash signatures (min of a
+    seeded md5 = one random permutation each) → 4 bands of 2 → candidate
+    pairs share a band bucket. The only join is the band-bucket equi-join
+    — the scalable path to near-dup at 10^12 docs.
+
+    The signature builds in ONE groupBy(doc_id) with 8 parallel min
+    aggregates (columns, not exploded seed rows): one shuffle of one row
+    × 8 hashes per doc instead of the naive (doc, seed)-row double
+    aggregation — map-side partial mins do all the work. Band ids/hashes
+    are then pure projections, and the self-join's two identical
+    subplans collapse into a ReusedExchange."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    band = _mh_band_df(docs)
     a = band.alias("a")
     b = band.alias("b")
     return (
@@ -554,4 +568,121 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(train_sh, "sh")
         .groupBy("doc_id")
         .agg(F.countDistinct("sh").cast("long").alias("n_shared_shingles"))
+    )
+
+
+# ------------------------------------------------- dedup group clustering
+# Pair detection alone does not dedup a corpus: near-dup relations chain
+# (A~B, B~C ⇒ {A,B,C} is one group even when A~C was never emitted), so
+# the pipeline step after candidate generation is CONNECTED COMPONENTS
+# over the candidate graph, then "keep doc_id == component" as canonicals.
+# Generalizes the reference's dedupe-before-insert idempotence
+# (/root/reference/ocrclient/redisdata.py:106-108) from exact-key to
+# near-dup groups.
+#
+# Scale design (10^12 docs): the edge set is NOT all pairs per LSH bucket
+# (quadratic in bucket size — a 10k-doc template bucket would emit 5·10^7
+# edges) but the bucket STAR: every member connects to its bucket's min
+# doc_id. Stars have the same connectivity as the bucket clique, with
+# |bucket| − 1 edges. Components are then solved by iterative min-label
+# propagation (hash-to-min): each round every node takes the min label
+# among itself and its neighbors — one shuffle join + one groupBy per
+# round, converging in graph-diameter rounds (star edges keep bucket
+# diameter ≤ 2; cross-bucket chains add hops). Each round is
+# localCheckpoint-ed so lineage stays O(1) instead of growing by two
+# shuffle stages per iteration — the standard Spark iterative-algorithm
+# discipline (same reason GraphX/GraphFrames CC materializes per round).
+_CC_MAX_ROUNDS = 50
+
+
+@_q(
+    "q_dedup_components",
+    f"""
+    WITH RECURSIVE {_MH_BAND_CTE},
+    mn AS (SELECT band, bh, MIN(doc_id) AS mn FROM band GROUP BY band, bh),
+    edges AS (SELECT DISTINCT b.doc_id AS u, m.mn AS v
+              FROM band b JOIN mn m ON b.band = m.band AND b.bh = m.bh
+              WHERE b.doc_id <> m.mn),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach(u, v) AS (
+        SELECT doc_id AS u, doc_id AS v FROM documents
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS bigint) AS n_docs,
+           doc_id = component AS canonical
+    FROM comp
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group assignment: connected components over the MinHash
+    LSH bucket graph (star edges to each bucket's min doc_id), solved by
+    min-label propagation — every document gets the min doc_id of its
+    dup group as ``component``; ``canonical`` marks the row a dedup pass
+    would keep. Gate: DuckDB computes the same components by recursive
+    transitive closure over the identical edge set (_MH_BAND_CTE is the
+    shared SQL text)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return lsh_components(docs)
+
+
+def lsh_components(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_dedup_components` over any (doc_id, text) frame —
+    split out so tests can drive crafted graphs (transitive chains)
+    through the exact production loop."""
+    band = _mh_band_df(docs)
+    bwin = Window.partitionBy("band", "bh")
+    edges = (
+        band.withColumn("mn", F.min("doc_id").over(bwin))
+        .where(F.col("doc_id") != F.col("mn"))
+        .select(F.col("doc_id").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+
+    labels = (
+        docs.select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(_CC_MAX_ROUNDS):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("v"),
+                    F.col("component").alias("nbr_comp"),
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            "component",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("new_component"),
+        ).localCheckpoint()
+        if stepped.where(
+            F.col("new_component") != F.col("component")
+        ).limit(1).count() == 0:
+            break
+        labels = stepped.select(
+            "doc_id", F.col("new_component").alias("component")
+        )
+    else:
+        raise RuntimeError(
+            f"q_dedup_components: no convergence in {_CC_MAX_ROUNDS} rounds"
+        )
+
+    cwin = Window.partitionBy("component")
+    return labels.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(cwin).cast("long").alias("n_docs"),
+        (F.col("doc_id") == F.col("component")).alias("canonical"),
     )

@@ -1,0 +1,107 @@
+"""Connected-components dedup clustering (q_dedup_components).
+
+The load-bearing property is TRANSITIVITY: A~B and B~C must land all
+three in one group even when A and C never share an LSH band. The chain
+fixture is found by searching a deterministic text pool with a pure-
+Python reimplementation of the band math (md5 formulas identical to
+dedup._MH_BAND_CTE), so the test fails loudly if the hash scheme drifts.
+"""
+
+import hashlib
+
+import pytest
+
+from documentai_ocr_spark.queries.dedup import (
+    _JACCARD_K,
+    _MH_ROWS_PER_BAND,
+    _MH_SEEDS,
+    lsh_components,
+)
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu one two three four five six seven"
+).split()
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _bands(text: str) -> set:
+    toks = text.split(" ")
+    shingles = {
+        " ".join(toks[i : i + _JACCARD_K])
+        for i in range(len(toks) - (_JACCARD_K - 1))
+    }
+    sigs = [
+        min(_md5(f"{s}:{sh}") for sh in shingles) for s in range(_MH_SEEDS)
+    ]
+    return {
+        (b, _md5(sigs[_MH_ROWS_PER_BAND * b] + sigs[_MH_ROWS_PER_BAND * b + 1]))
+        for b in range(_MH_SEEDS // _MH_ROWS_PER_BAND)
+    }
+
+
+def _pool(n: int) -> list:
+    """Deterministic near-dup text pool: a common 24-word core with a
+    2-word mutation sliding through it."""
+    out = []
+    for v in range(n):
+        toks = list(WORDS[:24])
+        p = v % 22
+        toks[p] = WORDS[(v * 7 + 3) % len(WORDS)]
+        toks[p + 1] = WORDS[(v * 11 + 5) % len(WORDS)]
+        out.append(" ".join(toks))
+    return out
+
+
+def _find_chain() -> tuple:
+    """First (A, B, C) in the pool with A∩B ≠ ∅, B∩C ≠ ∅, A∩C = ∅."""
+    pool = _pool(40)
+    bands = [_bands(t) for t in pool]
+    for i in range(len(pool)):
+        for j in range(len(pool)):
+            if j == i or not (bands[i] & bands[j]):
+                continue
+            for k in range(len(pool)):
+                if k in (i, j):
+                    continue
+                if (bands[j] & bands[k]) and not (bands[i] & bands[k]):
+                    return pool[i], pool[j], pool[k]
+    pytest.skip("pool produced no A-B-C band chain (hash scheme changed?)")
+
+
+def test_transitive_chain(spark):
+    a, b, c = _find_chain()
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, "totally unrelated filler words here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lsh_components(docs).collect()}
+    # the chain collapses to one group labeled by its min doc_id...
+    assert rows[0]["component"] == rows[1]["component"] == rows[2]["component"] == 0
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["canonical"] and not rows[1]["canonical"]
+    # ...and the unrelated doc stays a singleton
+    assert rows[3]["component"] == 3 and rows[3]["n_docs"] == 1
+
+
+def test_components_refine_lsh_pairs(spark):
+    """Every LSH candidate pair must fall inside one component — the
+    clustering can merge pairs (transitively) but never split one."""
+    from documentai_ocr_spark.queries.dedup import (
+        q_dedup_components,
+        q_minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in q_dedup_components(spark, sf).collect()
+    }
+    pairs = q_minhash_lsh_pairs(spark, sf).collect()
+    assert pairs, "fixture corpus produced no LSH pairs"
+    for r in pairs:
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
