@@ -1148,3 +1148,115 @@ def q_verdict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------- pdfish line decode (gated)
+# The pdfish kernel's core semantic — char boxes grouped into text lines,
+# read in x order, inter-word gaps decoded into spaces
+# (extract/textops.py:_line_sorted_boxes; reference
+# /root/reference/font/project_rec.py:140-183 seg_row_image) — as a
+# pure-Catalyst query over char boxes SYNTHESIZED in SQL from documents,
+# with DuckDB running the identical synthesis + decode. This upgrades the
+# pdfish path's evidence from golden-only to a value-hash gate (the Arrow
+# kernel is separately proven byte-equal on the same layout by
+# tests/test_pdfish_sql.py, closing the kernel == Catalyst == DuckDB
+# three-way).
+#
+# Layout (shared with the test's payload builder): first 90 chars of the
+# document, 30-char text lines; each non-space char is an 8-px-wide box
+# advancing x by 9 px; a space advances x by 13 px and emits NO box, so
+# the next box's 5-px gap exceeds PDF_SPACE_GAP × prev_w = 4 px and the
+# decoder re-inserts the space.
+from ..rules import PDF_SPACE_GAP as _R_PDF_SPACE_GAP  # noqa: E402
+
+_PDF_CHARS = 90
+_PDF_LINE_CHARS = 30
+_PDF_X0 = 5.0
+_PDF_W = 8.0
+_PDF_ADV = 9.0
+_PDF_SP_ADV = 13.0
+_PDF_GAP_PX = _R_PDF_SPACE_GAP * _PDF_W
+
+
+@_q(
+    "q_pdfish_line_decode",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, i, substr(text, i, 1) AS c,
+             CAST((i - 1) // {_PDF_LINE_CHARS} AS int) AS line_no
+      FROM documents,
+           unnest(generate_series(1, least(length(text), {_PDF_CHARS}))) g(i)
+      WHERE length(text) >= 1
+    ),
+    pos AS (
+      SELECT doc_id, line_no, i, c,
+             {_PDF_X0} + COALESCE(
+               SUM(CASE WHEN c = ' ' THEN {_PDF_SP_ADV}
+                        ELSE {_PDF_ADV} END)
+               OVER (PARTITION BY doc_id, line_no ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0) AS x
+      FROM ch
+    ),
+    gap AS (
+      SELECT doc_id, line_no, x, c,
+             x - lag(x + {_PDF_W})
+                   OVER (PARTITION BY doc_id, line_no ORDER BY x) AS gap
+      FROM pos WHERE c <> ' '
+    )
+    SELECT doc_id, line_no,
+           string_agg(CASE WHEN gap > {_PDF_GAP_PX} THEN ' ' || c ELSE c END,
+                      '' ORDER BY x) AS line_text
+    FROM gap
+    GROUP BY doc_id, line_no
+    """,
+)
+def q_pdfish_line_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-box → text-line assembly (the pdfish kernel semantic) in pure
+    Catalyst: boxes laid out by a cumulative-advance window, lines read
+    in x order, a lag() gap test re-inserting word spaces, ordered
+    collect building each line. Every step is a window or aggregate over
+    (doc_id, line_no) — one shuffle key end to end, no UDF."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    n = F.least(F.length("text"), F.lit(_PDF_CHARS))
+    ch = (
+        docs.where(F.length("text") >= 1)
+        .select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(1), n)).alias("i")
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr("substring(text, i, 1)").alias("c"),
+            F.floor((F.col("i") - 1) / _PDF_LINE_CHARS)
+            .cast("int")
+            .alias("line_no"),
+        )
+    )
+    adv = F.when(F.col("c") == " ", F.lit(_PDF_SP_ADV)).otherwise(
+        F.lit(_PDF_ADV)
+    )
+    wpos = Window.partitionBy("doc_id", "line_no").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pos = ch.withColumn(
+        "x", F.lit(_PDF_X0) + F.coalesce(F.sum(adv).over(wpos), F.lit(0.0))
+    )
+    wg = Window.partitionBy("doc_id", "line_no").orderBy("x")
+    gap = pos.where(F.col("c") != " ").withColumn(
+        "gap", F.col("x") - F.lag(F.col("x") + _PDF_W).over(wg)
+    )
+    piece = F.when(
+        F.col("gap") > _PDF_GAP_PX, F.concat(F.lit(" "), F.col("c"))
+    ).otherwise(F.col("c"))
+    return gap.groupBy("doc_id", "line_no").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("x", piece.alias("p")))
+                ),
+                lambda t: t["p"],
+            ),
+            "",
+        ).alias("line_text")
+    )
