@@ -483,3 +483,112 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+# -------------------------------------------------------- sequence packing
+# Training-side document packing (GPT-style concat-and-chop): documents
+# are concatenated in a stable order and chopped into fixed-size token
+# blocks; the pipeline needs each document's global token offset and the
+# block span it lands in (to mask cross-document attention / count
+# boundary-straddling docs). Packing is PER SOURCE shard — partition by
+# source keeps the cumulative sum distributed (one window shuffle, no
+# global single-partition scan; a corpus-global pack would use the same
+# two-phase partial-sum composition as q_group_range).
+_PACK_BLOCK = 512  # tokens per training block
+
+
+@_q(
+    "q_token_packing",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS bigint) AS n
+               FROM documents),
+    c AS (SELECT doc_id, source, n,
+                 COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS tok_beg
+          FROM t)
+    SELECT doc_id, source, n AS n_toks, tok_beg,
+           CAST(tok_beg // {_PACK_BLOCK} AS bigint) AS blk_beg,
+           CAST((tok_beg + n - 1) // {_PACK_BLOCK} AS bigint) AS blk_end,
+           tok_beg // {_PACK_BLOCK} <> (tok_beg + n - 1) // {_PACK_BLOCK}
+             AS spans_boundary
+    FROM c
+    """,
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing layout per source shard: a single
+    cumulative-sum window over (source, doc_id) yields every document's
+    global token offset; block indices are pure arithmetic on it."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("tok_beg", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    blk_beg = F.floor(F.col("tok_beg") / _PACK_BLOCK).cast("long")
+    blk_end = F.floor(
+        (F.col("tok_beg") + F.col("n") - 1) / _PACK_BLOCK
+    ).cast("long")
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n").alias("n_toks"),
+        "tok_beg",
+        blk_beg.alias("blk_beg"),
+        blk_end.alias("blk_end"),
+        (blk_beg != blk_end).alias("spans_boundary"),
+    )
+
+
+# ------------------------------------------------------ stratified sampling
+# Deterministic per-source subsampling: every curation pipeline downweights
+# over-represented sources. The rate table is a tiny per-source dim
+# (broadcast — the classic small-dim join); membership is an md5 coin on
+# doc_id, so any worker anywhere reproduces the exact same sample with no
+# RNG state (rerunnable, resumable, auditable).
+@_q(
+    "q_stratified_sample",
+    """
+    WITH rates AS (
+      SELECT source,
+             25 + ('0x' || substr(md5(source), 1, 8))::bigint % 50 AS rate_pct
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.doc_id, d.source, r.rate_pct
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS varchar)), 1, 8))::bigint
+            % 100 < r.rate_pct
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sampling: broadcast the per-source rate
+    dim, keep a document iff md5(doc_id) mod 100 falls under its
+    source's rate — a pure filter after a broadcast join, so the scan
+    never shuffles."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+    md5i = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 8), 16, 10
+    ).cast("long")
+    rates = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source", (25 + md5i(F.col("source")) % 50).alias("rate_pct")
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(md5i(F.col("doc_id").cast("string")) % 100 < F.col("rate_pct"))
+        .select("doc_id", "source", "rate_pct")
+    )
