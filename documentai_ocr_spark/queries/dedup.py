@@ -640,15 +640,40 @@ def lsh_components(docs: DataFrame) -> DataFrame:
         .select(F.col("doc_id").alias("u"), F.col("mn").alias("v"))
         .distinct()
     )
+    nodes = docs.select("doc_id")
+    labels, _ = min_label_components(nodes, edges)
+    cwin = Window.partitionBy("component")
+    return labels.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(cwin).cast("long").alias("n_docs"),
+        (F.col("doc_id") == F.col("component")).alias("canonical"),
+    )
+
+
+def min_label_components(nodes: DataFrame, edges: DataFrame) -> tuple:
+    """Connected components by min-label propagation WITH pointer
+    jumping: each round every node takes (a) the min label among itself
+    and its neighbors, then (b) its label's label (path halving). Step
+    (a) alone converges in graph-diameter rounds — a D-long chain of
+    near-dup buckets would cost D shuffle rounds; step (b) halves label
+    chains every round, bounding the loop at O(log n) rounds on any
+    graph (the hash-to-min + shortcutting CC of the MapReduce-CC
+    literature, same recipe GraphFrames uses). Labels are doc_ids, so
+    label-of-label is always defined.
+
+    ``nodes``: (doc_id), ``edges``: (u, v) undirected — returns
+    (labels DataFrame (doc_id, component = min doc_id reachable),
+    rounds used)."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
 
     labels = (
-        docs.select("doc_id", F.col("doc_id").alias("component"))
+        nodes.select("doc_id", F.col("doc_id").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(_CC_MAX_ROUNDS):
+    for rounds in range(1, _CC_MAX_ROUNDS + 1):
         nbr_min = (
             sym.join(
                 labels.select(
@@ -665,24 +690,39 @@ def lsh_components(docs: DataFrame) -> DataFrame:
             "component",
             F.least(
                 F.col("component"), F.coalesce("nbr_min", "component")
-            ).alias("new_component"),
-        ).localCheckpoint()
-        if stepped.where(
+            ).alias("mid_component"),
+        )
+        # pointer jump: component ← component's component. A node's label
+        # is itself a doc_id whose label may already be smaller — one
+        # extra equi-join halves every label chain.
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("doc_id").alias("mid_component"),
+                    F.col("mid_component").alias("jump_component"),
+                ),
+                "mid_component",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "component",
+                F.least(
+                    F.col("mid_component"),
+                    F.coalesce("jump_component", "mid_component"),
+                ).alias("new_component"),
+            )
+            .localCheckpoint()
+        )
+        if jumped.where(
             F.col("new_component") != F.col("component")
         ).limit(1).count() == 0:
             break
-        labels = stepped.select(
+        labels = jumped.select(
             "doc_id", F.col("new_component").alias("component")
         )
     else:
         raise RuntimeError(
-            f"q_dedup_components: no convergence in {_CC_MAX_ROUNDS} rounds"
+            f"min_label_components: no convergence in {_CC_MAX_ROUNDS} rounds"
         )
-
-    cwin = Window.partitionBy("component")
-    return labels.select(
-        "doc_id",
-        "component",
-        F.count(F.lit(1)).over(cwin).cast("long").alias("n_docs"),
-        (F.col("doc_id") == F.col("component")).alias("canonical"),
-    )
+    return labels.select("doc_id", "component"), rounds

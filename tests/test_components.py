@@ -105,3 +105,20 @@ def test_components_refine_lsh_pairs(spark):
     assert pairs, "fixture corpus produced no LSH pairs"
     for r in pairs:
         assert comp[r["doc_a"]] == comp[r["doc_b"]]
+
+
+def test_pointer_jumping_log_rounds(spark):
+    """A 64-node path graph has diameter 63: plain min-propagation would
+    need ~63 shuffle rounds; pointer jumping must close it in O(log n)."""
+    import math
+
+    from documentai_ocr_spark.queries.dedup import min_label_components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    labels, rounds = min_label_components(nodes, edges)
+    assert all(r["component"] == 0 for r in labels.collect())
+    assert rounds <= 2 * int(math.log2(n)) + 2, rounds
