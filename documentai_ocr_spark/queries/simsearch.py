@@ -538,3 +538,36 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _KNN_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------------- label centroids
+# Vector aggregation: the per-class mean embedding (cluster centroid /
+# class prototype) every embedding pipeline computes — for IVF coarse
+# quantizers, class-prototype classifiers, or drift monitoring.
+# posexplode → groupBy(label, dim) keeps the shuffle at one row per
+# (label, dimension) — 64 rows per label regardless of corpus size —
+# with map-side partial sums doing all the reduction.
+@_q(
+    "q_embed_centroids",
+    """
+    SELECT label, CAST(g.i - 1 AS int) AS dim,
+           ROUND(SUM(CAST(embedding[i] AS double)) / COUNT(*), 6)
+             AS centroid,
+           CAST(COUNT(*) AS bigint) AS n_vecs
+    FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
+    GROUP BY label, g.i
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, dimension-wise: posexplode the vector,
+    one groupBy on (label, dim), mean as sum/count in a single double
+    division (both engines), rounded for cross-engine accumulation-order
+    safety."""
+    e = spread(load(spark, sf_dir, "embeddings").select("label", "embedding"))
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.round(
+            F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
