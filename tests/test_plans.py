@@ -79,3 +79,26 @@ def test_vote_single_shuffle(spark):
     )
     p = plan(df)
     assert n_exchanges(p) == 1, p
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The per-source rate dim must broadcast — the corpus-side scan
+    never shuffles for this filter."""
+    p = plan(QUERIES["q_stratified_sample"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_token_packing_single_hash_exchange(spark):
+    """Packing is one cumulative-sum window per source shard: exactly one
+    hash exchange on the window key (plus spread()'s test-table fan-out,
+    which is round-robin, not hash)."""
+    p = plan(QUERIES["q_token_packing"](spark, SF))
+    assert p.count("hashpartitioning(") == 1, p
+
+
+def test_pdfish_decode_single_shuffle_key(spark):
+    """Both windows and the final aggregate share (doc_id, line_no) —
+    a single hash exchange end to end."""
+    p = plan(QUERIES["q_pdfish_line_decode"](spark, SF))
+    assert p.count("hashpartitioning(") == 1, p
