@@ -47,8 +47,14 @@ def _hex60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _word_shingles(doc: DataFrame, k: int) -> DataFrame:
-    """(doc_id, sh): distinct word k-gram shingles per document."""
+def _word_shingles(
+    doc: DataFrame, k: int, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, sh): word k-gram shingles per document. ``distinct``
+    dedups them (set semantics — required wherever shingles are COUNTED,
+    e.g. Jaccard); pass False for consumers that only take MIN over the
+    shingle set (minhash): duplicates cannot change a min, and skipping
+    the dedup drops a full shuffle of the raw shingle stream."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
@@ -57,10 +63,8 @@ def _word_shingles(doc: DataFrame, k: int) -> DataFrame:
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(k)]
     )
-    return (
-        doc.select("doc_id", F.explode(F.transform(idx, gram)).alias("sh"))
-        .distinct()
-    )
+    sh = doc.select("doc_id", F.explode(F.transform(idx, gram)).alias("sh"))
+    return sh.distinct() if distinct else sh
 
 
 # ------------------------------------------------------------------- exact
@@ -178,8 +182,11 @@ def _mh_band_df(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bh): MinHash LSH band buckets. The signature builds
     in ONE groupBy(doc_id) with 8 parallel min aggregates (columns, not
     exploded seed rows) — map-side partial mins do all the work; band
-    ids/hashes are then pure projections."""
-    sh = _word_shingles(docs, _JACCARD_K)
+    ids/hashes are then pure projections. Shingles are NOT deduped
+    first: MIN is duplicate-insensitive, so the distinct()'s shuffle of
+    the raw shingle stream would buy nothing (the oracle SQL keeps its
+    DISTINCT — same mins either way)."""
+    sh = _word_shingles(docs, _JACCARD_K, distinct=False)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
