@@ -63,3 +63,23 @@ def colocated_join(
     if isinstance(keys, str):
         keys = [keys]
     return spark.table(left_table).join(spark.table(right_table), keys)
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, col: str, n_files: int = DEFAULT_BUCKETS
+) -> None:
+    """Globally range-partitioned, file-sorted output layout:
+    ``repartitionByRange`` (range boundaries from a reservoir sample —
+    one extra sampling job, then one shuffle) + ``sortWithinPartitions``.
+    Every output file then covers a disjoint ``col`` interval and its
+    parquet footer min/max stats make range predicates prune whole files
+    on read — at 10^12 rows this is what turns "scan the corpus for
+    conv range X" into opening a handful of files. Complements
+    write_bucketed: hash layout serves equi-joins, range layout serves
+    range scans and ordered export."""
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -55,3 +55,38 @@ def test_bucketed_agg_no_shuffle(spark, bucketed):
     assert n_exchanges(p) == 0, p
     rows = {r.conv_id: r.n for r in agg.collect()}
     assert len(rows) == 12
+
+
+def test_range_sorted_layout_prunes(spark, tmp_path):
+    """write_range_sorted: output files must cover disjoint key ranges
+    (parquet footer min/max = file-level pruning at scale) and be sorted
+    inside each file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from documentai_ocr_spark.bucketing import write_range_sorted
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "range_sorted")
+    write_range_sorted(docs, out, "doc_id", n_files=8)
+
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        pf = pq.ParquetFile(f)
+        ids = pf.read(columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids), f"{f} not sorted"
+        md = pf.metadata
+        col = [
+            md.row_group(g).column(i)
+            for g in range(md.num_row_groups)
+            for i in range(md.row_group(g).num_columns)
+            if md.row_group(g).column(i).path_in_schema == "doc_id"
+        ]
+        lo = min(c.statistics.min for c in col)
+        hi = max(c.statistics.max for c in col)
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next, "file key ranges overlap"
