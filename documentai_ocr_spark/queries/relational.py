@@ -1260,3 +1260,56 @@ def q_pdfish_line_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("line_text")
     )
+
+
+# ------------------------------------------------ dialogue context windows
+# Training-sample construction for conversational models: each turn is
+# paired with its trailing context (the previous k turns + itself,
+# joined in order) — the per-sample input a dialogue fine-tune actually
+# trains on. One window over (conv, turn) with a bounded ROWS frame:
+# state per group is k rows regardless of conversation length, so the
+# monster-conversation skew case costs the same per row as any other.
+# Derived here over the shared synthetic line table (doc ≅ conversation,
+# line ≅ turn) so DuckDB can run the identical construction.
+_CTX_K = 3  # trailing context turns
+
+
+@_q(
+    "q_context_windows",
+    f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS li,
+             CASE WHEN (doc_id + i - 1) % 7 = 5 THEN 'ok'
+                  WHEN (doc_id + i - 1) % 4 = 3 THEN '{_HYST_NOISE}'
+                  ELSE array_to_string(tk[(i-1)*5 + 1 : (i-1)*5 + 5], ' ')
+             END AS s
+      FROM tk, unnest(generate_series(1, CAST(ceil(len(tk) / 5.0) AS int))) g(i)
+    )
+    SELECT doc_id, CAST(li AS int) AS turn_no,
+           string_agg(s, chr(10))
+             OVER (PARTITION BY doc_id ORDER BY li
+                   ROWS BETWEEN {_CTX_K} PRECEDING AND CURRENT ROW)
+             AS context,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id ORDER BY li
+                               ROWS BETWEEN {_CTX_K} PRECEDING
+                               AND CURRENT ROW) AS int) AS n_ctx
+    FROM lines
+    """,
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-context construction: ordered collect over a bounded
+    ROWS window — k+1 rows of state per group, one shuffle on the
+    conversation key."""
+    lines = _synth_lines(spark, sf_dir)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("li")
+        .rowsBetween(-_CTX_K, 0)
+    )
+    return lines.select(
+        "doc_id",
+        F.col("li").cast("int").alias("turn_no"),
+        F.array_join(F.collect_list("s").over(w), "\n").alias("context"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_ctx"),
+    )
