@@ -255,43 +255,59 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------- simhash
 _SIMHASH_BITS = 60
+_LANE_BITS = 21     # 3 bit-counters per bigint, 2^21 headroom each
+_LANES_PER_COL = 3
+_N_PACKED = _SIMHASH_BITS // _LANES_PER_COL  # 20 packed sum columns
 
 
-def _simhash_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash bigint): 60-bit token-weighted SimHash."""
-    tok = (
+def _tok_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, w): per-document token weights."""
+    return (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
         )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    h = tok.withColumn("hv", _hex60(F.col("tok")))
-    bits = h.select(
-        "doc_id",
-        "w",
-        "hv",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
-    )
-    vote = (
-        bits.withColumn(
-            "v",
-            F.when(
-                F.expr("(shiftright(hv, bit) & 1) = 1"), F.col("w")
-            ).otherwise(-F.col("w")),
+
+
+def _simhash_packed(h: DataFrame, hv: str, out: str) -> DataFrame:
+    """(doc_id, w, <hv>) → (doc_id, <out>): the 60 per-bit weighted
+    votes aggregated SWAR-style — each bigint sum column packs 3 bit
+    counters in 21-bit lanes, so one groupBy(doc_id) with 21 aggregate
+    buffers (inside the codegen fast path; 60 separate ones fell off
+    it — BENCH.md negative result) replaces the 60× bit-row explode +
+    two extra shuffles. A bit of the fingerprint is set iff
+    2·Σw(bit set) > Σw. Lanes never interact while a document stays
+    under 2^21 tokens; beyond that Spark's ANSI mode fails the sum
+    LOUDLY (arithmetic overflow) rather than corrupting a lane —
+    transcript turns are orders of magnitude below the bound.
+    Bit-identical to the exploded form (verified on the full corpus)."""
+    aggs = [F.sum("w").alias("tw")]
+    for g in range(_N_PACKED):
+        lanes = " + ".join(
+            f"(CASE WHEN (shiftright({hv}, {_LANES_PER_COL * g + j}) & 1) = 1"
+            f" THEN shiftleft(w, {_LANE_BITS * j})"
+            f" ELSE CAST(0 AS bigint) END)"
+            for j in range(_LANES_PER_COL)
         )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
+        aggs.append(F.sum(F.expr(lanes)).alias(f"p{g}"))
+    s = h.groupBy("doc_id").agg(*aggs)
+    mask = (1 << _LANE_BITS) - 1
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * ((p{g} >> {_LANE_BITS * j}) & {mask}) > tw"
+        f" THEN shiftleft(CAST(1 AS bigint), {_LANES_PER_COL * g + j})"
+        f" ELSE CAST(0 AS bigint) END)"
+        for g in range(_N_PACKED)
+        for j in range(_LANES_PER_COL)
     )
-    return vote.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0, F.expr("shiftleft(1L, bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("simhash")
-    )
+    return s.select("doc_id", F.expr(bit_terms).cast("long").alias(out))
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint): 60-bit token-weighted SimHash."""
+    h = _tok_counts(docs).withColumn("hv", _hex60(F.col("tok")))
+    return _simhash_packed(h, "hv", "simhash")
 
 
 @_q(
@@ -427,44 +443,23 @@ SIMHASH_WIDE_PAIRS_SQL = f"""
 
 def _simhash_wide_df(docs: DataFrame) -> DataFrame:
     """(doc_id, h1, h2): two independent 60-bit simhashes = a 120-bit
-    fingerprint. Second hash = md5 over a salted token ('x2:' prefix)."""
-    a = _simhash_df(docs)
-    # the salt applies PER TOKEN ('x2:'||tok), giving an independent bit
-    # pattern per token — salting the whole text would shift tokenization
-    t = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-        )
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    fingerprint. Second hash = md5 over a salted token ('x2:' prefix —
+    PER TOKEN, giving an independent bit pattern per token; salting the
+    whole text would shift tokenization). Both halves use the packed
+    vote aggregation; the join key is the groupBy key, so the two
+    aggregates co-partition and the join adds no exchange."""
+    t = _tok_counts(docs)
+    a = _simhash_packed(
+        t.withColumn("hv", _hex60(F.col("tok"))), "hv", "h1"
     )
-    h2src = t.withColumn("hv", _hex60(F.concat(F.lit("x2:"), F.col("tok"))))
-    bits = h2src.select(
-        "doc_id",
-        "w",
+    b = _simhash_packed(
+        t.withColumn(
+            "hv", _hex60(F.concat(F.lit("x2:"), F.col("tok")))
+        ),
         "hv",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("bit"),
+        "h2",
     )
-    vote = (
-        bits.withColumn(
-            "v",
-            F.when(
-                F.expr("(shiftright(hv, bit) & 1) = 1"), F.col("w")
-            ).otherwise(-F.col("w")),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
-    )
-    b = vote.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("vote") > 0, F.expr("shiftleft(1L, bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("h2")
-    )
-    return a.withColumnRenamed("simhash", "h1").join(b, "doc_id")
+    return a.join(b, "doc_id")
 
 
 @_q("q_simhash_wide_banded", SIMHASH_WIDE_PAIRS_SQL)
