@@ -8,7 +8,7 @@ enforced by the golden pytest suite against the pure-Python oracle
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..extract import (
@@ -112,4 +112,63 @@ def x_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.round(F.avg(F.col("s.end") - F.col("s.beg")), 3).alias("avg_len"),
         )
+    )
+
+
+@_q("x_corpus_curate")
+def x_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus funnel in one lineage: per-turn
+    extraction → conversation assembly → quality screen (length +
+    informative-char density on the ASSEMBLED document) → exact-dup
+    canonical election (earliest conv_id per content hash) → a kept/
+    dropped decision with the first failing reason. This is lifecycle
+    §3.1 extended to the curation steps a pretraining pipeline runs
+    before packing; every stage is the already-gated operator, composed.
+
+    Scale shape: one narrow extraction stage, the skew-safe two-phase
+    assembly, then ONE shuffle of (hash, conv_id) pairs for the
+    canonical election — document text never shuffles after assembly."""
+    t = transcripts_from_documents(spark, sf_dir)
+    ext = extract_turns(t)
+    # per-conversation extraction yield: fraction of turns whose payload
+    # was ALL boilerplate/noise (n_spans == 0) — the signal that a
+    # source is junk comes from the extractor itself, not a raw-length
+    # proxy. Computed on ext before assembly (one extra agg over the
+    # same shuffle key the assembly uses).
+    yield_stats = ext.groupBy("conv_id").agg(
+        (
+            F.sum(F.when(F.col("n_spans") == 0, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("empty_frac")
+    )
+    convs = assemble_conversations(ext)
+    h = F.md5(
+        F.lower(F.regexp_replace("doc_text", r"[ \t\n\x0B\f\r]+", " "))
+    )
+    scored = convs.select(
+        "conv_id",
+        F.length("doc_text").cast("long").alias("n_chars"),
+        h.alias("content_hash"),
+    ).join(yield_stats, "conv_id")
+    canon = Window.partitionBy("content_hash")
+    decided = scored.select(
+        "conv_id",
+        "n_chars",
+        F.round("empty_frac", 6).alias("empty_frac"),
+        (F.min("conv_id").over(canon) == F.col("conv_id")).alias(
+            "is_canonical"
+        ),
+    )
+    reason = (
+        F.when(F.col("n_chars") < 80, F.lit("too_short"))
+        .when(F.col("empty_frac") > 0.05, F.lit("low_yield"))
+        .when(~F.col("is_canonical"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return decided.select(
+        "conv_id",
+        "n_chars",
+        "empty_frac",
+        reason.alias("decision"),
+        (reason == "kept").alias("kept"),
     )

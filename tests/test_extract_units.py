@@ -89,3 +89,20 @@ def test_detect_payload():
     assert detect_payload("hello world") == "plain"
     assert detect_payload(None) == "plain"
     assert detect_payload("< 5 and > 3") == "plain"  # math, not markup
+
+
+def test_corpus_curate_funnel(spark):
+    """End-to-end curation funnel: extraction-driven yield screen +
+    canonical election produce a full partition of the corpus with
+    consistent flags."""
+    from documentai_ocr_spark.queries.extraction import QUERIES
+
+    rows = QUERIES["x_corpus_curate"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500  # one decision per conversation
+    by = {}
+    for r in rows:
+        by.setdefault(r["decision"], []).append(r)
+        assert r["kept"] == (r["decision"] == "kept")
+    assert set(by) >= {"kept", "low_yield"}  # the screen actually screens
+    assert all(r["empty_frac"] > 0.05 for r in by["low_yield"])
+    assert all(r["empty_frac"] <= 0.05 for r in by["kept"])
