@@ -48,6 +48,7 @@ def pin_arrow_pools() -> None:
         _ARROW_PINNED = True
 
 from ..rules import (
+    pdfish_box_valid,
     BOILER_RE,
     DENSE_CHAR_RE,
     DENSITY_THRESH,
@@ -469,7 +470,7 @@ def _parse_boxes_loop(texts: pd.Series) -> dict:
                 b = json.loads(raw)
             except (ValueError, TypeError):
                 continue
-            if isinstance(b, dict) and "c" in b and b["c"] is not None:
+            if pdfish_box_valid(b):
                 rows.append(i)
                 recs.append(b)
     if not recs:

@@ -26,6 +26,7 @@ from typing import Any
 
 from .extract.htmlparse import html_blocks
 from .rules import (
+    pdfish_box_valid,
     BOILER_RE,
     DENSE_CHAR_RE,
     DENSITY_THRESH,
@@ -197,7 +198,7 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
             b = json.loads(raw)
         except (ValueError, TypeError):
             continue
-        if isinstance(b, dict) and "c" in b and b["c"] is not None:
+        if pdfish_box_valid(b):
             boxes.append(
                 {
                     "c": b["c"],
@@ -275,7 +276,7 @@ def word_boxes(text: str) -> list[tuple[int, int, float, float]]:
             b = json.loads(raw)
         except (ValueError, TypeError):
             continue
-        if isinstance(b, dict) and "c" in b and b["c"] is not None:
+        if pdfish_box_valid(b):
             boxes.append(b)
     boxes.sort(key=lambda b: (b.get("page") or 0, b.get("y") or 0.0,
                               b.get("x") or 0.0))

@@ -77,6 +77,25 @@ HTML_BLOCK_TAGS = frozenset(
 PDF_LINE_Y_TOL = 0.6    # same text line iff |y - line_y| <= tol * h
 PDF_SPACE_GAP = 0.5     # emit a space iff x - (prev.x + prev.w) > gap * prev.w
 
+_PDF_NUM_FIELDS = ("page", "y", "x", "w", "h")
+
+
+def pdfish_box_valid(b) -> bool:
+    """Type gate for one parsed char-box record — the reference's
+    drop-malformed discipline (/root/reference/spiltTools.py:21-22)
+    extended to types: ``c`` must be a string; every coordinate field
+    must be numeric (or absent/None → defaulted). One shared predicate
+    so the Arrow kernel and the pure-Python oracle can never diverge on
+    what counts as a box (a record like {"c":1} or {"x":"a"} previously
+    crashed one side and not the other)."""
+    if not isinstance(b, dict) or not isinstance(b.get("c"), str):
+        return False
+    for k in _PDF_NUM_FIELDS:
+        v = b.get(k)
+        if v is not None and not isinstance(v, (int, float)):
+            return False
+    return True
+
 # ------------------------------------------------------ word-span fixups
 # the reference's char-run post-processing over a line's word intervals
 # (/root/reference/font/project_rec.py:104-127 merge/split,

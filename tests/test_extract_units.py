@@ -106,3 +106,37 @@ def test_corpus_curate_funnel(spark):
     assert set(by) >= {"kept", "low_yield"}  # the screen actually screens
     assert all(r["empty_frac"] > 0.05 for r in by["low_yield"])
     assert all(r["empty_frac"] <= 0.05 for r in by["kept"])
+
+
+def test_type_malformed_boxes_dropped_not_fatal():
+    """Box records with wrong TYPES (non-string c, string coordinates)
+    must be dropped like any other malformed line — one junk record in a
+    trillion-row corpus must never kill a task. Both the kernel and the
+    oracle apply rules.pdfish_box_valid, so they stay byte-equal."""
+    import pandas as pd
+
+    from documentai_ocr_spark.extract.core import extract_batch
+    from documentai_ocr_spark.oracle import extract_turn
+
+    good = '{"c":"a","x":5.0,"y":10.0,"w":8.0,"h":10.0,"page":0}'
+    payloads = [
+        '{"c":1,"x":"a"}\n' + good,            # int c, string x — crashed pre-fix
+        '{"c":["arr"],"x":1}\n' + good,        # list c
+        '{"c":"x","w":{"n":1}}\n' + good,      # dict coordinate
+        '{"c":"q","y":"nan"}\n' + good,        # numeric-looking string
+        '{"c":"x","x":true,"y":false}\n' + good,  # bools are numeric (json 1/0)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(payloads),
+            "turn_idx": range(len(payloads)),
+            "role": ["user"] * len(payloads),
+            "text": payloads,
+        }
+    )
+    res = extract_batch(pdf)
+    for i, t in enumerate(payloads):
+        o = extract_turn(t)
+        assert res["text"][i] == o["text"]
+        assert [dict(s) for s in res["spans"][i]] == o["spans"]
+        assert "a" in res["text"][i]  # the good box always survives
