@@ -384,8 +384,8 @@ def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- IVF ANN
 _IVF_K = 16        # coarse centroids (∝ sqrt(n) at scale)
-_IVF_NPROBE = 6    # centroids probed per query: measured top-5 recall
-                   # 0.79 at sf0.001 (4 → 0.60, 8 → 0.84) — random
+_IVF_NPROBE = 8    # centroids probed per query: measured top-5 recall
+                   # 0.84 at sf0.001 (4 → 0.60, 6 → 0.79) — random
                    # gaussian vectors are IVF's worst case; clustered
                    # real embeddings do far better at the same nprobe
 _IVF_ITERS = 2     # Lloyd refinement passes
