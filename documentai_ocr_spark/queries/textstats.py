@@ -592,3 +592,54 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(md5i(F.col("doc_id").cast("string")) % 100 < F.col("rate_pct"))
         .select("doc_id", "source", "rate_pct")
     )
+
+
+# ------------------------------------------------- unigram LM quality score
+# The CCNet-family perplexity proxy: score each document by the mean
+# log-probability of its tokens under the CORPUS unigram distribution —
+# gibberish and boilerplate-heavy documents sit in the tails. Two
+# aggregations: the unigram table (vocab-sized — broadcast; at web scale
+# a sampled/top-K vocab with an UNK bucket, same shape) and one
+# per-document sum. Rounded after the final division per the
+# cross-engine accumulation discipline.
+@_q(
+    "q_unigram_logprob",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    uni AS (SELECT tok, CAST(COUNT(*) AS bigint) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS bigint) AS total FROM uni)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS bigint) AS n_toks,
+           ROUND(SUM(ln(CAST(u.cnt AS double) / tot.total)) / COUNT(*), 6)
+             AS avg_logprob
+    FROM tok t JOIN uni u ON t.tok = u.tok, tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document: corpus unigram counts
+    (one groupBy, broadcast back), then one per-doc aggregation over the
+    token stream — the probability join never shuffles the corpus."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = (
+        tok.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(
+                F.sum(
+                    F.log(F.col("cnt").cast("double") / F.col("total"))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored
