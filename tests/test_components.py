@@ -122,3 +122,21 @@ def test_pointer_jumping_log_rounds(spark):
     labels, rounds = min_label_components(nodes, edges)
     assert all(r["component"] == 0 for r in labels.collect())
     assert rounds <= 2 * int(math.log2(n)) + 2, rounds
+
+
+def test_giant_duplicate_cluster(spark):
+    """Dup-storm skew case: 200 identical documents form one LSH bucket
+    per band. The star edge set keeps this linear (|bucket|-1 edges, not
+    a 19,900-edge clique) and min-label propagation closes it in O(1)
+    rounds since every member touches the bucket min directly."""
+    from documentai_ocr_spark.queries.dedup import lsh_components
+
+    text = " ".join(WORDS[:24])
+    rows = [(i, text) for i in range(200)] + [
+        (900, "completely different words entirely")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lsh_components(docs).collect()}
+    assert all(out[i]["component"] == 0 for i in range(200))
+    assert out[0]["n_docs"] == 200
+    assert sum(1 for r in out.values() if r["canonical"]) == 2  # 0 and 900
