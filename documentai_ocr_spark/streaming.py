@@ -182,3 +182,21 @@ def windowed_turn_counts(
             "n_convs",
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Cross-micro-batch exact dedup on a transcript stream: the FIRST
+    arrival of each (conv_id, turn_idx) passes, any replay within the
+    event-time watermark is dropped from the streaming state store —
+    the ingest-side guard against at-least-once sources (Kafka
+    redelivery, backfill overlap). ``dropDuplicatesWithinWatermark``
+    bounds state: keys older than the watermark are evicted, so state
+    size tracks the late-data horizon, not the stream's lifetime (an
+    unbounded ``dropDuplicates`` would OOM a 10^12-turn stream).
+    Streaming analogue of the batch insert-if-absent idempotence
+    (/root/reference/ocrclient/redisdata.py:106-108)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )

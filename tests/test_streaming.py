@@ -127,3 +127,39 @@ def test_windowed_counts_schema(spark, input_dir):
         input_dir
     ).count()
     assert all(r.win_start < r.win_end for r in rows)
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path_factory):
+    """Replayed turns across micro-batches must be dropped exactly once:
+    feed the same rows in two separate files (two batches with
+    maxFilesPerTrigger=1) and expect single delivery."""
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import TRANSCRIPT_SCHEMA, stream_dedup
+
+    base = tmp_path_factory.mktemp("dedupstream")
+    src = str(base / "in")
+    out = str(base / "out")
+    ckpt = str(base / "ckpt")
+    pdf = synth_transcripts(n_convs=4, seed=7, skew_factor=1)
+    df = spark.createDataFrame(pdf)
+    df.coalesce(1).write.parquet(src)                      # batch 1
+    df.coalesce(1).write.mode("append").parquet(src)       # batch 2 = replay
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "dedup drain did not finish"
+    got = spark.read.parquet(out)
+    assert got.count() == len(pdf)  # every replayed row dropped
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(pdf)
