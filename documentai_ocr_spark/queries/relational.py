@@ -1313,3 +1313,56 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.collect_list("s").over(w), "\n").alias("context"),
         F.count(F.lit(1)).over(w).cast("int").alias("n_ctx"),
     )
+
+
+# ------------------------------------------------------- tool transitions
+# Agent-transcript analytics on the input schema's role/tool columns:
+# the tool-call transition matrix (which tool follows which inside a
+# conversation) — the first-order behavioral stat an agent-pipeline
+# dashboard computes. The Spark side runs on the REAL pipeline table
+# (synth.transcripts_from_documents); the DuckDB oracle re-derives the
+# tool turns arithmetically from the same (doc_id, turn) salts the
+# generator uses — gating the generator contract and the window query
+# in one check.
+@_q(
+    "q_tool_transitions",
+    """
+    WITH turns AS (
+      SELECT doc_id, g.t
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+      WHERE g.t % 3 = 2
+    ),
+    tt AS (
+      SELECT doc_id, t,
+             ['search','browser','calculator','code_exec']
+               [('0x' || substr(md5(doc_id || ':' || t), 1, 8))::bigint
+                % 4 + 1] AS tool
+      FROM turns
+    ),
+    seq AS (
+      SELECT doc_id, tool,
+             lag(tool) OVER (PARTITION BY doc_id ORDER BY t) AS prev_tool
+      FROM tt
+    )
+    SELECT prev_tool, tool AS next_tool, CAST(COUNT(*) AS bigint) AS n
+    FROM seq WHERE prev_tool IS NOT NULL
+    GROUP BY prev_tool, tool
+    """,
+)
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool→tool transition counts: filter to tool turns, one lag window
+    per conversation, one small groupBy — the shuffle carries only
+    (conv, turn, tool) triples for tool turns."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    tools = t.where(F.col("role") == "tool").select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = tools.withColumn("prev_tool", F.lag("tool").over(w))
+    return (
+        seq.where(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", F.col("tool").alias("next_tool"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -55,6 +55,14 @@ _TOOLS = ("search", "browser", "calculator", "code_exec")
 _ROLES = ("user", "assistant", "tool")
 
 
+def _md5_mod(key: str, n: int) -> int:
+    """First 8 md5 hex chars mod n — the cross-engine-reproducible coin
+    (DuckDB: ('0x'||substr(md5(key),1,8))::bigint % n)."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n
+
+
 def _sentence(salt: int, n_words: int) -> str:
     return " ".join(_WORDS[(salt * 7 + i * 13) % len(_WORDS)] for i in range(n_words))
 
@@ -214,8 +222,14 @@ def transcripts_from_documents(
                     out["turn_idx"].append(t)
                     out["role"].append(role)
                     out["text"].append(base)
+                    # md5 coin, not the linear salt: (doc*131 + t*31) % 4
+                    # collapses to 4 transition patterns; the hash gives a
+                    # full tool-transition matrix (and DuckDB reproduces it
+                    # exactly — see q_tool_transitions' oracle)
                     out["tool"].append(
-                        _TOOLS[salt % len(_TOOLS)] if role == "tool" else None
+                        _TOOLS[_md5_mod(f"{int(doc_id)}:{t}", len(_TOOLS))]
+                        if role == "tool"
+                        else None
                     )
                     out["ts"].append(
                         _BASE_TS + dt.timedelta(hours=int(doc_id), minutes=t)
