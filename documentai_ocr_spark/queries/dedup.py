@@ -630,20 +630,26 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_components(docs)
 
 
-def lsh_components(docs: DataFrame) -> DataFrame:
-    """Core of :func:`q_dedup_components` over any (doc_id, text) frame —
-    split out so tests can drive crafted graphs (transitive chains)
-    through the exact production loop."""
+def _lsh_star_edges(docs: DataFrame) -> DataFrame:
+    """(u, v) star edges: every LSH bucket member → its bucket's min
+    doc_id — same connectivity as the bucket clique with |bucket|−1
+    edges (never quadratic in bucket size)."""
     band = _mh_band_df(docs)
     bwin = Window.partitionBy("band", "bh")
-    edges = (
+    return (
         band.withColumn("mn", F.min("doc_id").over(bwin))
         .where(F.col("doc_id") != F.col("mn"))
         .select(F.col("doc_id").alias("u"), F.col("mn").alias("v"))
         .distinct()
     )
+
+
+def lsh_components(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_dedup_components` over any (doc_id, text) frame —
+    split out so tests can drive crafted graphs (transitive chains)
+    through the exact production loop."""
     nodes = docs.select("doc_id")
-    labels, _ = min_label_components(nodes, edges)
+    labels, _ = min_label_components(nodes, _lsh_star_edges(docs))
     cwin = Window.partitionBy("component")
     return labels.select(
         "doc_id",
@@ -728,3 +734,68 @@ def min_label_components(nodes: DataFrame, edges: DataFrame) -> tuple:
             f"min_label_components: no convergence in {_CC_MAX_ROUNDS} rounds"
         )
     return labels.select("doc_id", "component"), rounds
+
+
+# --------------------------------------------------------- split leakage
+# Eval-set leakage through NEAR-duplicates: q_train_split assigns docs to
+# train/val by an md5 coin, but a near-dup pair straddling the boundary
+# leaks training content into eval even though no exact text is shared —
+# the silent eval-inflation bug every curation pipeline must audit. This
+# composes the dedup components with the split: a component containing
+# both train and val members is leaky (fix = split by COMPONENT, not by
+# doc). Same edge set / closure as q_dedup_components (shared SQL text).
+@_q(
+    "q_split_leakage",
+    f"""
+    WITH RECURSIVE {_MH_BAND_CTE},
+    mn AS (SELECT band, bh, MIN(doc_id) AS mn FROM band GROUP BY band, bh),
+    edges AS (SELECT DISTINCT b.doc_id AS u, m.mn AS v
+              FROM band b JOIN mn m ON b.band = m.band AND b.bh = m.bh
+              WHERE b.doc_id <> m.mn),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach(u, v) AS (
+        SELECT doc_id AS u, doc_id AS v FROM documents
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+    tagged AS (
+      SELECT c.doc_id, c.component,
+             CASE WHEN ('0x' || substr(md5(CAST(c.doc_id AS varchar)), 1, 4))
+                         ::int % 10 < 7
+                  THEN 'train' ELSE 'val' END AS split
+      FROM comp c
+    )
+    SELECT component,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS bigint)
+             AS n_train,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS bigint)
+             AS n_val,
+           SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) > 0 AS leaky
+    FROM tagged GROUP BY component
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage audit across the train/val boundary: dedup
+    components joined with the deterministic split, aggregated per
+    component — ``leaky`` marks groups whose members land on both sides.
+    One tiny shuffle of (doc_id, component, split) rows beyond the
+    components computation itself."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    labels, _ = min_label_components(
+        docs.select("doc_id"), _lsh_star_edges(docs)
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10
+    tagged = labels.withColumn(
+        "split", F.when(bucket < 7, F.lit("train")).otherwise(F.lit("val"))
+    )
+    n_train = F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+    n_val = F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+    return tagged.groupBy("component").agg(
+        n_train.cast("long").alias("n_train"),
+        n_val.cast("long").alias("n_val"),
+        ((n_train > 0) & (n_val > 0)).alias("leaky"),
+    )
