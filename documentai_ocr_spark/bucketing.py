@@ -83,3 +83,40 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files. Streaming sinks and bucketed
+    commits accumulate many under-sized files; at 10^12 rows the scan's
+    task count (and the NameNode/manifest pressure) tracks FILE count,
+    not data size, so periodic compaction is what keeps read
+    parallelism proportional to data. Sizing comes from the source
+    files themselves (one listing, no data pass); the rewrite is one
+    coalesce-free repartition so output files are even-sized regardless
+    of input skew. Returns the number of output files."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n_out = max(1, math.ceil(total / target_bytes))
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_out

@@ -90,3 +90,23 @@ def test_range_sorted_layout_prunes(spark, tmp_path):
     assert len(spans) >= 2
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev < lo_next, "file key ranges overlap"
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """64 tiny files → a handful of target-sized ones, content equal."""
+    import glob
+
+    from documentai_ocr_spark.bucketing import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+
+    n_out = compact_small_files(spark, src, out, target_bytes=256 * 1024)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n_out < 16
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert a == b
