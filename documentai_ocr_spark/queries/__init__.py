@@ -21,9 +21,25 @@ Coverage map (SURVEY.md §2 → module):
 
 from __future__ import annotations
 
-from . import dedup, extraction, labeldsl, relational, simsearch, textstats
+from . import (
+    dedup,
+    extraction,
+    labeldsl,
+    relational,
+    relevance,
+    simsearch,
+    textstats,
+)
 
-_MODULES = (relational, dedup, textstats, simsearch, extraction, labeldsl)
+_MODULES = (
+    relational,
+    dedup,
+    textstats,
+    simsearch,
+    relevance,
+    extraction,
+    labeldsl,
+)
 
 QUERIES = {}
 ORACLES = {}

@@ -1,0 +1,296 @@
+"""Relevance scoring & corpus-mixture statistics over ``documents``:
+TF-IDF top terms, BM25 against a fixed query, exact per-source length
+quantiles (sketch path noted for scale), and temperature-scaled domain
+mixture weights.
+
+These are the retrieval / data-mixing half of a training-data pipeline:
+TF-IDF & BM25 drive keyword-based quality & topicality selection (the
+relevance analogue of the reference's per-candidate score fusion,
+/root/reference/ocrclient/redisdata.py:59-64 — score terms, sum, rank);
+quantiles size the length filters; mixture weights implement the
+"sample domain i with probability ∝ tokens^alpha" recipe used to
+rebalance source corpora.
+
+Cross-engine float discipline (matches textstats.q_unigram_logprob):
+round(…, 6) is applied ONCE, after the final combination, and every
+intermediate is a single expression both engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .util import load, spread
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+# ------------------------------------------------------------------ tf-idf
+_TFIDF_TOPK = 3
+
+
+@_q(
+    "q_tfidf_topterms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS bigint) AS tf
+           FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS bigint) AS df
+           FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS bigint) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(CAST(tf.tf AS double)
+                   * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_TFIDF_TOPK}
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1). Three aggregations, all keyed and
+    map-side-combinable: tf on (doc, term), df on term (vocab-sized —
+    the only table that is ever small enough to broadcast back), and
+    one scalar N. Ordering uses the ROUNDED score with a term-asc
+    tiebreak so rank is identical across engines."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# ------------------------------------------------------------------ bm25
+_BM25_TERMS = ["vector", "merge", "stream", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_VALUES = ",".join(f"('{t}')" for t in _BM25_TERMS)
+
+
+@_q(
+    "q_bm25",
+    f"""
+    WITH qt AS (SELECT * FROM (VALUES {_BM25_VALUES}) t(term)),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS bigint) AS dl
+           FROM tok WHERE term <> '' GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS bigint) AS n_docs,
+                     CAST(SUM(dl) AS double) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT t.doc_id, t.term, CAST(COUNT(*) AS bigint) AS tf
+           FROM tok t JOIN qt USING (term) GROUP BY t.doc_id, t.term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS bigint) AS df
+           FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS bigint) AS n_hits,
+           ROUND(SUM(
+             ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_BM25_K1} + 1.0))
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * dl.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+    GROUP BY tf.doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of every document against a fixed query term set
+    (k1={k1}, b={b}). The corpus shuffles once to build per-(doc, term)
+    tf — and only for the query terms, because the broadcast query-term
+    semi-join prunes the token stream BEFORE the aggregation. df, N and
+    avgdl are term-/scalar-sized broadcasts. Per-term contributions sum
+    per doc, rounded once after the sum."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    qt = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).where(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1.0 - _BM25_B)
+                        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.round(F.sum("c"), 6).alias("bm25"),
+    )
+
+
+# ------------------------------------------------------------ quantiles
+_QUANTILE_PS = [0.25, 0.5, 0.75, 0.9]
+_QUANTILE_PS_SQL = "[" + ", ".join(str(p) for p in _QUANTILE_PS) + "]"
+
+
+@_q(
+    "q_length_quantiles",
+    f"""
+    WITH q AS (SELECT source,
+                      CAST(COUNT(*) AS bigint) AS n_docs,
+                      quantile_cont(n_chars, {_QUANTILE_PS_SQL}) AS qs
+               FROM documents GROUP BY source)
+    SELECT source, n_docs, CAST(g.i - 1 AS int) AS qi,
+           ROUND(qs[g.i], 6) AS quantile
+    FROM q, unnest(generate_series(1, {len(_QUANTILE_PS)})) g(i)
+    """,
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (p25/p50/p75/p90 of n_chars,
+    linear interpolation) — the distribution probe that sizes length
+    filters. Exact `percentile` sorts within each source group only (the
+    group count is the shuffle width, never the corpus). At 100 TB the
+    drop-in sketch path is `percentile_approx` (single-pass KLL-style
+    sketch, mergeable map-side) — bounded-error equivalence is pinned in
+    tests/test_relevance.py."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("source", "n_chars")
+    )
+    q = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.percentile("n_chars", F.array(*[F.lit(p) for p in _QUANTILE_PS]))
+        .alias("qs"),
+    )
+    return q.select(
+        "source",
+        "n_docs",
+        F.posexplode("qs").alias("qi", "quantile"),
+    ).select(
+        "source",
+        "n_docs",
+        F.col("qi").cast("int").alias("qi"),
+        F.round("quantile", 6).alias("quantile"),
+    )
+
+
+# ------------------------------------------------------------ domain mix
+_MIX_ALPHA = 0.7
+
+
+@_q(
+    "q_domain_mix",
+    f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    c AS (SELECT source, CAST(COUNT(*) AS bigint) AS n_tokens
+          FROM tok WHERE t <> '' GROUP BY source)
+    SELECT source, n_tokens,
+           ROUND(CAST(n_tokens AS double)
+                 / SUM(CAST(n_tokens AS double)) OVER (), 6) AS share,
+           ROUND(pow(n_tokens, {_MIX_ALPHA})
+                 / SUM(pow(n_tokens, {_MIX_ALPHA})) OVER (), 6) AS weight
+    FROM c
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights: per-source token
+    totals c_i → weight_i = c_i^alpha / sum(c^alpha) with alpha=0.7 (the
+    multilingual-LM mixture recipe — upweights small sources relative to
+    raw share). The corpus reduces map-side to one row per source; the
+    global-window normalization runs over that source-count-sized frame
+    (tens of rows on one partition — fine at any corpus size)."""
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    c = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy()  # post-agg frame: one row per source
+    return c.select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum(F.col("n_tokens").cast("double")).over(w),
+            6,
+        ).alias("share"),
+        F.round(
+            F.pow("n_tokens", F.lit(_MIX_ALPHA))
+            / F.sum(F.pow("n_tokens", F.lit(_MIX_ALPHA))).over(w),
+            6,
+        ).alias("weight"),
+    )

@@ -1,0 +1,119 @@
+"""Relevance / mixture-statistics operators: invariants that the DuckDB
+value-hash gate cannot express — sketch-vs-exact quantile equivalence,
+mixture-weight normalization, and BM25 ordering sanity."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from documentai_ocr_spark.queries.relevance import (
+    _MIX_ALPHA,
+    _QUANTILE_PS,
+    q_bm25,
+    q_domain_mix,
+    q_length_quantiles,
+    q_tfidf_topterms,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quantile_sketch_brackets_exact(spark):
+    """percentile_approx (the mergeable single-pass sketch — the 100-TB
+    path) returns an actual data value; the exact operator interpolates.
+    At full accuracy the sketch value must be one of the two order
+    statistics bracketing the interpolation point — i.e. within one
+    discrete step of the exact quantile, the tightest claim a
+    value-returning sketch can satisfy."""
+    exact = {
+        (r.source, r.qi): r.quantile
+        for r in q_length_quantiles(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_source = {
+        r.source: sorted(r.xs)
+        for r in docs.groupBy("source")
+        .agg(F.collect_list("n_chars").alias("xs"))
+        .collect()
+    }
+    approx = docs.groupBy("source").agg(
+        F.percentile_approx(
+            "n_chars", F.array(*[F.lit(p) for p in _QUANTILE_PS]), 10000
+        ).alias("qs")
+    )
+    rows = approx.select("source", F.posexplode("qs").alias("qi", "q")).collect()
+    assert len(rows) == len(exact)
+    import math
+
+    for r in rows:
+        xs = per_source[r.source]
+        pos = _QUANTILE_PS[r.qi] * (len(xs) - 1)
+        lo, hi = xs[math.floor(pos)], xs[math.ceil(pos)]
+        assert lo <= r.q <= hi, (r.source, r.qi, r.q, lo, hi)
+        # and the interpolated exact lies in the same bracket
+        assert lo <= exact[(r.source, r.qi)] <= hi
+
+
+def test_domain_mix_weights_normalize_and_flatten(spark):
+    rows = q_domain_mix(spark, SF).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # alpha<1 flattens the mixture: the biggest source loses share,
+    # the smallest gains
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    assert big.weight < big.share or big.n_tokens == small.n_tokens
+    assert small.weight > small.share or big.n_tokens == small.n_tokens
+    assert 0 < _MIX_ALPHA < 1
+
+
+def test_tfidf_rank_contract(spark):
+    df = q_tfidf_topterms(spark, SF)
+    per_doc = df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rank").alias("maxr"),
+        F.min("tfidf").alias("lo"),
+    )
+    bad = per_doc.where((F.col("n") > 3) | (F.col("maxr") > 3)).count()
+    assert bad == 0
+    # rank 1 score >= rank 3 score within every doc
+    r1 = df.where(F.col("rank") == 1).select("doc_id", F.col("tfidf").alias("s1"))
+    r3 = df.where(F.col("rank") == 3).select("doc_id", F.col("tfidf").alias("s3"))
+    assert r1.join(r3, "doc_id").where(F.col("s1") < F.col("s3")).count() == 0
+
+
+def test_bm25_rewards_term_density(spark):
+    """A synthetic doc saturated with the query terms must outscore a
+    same-length doc with a single hit."""
+    docs = spark.createDataFrame(
+        [
+            (1, "vector merge stream window vector merge stream window"),
+            (2, "vector aa bb cc dd ee ff gg"),
+            (3, "aa bb cc dd ee ff gg hh"),
+        ],
+        "doc_id long, text string",
+    )
+    import documentai_ocr_spark.queries.relevance as rel
+
+    saved = rel.load
+    rel.load = lambda spark, sf_dir, name: docs
+    try:
+        out = {r.doc_id: r for r in q_bm25(spark, "ignored").collect()}
+    finally:
+        rel.load = saved
+    assert 3 not in out  # no hits -> no row
+    assert out[1].n_hits == 4 and out[2].n_hits == 1
+    assert out[1].bm25 > out[2].bm25 > 0
+
+
+@pytest.mark.parametrize("q", [q_length_quantiles, q_domain_mix])
+def test_mixture_queries_tiny_group_count(spark, q):
+    """Both mixture queries must reduce to one row per (source[, p]) —
+    the shuffle output is group-sized, never corpus-sized."""
+    n_sources = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    n = q(spark, SF).count()
+    assert n in (n_sources, n_sources * len(_QUANTILE_PS))
