@@ -571,3 +571,78 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------- semantic dedup (scale)
+# SemDeDup-shaped semantic deduplication: coarse k-means clusters bound
+# the candidate set, so near-dup discovery is within-cluster pairs
+# instead of all-pairs. This is the SCALE PATH for q_embed_neardup (the
+# row-guarded O(n²) oracle anchor above): with k ∝ √n centroids the
+# candidate volume is Σ cluster² ≈ m²·n²/k — at 10^9 vectors and 30k
+# clusters, ~10^5 smaller than all-pairs, and each cluster's pair join
+# is an independent equi-join task.
+_SEMDEDUP_PROBE = 3  # soft-assignment width: top-m nearest centroids;
+#                      measured pair recall vs the all-pairs anchor at
+#                      tau=0.4: m=1 → 0.25, m=2 → 0.63, m=3 → 0.83 (sf0.01)
+#                      / 0.96 (sf0.001) — gate pinned in test_simsearch.py
+
+
+def semdedup_pairs(e: DataFrame, cents, m: int, tau: float) -> DataFrame:
+    """Within-cluster near-dup candidate pairs: every vector joins its
+    top-``m`` nearest centroids' inverted lists; two vectors become a
+    candidate iff they share a list (cluster equi-join, never n²); the
+    exact cosine filter keeps pairs ≥ ``tau``. Pairs sharing several
+    lists are deduplicated AFTER the cosine filter, so the distinct
+    shuffles only surviving (vec_a, vec_b) keys — never the vectors."""
+    a = _assign_clusters(e, cents, m).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    lhs = a.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    rhs = a.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        lhs.join(rhs, ["cluster"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(cos >= tau)
+        .select("vec_a", "vec_b", F.round(cos, 3).alias("cos_sim"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+@_q("x_semdedup")  # approximate scale path — recall-gated in tests
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup decision per vector: drop a vector iff some
+    SMALLER-id near-duplicate (cos ≥ 0.4) shares one of its top-3
+    clusters — the deterministic stand-in for SemDeDup's
+    keep-one-per-neighborhood policy (the paper keeps the member
+    farthest from the centroid; min-id is order-free and replayable).
+    Output is one row per vector with the keep verdict and its primary
+    cluster. The O(n²) q_embed_neardup stays registry-guarded as the
+    sampled-validation anchor for this path."""
+    e = _emb_double(spark, sf_dir)
+    cents = _ivf_centroids(e, _IVF_K, _IVF_ITERS)
+    pairs = semdedup_pairs(e, cents, _SEMDEDUP_PROBE, _NEARDUP_TAU)
+    dropped = (
+        pairs.select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("keep", F.lit(False))
+    )
+    primary = _assign_clusters(e, cents, 1).select("vec_id", "cluster")
+    return (
+        primary.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )

@@ -101,3 +101,42 @@ def test_banded_simhash_equals_allpairs(spark):
     }
     assert {t for t in base if t[2] < 4} <= under <= base
     fp.unpersist()
+
+
+def test_semdedup_recall_and_keep_policy(spark):
+    """x_semdedup is the scale path for q_embed_neardup: (a) its
+    within-cluster candidate pairs must recover ≥0.9 of the all-pairs
+    anchor's near-dup pairs on this fixture (measured 0.95 at m=3),
+    and (b) the keep verdict must drop exactly the vectors that have a
+    smaller-id detected neighbor — never both members of a pair."""
+    from documentai_ocr_spark.queries.simsearch import (
+        _IVF_ITERS,
+        _IVF_K,
+        _NEARDUP_TAU,
+        _SEMDEDUP_PROBE,
+        _emb_double,
+        _ivf_centroids,
+        q_embed_neardup,
+        semdedup_pairs,
+        x_semdedup,
+    )
+
+    anchor = {(r.vec_a, r.vec_b) for r in q_embed_neardup(spark, SF).collect()}
+    e = _emb_double(spark, SF)
+    cents = _ivf_centroids(e, _IVF_K, _IVF_ITERS)
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in semdedup_pairs(
+            e, cents, _SEMDEDUP_PROBE, _NEARDUP_TAU
+        ).collect()
+    }
+    assert found <= anchor, "semdedup emitted a pair the exact anchor lacks"
+    recall = len(found & anchor) / len(anchor)
+    assert recall >= 0.9, recall
+
+    verdicts = {r.vec_id: r.keep for r in x_semdedup(spark, SF).collect()}
+    assert len(verdicts) == e.count()
+    dropped = {v for v, k in verdicts.items() if not k}
+    # exactly the larger-id members of detected pairs are dropped —
+    # this also implies no detected pair survives with both kept
+    assert dropped == {b for _, b in found}
