@@ -22,6 +22,7 @@ Coverage map (SURVEY.md §2 → module):
 from __future__ import annotations
 
 from . import (
+    corpusops,
     dedup,
     extraction,
     labeldsl,
@@ -37,6 +38,7 @@ _MODULES = (
     textstats,
     simsearch,
     relevance,
+    corpusops,
     extraction,
     labeldsl,
 )

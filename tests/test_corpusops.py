@@ -1,0 +1,92 @@
+"""Corpus-maintenance operators: invariants beyond the DuckDB value
+gate — bloom no-false-negative / bounded false-positive, exact-k sample
+cardinality + determinism, and ngram guard behavior on short docs."""
+
+import pyspark.sql.functions as F
+
+from documentai_ocr_spark.queries.corpusops import (
+    _BLOOM_SEEDS,
+    _BLOOM_WORDS,
+    _SAMPLE_K,
+    bloom_build,
+    bloom_probe,
+    q_exact_k_sample,
+    q_ngram_topk,
+    x_bloom_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every value inserted into the sketch must probe as maybe_dup —
+    the property the prefilter's correctness rests on (a false negative
+    would let a true duplicate skip the exact anti-join entirely)."""
+    vals = spark.range(0, 400).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("h")
+    )
+    sketch = bloom_build(vals, "h")
+    assert len(sketch) == _BLOOM_WORDS
+    probed = bloom_probe(vals, "h", sketch)
+    assert probed.where(~F.col("maybe_dup")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Disjoint probe values mostly miss: with 400 insertions in a
+    262144-bit table and 4 seeds, theoretical FPR ~ (400*4/262144)^4
+    ~ 1.4e-9; allow a generous 2% for hash-collision slack."""
+    ins = spark.range(0, 400).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("h")
+    )
+    sketch = bloom_build(ins, "h")
+    other = spark.range(0, 400).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("h")
+    )
+    fp = bloom_probe(other, "h", sketch).where(F.col("maybe_dup")).count()
+    assert fp <= 8  # 2% of 400
+
+
+def test_bloom_dedup_replay_all_flagged(spark):
+    """In the registry query, every replayed doc (is_new=False) carries
+    content already in the corpus sketch, so it MUST flag maybe_dup."""
+    out = x_bloom_dedup(spark, SF)
+    missed = out.where(~F.col("is_new") & ~F.col("maybe_dup")).count()
+    assert missed == 0
+
+
+def test_exact_k_sample_cardinality_and_determinism(spark):
+    """Exactly min(k, n_source) rows per source, and the sampled doc_id
+    set is identical across runs (md5 order is replayable)."""
+    out = q_exact_k_sample(spark, SF)
+    per_src = {
+        r.source: r.cnt
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    from documentai_ocr_spark.queries.util import load
+
+    totals = {
+        r.source: r.cnt
+        for r in load(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for src, n in totals.items():
+        assert per_src.get(src, 0) == min(_SAMPLE_K, n)
+    ids1 = {(r.source, r.doc_id) for r in out.collect()}
+    ids2 = {(r.source, r.doc_id) for r in q_exact_k_sample(spark, SF).collect()}
+    assert ids1 == ids2
+
+
+def test_ngram_topk_short_docs_no_crash(spark):
+    """Docs with <3 tokens contribute nothing (the sequence() guard);
+    the query still returns a full deterministic top-k on real data."""
+    out = q_ngram_topk(spark, SF).collect()
+    assert len(out) > 0
+    # counts non-increasing; ties broken ngram-ascending
+    for a, b in zip(out, out[1:]):
+        assert (a.cnt, b.ngram) >= (b.cnt, a.ngram) or a.cnt > b.cnt
+        if a.cnt == b.cnt:
+            assert a.ngram < b.ngram
