@@ -337,3 +337,320 @@ def x_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(batch, "h", sketch).select(
         "doc_id", "is_new", "maybe_dup"
     )
+
+
+# ------------------------------------------- repeated-substring removal
+# Exact substring dedup in the style of "Deduplicating Training Data
+# Makes Language Models Better" (Lee et al., 2022): any K-token window
+# whose content occurs more than once in the corpus marks its tokens
+# for removal; overlapping marked windows merge into spans. The
+# deterministic boilerplate injection (docs with doc_id%5==0 share an
+# identical 12-token suffix) guarantees the op has real work to do on
+# the synthetic corpus — both engines build the identical decorated
+# input before deduplicating.
+_DUP_K = 8
+_BOILER = (
+    "subscribe to our newsletter for updates"
+    " follow us on social media today"
+)
+
+
+@_q(
+    "q_substring_dedup",
+    f"""
+    WITH decorated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' {_BOILER}'
+                  ELSE text END AS raw
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(raw), ' '),
+                         x -> x <> '') AS t
+      FROM decorated
+    ),
+    win AS (
+      SELECT doc_id, i,
+             array_to_string(t[i:i+{_DUP_K - 1}], ' ') AS wk
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - {_DUP_K - 1})) AS i
+      ) g
+    ),
+    dup AS (SELECT wk FROM win GROUP BY wk HAVING COUNT(*) > 1),
+    hit AS (SELECT doc_id, i FROM win JOIN dup USING (wk)),
+    cover AS (
+      SELECT DISTINCT doc_id, i + d AS p
+      FROM hit, LATERAL (
+        SELECT unnest(generate_series(0, {_DUP_K - 1})) AS d
+      ) g
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY p) AS grp
+      FROM cover
+    ),
+    spans AS (
+      SELECT doc_id,
+             COUNT(DISTINCT grp) AS n_dup_spans,
+             COUNT(*) AS n_removed
+      FROM isl GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, t[i] AS w
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t))) AS i
+      ) g
+    ),
+    kept AS (
+      SELECT pos.doc_id,
+             string_agg(w, ' ' ORDER BY p) AS clean_text
+      FROM pos
+      ANTI JOIN cover
+        ON pos.doc_id = cover.doc_id AND pos.p = cover.p
+      GROUP BY pos.doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(COALESCE(spans.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(spans.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(kept.clean_text, '') AS clean_text
+    FROM tok
+    LEFT JOIN spans USING (doc_id)
+    LEFT JOIN kept USING (doc_id)
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring removal: every {K}-token window
+    occurring >1 time corpus-wide marks its token positions; marked
+    positions merge into spans (gaps-and-islands); the doc is rewritten
+    without them. Returns per doc: span count, removed-token count, and
+    the cleaned text — the document-rewriting half of dedup that hash
+    dedup (whole-doc) and minhash (near-whole-doc) cannot express.
+
+    Scale: the one corpus-wide exchange is the window-content groupBy —
+    inherent to the op (the suffix-array formulation needs a global sort
+    of comparable volume). Shuffle width is the window string (~50 B);
+    at 100 TB, group on xxhash64(window) instead (8 B, collision odds
+    ~n²/2⁶⁴) and keep strings only for the final per-doc rewrite. The
+    cover explode is ×{K} on *duplicated* windows only (a small corpus
+    fraction), the islands window and rewrite aggregation both partition
+    by doc_id — no skew beyond a doc's own length, and the rewrite
+    collect_list is bounded by the longest single document exactly like
+    the extraction assembler."""
+    k = _DUP_K
+    raw = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit(" " + _BOILER)),
+    ).otherwise(F.col("text"))
+    toks = F.filter(F.split(F.lower(raw), " "), lambda t: t != "")
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", toks.alias("t"))
+        .cache()
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}),"
+                    f" i -> struct(i as i,"
+                    f"  concat_ws(' ', slice(t, i, {k})) as wk))"
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<i:int,wk:string>>")
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.i", "x.wk")
+    dup = (
+        win.groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("wk")
+    )
+    hit = win.join(dup, "wk").select("doc_id", "i")
+    cover = hit.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))
+        ).alias("p"),
+    ).distinct()
+    wisl = Window.partitionBy("doc_id").orderBy("p")
+    spans = (
+        cover.withColumn("grp", F.col("p") - F.row_number().over(wisl))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("grp").alias("n_dup_spans"),
+            F.count(F.lit(1)).alias("n_removed"),
+        )
+    )
+    pos = d.select(
+        "doc_id", F.posexplode("t").alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    kept = (
+        pos.join(cover, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(p, w))), x -> x.w), ' ')"
+            ).alias("clean_text")
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(spans, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ------------------------------------------------- snapshot CDC diff
+@_q(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    new_snap AS (
+      SELECT CASE WHEN doc_id % 13 = 0 THEN doc_id + 1000000
+                  ELSE doc_id END AS doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN text || ' brand new'
+                      WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                      ELSE text END) AS h
+      FROM documents
+      WHERE doc_id % 11 <> 0 OR doc_id % 13 = 0
+    )
+    SELECT COALESCE(old.doc_id, new_snap.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new_snap.doc_id IS NULL THEN 'removed'
+                WHEN old.h <> new_snap.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new_snap ON old.doc_id = new_snap.doc_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two corpus snapshots: full outer join
+    on the document key, classify each id as added / removed / changed
+    (content hash differs) / unchanged. The second snapshot is derived
+    deterministically from the first (every 11th doc deleted, every 7th
+    revised, every 13th re-keyed as a new doc) so both engines diff the
+    identical pair.
+
+    Scale: both sides project to (doc_id, md5) BEFORE the join, so the
+    exchange carries 8+16 bytes per row instead of document text. At
+    100 TB both snapshots live bucketed by doc_id (bucketing.py), making
+    this a zero-shuffle sort-merge join; incremental runs diff only the
+    partitions the new snapshot touched."""
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = base.select("doc_id", F.md5("text").alias("h"))
+    surv = F.col("doc_id") % 11 != 0
+    rekey = F.col("doc_id") % 13 == 0
+    new_snap = base.where(surv | rekey).select(
+        F.when(rekey, F.col("doc_id") + 1000000)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.md5(
+            F.when(rekey, F.concat("text", F.lit(" brand new")))
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat("text", F.lit(" rev2")),
+            )
+            .otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    j = old.alias("o").join(
+        new_snap.alias("n"),
+        F.col("o.doc_id") == F.col("n.doc_id"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("o.doc_id", "n.doc_id").alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+# --------------------------------------------- deterministic epoch shuffle
+_EPOCH_SEED = "epoch7:"
+_RANK_BUCKETS = 32
+
+
+@_q(
+    "q_epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('{_EPOCH_SEED}' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS epoch_rank
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order for one epoch: rank every doc
+    by md5(seed || doc_id) — a replayable uniform permutation (change
+    the seed string per epoch for a fresh order).
+
+    Scale — global rank WITHOUT the single-reducer window: a naive
+    ROW_NUMBER() OVER (ORDER BY ...) funnels the whole corpus through
+    one task. Instead: (1) bucket rows by the hash key's first byte into
+    {_RANK_BUCKETS} fixed equal-width ranges — deterministic (no sampled
+    RangePartitioner) and balanced because md5 is uniform; bucket order
+    is a prefix of full-key order, so ranking bucket-by-bucket equals
+    the global ranking. (2) One tiny aggregate collects per-bucket
+    counts ({_RANK_BUCKETS} rows) → driver prefix-sum → broadcast
+    offset dim. (3) row_number runs per bucket (corpus/{_RANK_BUCKETS}
+    rows each, no hot reducer) and adds the bucket offset. Two passes
+    over (doc_id, 16-byte hash) — never over the text. At 1000
+    executors raise _RANK_BUCKETS to O(cores); the offset dim stays
+    tiny."""
+    key = F.md5(
+        F.concat(F.lit(_EPOCH_SEED), F.col("doc_id").cast("string"))
+    )
+    width = 256 // _RANK_BUCKETS
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("k", key)
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring("k", 1, 2), 16, 10).cast("int")
+                / F.lit(width)
+            ).cast("int"),
+        )
+    )
+    cnts = {
+        r.bucket: r.c
+        for r in d.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offs, acc = [], 0
+    for b in range(_RANK_BUCKETS):
+        offs.append((b, acc))
+        acc += cnts.get(b, 0)
+    dim = spark.createDataFrame(offs, "bucket int, off long")
+    wb = Window.partitionBy("bucket").orderBy("k", "doc_id")
+    return (
+        d.join(F.broadcast(dim), "bucket")
+        .withColumn(
+            "epoch_rank",
+            (F.col("off") + F.row_number().over(wb)).cast("long"),
+        )
+        .select("doc_id", "epoch_rank")
+    )

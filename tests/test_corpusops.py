@@ -90,3 +90,60 @@ def test_ngram_topk_short_docs_no_crash(spark):
         assert (a.cnt, b.ngram) >= (b.cnt, a.ngram) or a.cnt > b.cnt
         if a.cnt == b.cnt:
             assert a.ngram < b.ngram
+
+
+def test_substring_dedup_removes_injected_boilerplate(spark):
+    """Every doc carrying the injected 12-token boilerplate suffix
+    (doc_id%5==0) must lose at least those 12 tokens; clean docs with
+    unique content keep their full text (modulo tokenization join)."""
+    from documentai_ocr_spark.queries.corpusops import q_substring_dedup
+
+    rows = {r.doc_id: r for r in q_substring_dedup(spark, SF).collect()}
+    boiler = [r for i, r in rows.items() if i % 5 == 0]
+    assert boiler and all(r.n_removed >= 12 for r in boiler)
+    assert all(
+        "subscribe to our newsletter" not in r.clean_text for r in boiler
+    )
+    # span accounting: removed tokens ≥ spans * window size is not
+    # guaranteed (spans merge), but every span removes ≥ the window
+    for r in rows.values():
+        if r.n_dup_spans:
+            assert r.n_removed >= 8  # at least one full window
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(spark):
+    from documentai_ocr_spark.queries.corpusops import q_epoch_shuffle
+    from documentai_ocr_spark.queries.util import load
+
+    out = q_epoch_shuffle(spark, SF).collect()
+    n = load(spark, SF, "documents").count()
+    ranks = sorted(r.epoch_rank for r in out)
+    assert ranks == list(range(1, n + 1))  # exact permutation, no gaps
+    order1 = {r.doc_id: r.epoch_rank for r in out}
+    order2 = {
+        r.doc_id: r.epoch_rank for r in q_epoch_shuffle(spark, SF).collect()
+    }
+    assert order1 == order2  # replayable
+    # actually shuffled: not the identity order
+    by_rank = [d for d, _ in sorted(order1.items(), key=lambda x: x[1])]
+    assert by_rank != sorted(by_rank)
+
+
+def test_snapshot_diff_statuses_match_arithmetic(spark):
+    from documentai_ocr_spark.queries.corpusops import q_snapshot_diff
+    from documentai_ocr_spark.queries.util import load
+
+    ids = [
+        r.doc_id
+        for r in load(spark, SF, "documents").select("doc_id").collect()
+    ]
+    out = {r.doc_id: r.status for r in q_snapshot_diff(spark, SF).collect()}
+    for i in ids:
+        if i % 13 == 0:
+            assert out[i] == "removed" and out[i + 1000000] == "added"
+        elif i % 11 == 0:
+            assert out[i] == "removed"
+        elif i % 7 == 0:
+            assert out[i] == "changed"
+        else:
+            assert out[i] == "unchanged"
