@@ -444,10 +444,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" " + _BOILER)),
     ).otherwise(F.col("text"))
     toks = F.filter(F.split(F.lower(raw), " "), lambda t: t != "")
-    d = (
-        spread(load(spark, sf_dir, "documents"))
-        .select("doc_id", toks.alias("t"))
-        .cache()
+    # referenced by three branches (windows, positions, final ids) —
+    # deliberately NOT cached: materializing the token arrays of a
+    # 100-TB corpus is worse than re-running a pruned scan + narrow
+    # tokenize per branch
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
     )
     win = d.select(
         "doc_id",
