@@ -102,3 +102,49 @@ def test_pdfish_decode_single_shuffle_key(spark):
     a single hash exchange end to end."""
     p = plan(QUERIES["q_pdfish_line_decode"](spark, SF))
     assert p.count("hashpartitioning(") == 1, p
+
+
+def test_ngram_topk_is_partial_topk(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heap,
+    k rows to the driver) — a global Sort before the limit is the
+    at-scale regression."""
+    p = plan(QUERIES["q_ngram_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    # map-side partial aggregation before the exchange
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_exact_k_sample_broadcasts_threshold_dim(spark):
+    """The per-source threshold dim must broadcast; the corpus must
+    never be the build side of anything."""
+    p = plan(QUERIES["q_exact_k_sample"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_epoch_shuffle_broadcasts_offsets_no_global_sort(spark):
+    """Global rank must come from per-bucket windows + a broadcast
+    offset dim — a single-partition global Sort/Window is exactly what
+    the bucketing exists to avoid."""
+    p = plan(QUERIES["q_epoch_shuffle"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    # the only Window partitions by bucket — never an empty PARTITION BY
+    # (which would plan Exchange SinglePartition before the window)
+    assert "SinglePartition" not in p
+
+
+def test_snapshot_diff_joins_on_projected_hashes(spark):
+    """The CDC join must read only (doc_id, text→md5) — document text
+    itself must not survive past the scan projection."""
+    p = plan(QUERIES["q_snapshot_diff"](spark, SF))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and all("lang" not in ln and "source" not in ln for ln in rs)
+    assert "CartesianProduct" not in p
+
+
+def test_substring_dedup_no_cartesian(spark):
+    """Window-content groupBy + equi-joins only — the dup-window join
+    and the cover anti-join must never degenerate to a product."""
+    p = plan(QUERIES["q_substring_dedup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

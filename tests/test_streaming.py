@@ -163,3 +163,74 @@ def test_stream_dedup_drops_replays(spark, tmp_path_factory):
     got = spark.read.parquet(out)
     assert got.count() == len(pdf)  # every replayed row dropped
     assert got.select("conv_id", "turn_idx").distinct().count() == len(pdf)
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path_factory):
+    """True watermark semantics, not just schema: once a window has been
+    finalized and its state evicted (the watermark passed its end), a
+    late row for that window arriving in a later micro-batch is dropped
+    — the append output holds exactly one row for the window, at the
+    finalized count. Three single-file micro-batches: batch 0 fills
+    [10:00,10:10) and posts an 11:00 row; batch 1's 12:00 row advances
+    the watermark past the window end, finalizing it at 3; batch 2's
+    10:05 straggler must be evicted, not resurrect the window."""
+    import time
+
+    import pyspark.sql.functions as SF
+
+    base = tmp_path_factory.mktemp("late")
+    ind, ckpt = str(base / "in"), str(base / "ckpt")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def write_one(ts_list, tag):
+        (
+            spark.createDataFrame(
+                [
+                    (f"c{tag}{i}", i, "user", "x", "", x)
+                    for i, x in enumerate(ts_list)
+                ],
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string, ts string",
+            )
+            .withColumn("ts", SF.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(ind)
+        )
+
+    day = "2024-01-01 "
+    write_one([day + t for t in ("10:01:00", "10:04:00", "10:08:00", "11:00:00")], "a")
+    time.sleep(1.1)  # distinct mtimes keep the batch order deterministic
+    write_one([day + "12:00:00"], "b")
+    time.sleep(1.1)
+    write_one([day + t for t in ("10:05:00", "13:00:00")], "c")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    agg = windowed_turn_counts(src, window="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the straggler
+    rows = spark.sql(
+        "SELECT * FROM late_counts WHERE win_start = '2024-01-01 10:00:00'"
+    ).collect()
+    # one finalized append row, straggler excluded, never re-emitted
+    assert len(rows) == 1 and rows[0].n_turns == 3
