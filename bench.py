@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q_extract_plain_runs",     # plain extraction runs, SQL-gated form
     "q_pdfish_line_decode",     # char-box line assembly, SQL-gated form
     "q_model_classify",         # batched model hook (singleton + broadcast)
+    "q_substring_dedup",        # repeated-window span removal (corpus-wide)
+    "q_epoch_shuffle",          # global rank via bucketed offsets
 ]
 # NOT timed here: q_dedup_components — at bench SF its wall is ~6 driver
 # rounds of fixed per-job overhead (~1.5 s each), which measures the

@@ -200,3 +200,36 @@ def stream_dedup(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
+
+
+def stream_sessionize(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window``: the
+    event-time analogue of the batch islands operator (q_sessionize) —
+    a session is a run of turns for one conversation with no gap
+    larger than ``gap``. Unlike the batch form (lag + cumulative sum,
+    which needs the whole history ordered), the streaming state store
+    keeps only OPEN sessions; the watermark closes and emits a session
+    once no on-time row can extend it, so state is bounded by the
+    number of concurrently live conversations, not the stream length.
+
+    Scale: one shuffle per micro-batch on conv_id (same key as the
+    table bucketing, so a Kafka/Iceberg source arrives pre-grouped);
+    session merge (two state entries bridged by a late-but-on-time row)
+    is handled by the engine's session-merging state format."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_turns",
+            "n_chars",
+        )
+    )

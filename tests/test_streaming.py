@@ -234,3 +234,82 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path_factory):
     ).collect()
     # one finalized append row, straggler excluded, never re-emitted
     assert len(rows) == 1 and rows[0].n_turns == 3
+
+
+def test_stream_sessionize_gap_split_and_merge(spark, tmp_path_factory):
+    """Session windows across micro-batches: turns within the gap fuse
+    into one session (even when a bridging row arrives in a later
+    batch — state-store session MERGE), turns beyond the gap start a
+    new one, and sessions only emit once the watermark closes them."""
+    import time
+
+    import pyspark.sql.functions as SF
+
+    from documentai_ocr_spark.streaming import stream_sessionize
+
+    base = tmp_path_factory.mktemp("sess")
+    ind, ckpt = str(base / "in"), str(base / "ckpt")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def write_one(rows):
+        (
+            spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, role string, text string,"
+                " tool string, ts string",
+            )
+            .withColumn("ts", SF.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(ind)
+        )
+
+    d = "2024-01-01 "
+    # batch 0: two session fragments for c1 at 10:00 and 10:50 (gap 50m
+    # > 30m → separate), plus c2 noise
+    write_one(
+        [
+            ("c1", 0, "user", "aaaa", "", d + "10:00:00"),
+            ("c1", 1, "asst", "bb", "", d + "10:10:00"),
+            ("c1", 2, "user", "cc", "", d + "10:50:00"),
+            ("c2", 0, "user", "dd", "", d + "10:05:00"),
+        ]
+    )
+    time.sleep(1.1)
+    # batch 1: a 10:30 row BRIDGES c1's two fragments (10:10 +30m ≥
+    # 10:30, 10:30 +30m ≥ 10:50) → the state store must MERGE them into
+    # one session; a far-future row advances the watermark to close all
+    write_one(
+        [
+            ("c1", 3, "user", "ee", "", d + "10:30:00"),
+            ("c3", 0, "user", "f", "", d + "20:00:00"),
+        ]
+    )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+    q = (
+        stream_sessionize(src, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.conv_id, str(r.sess_start)): (r.n_turns, r.n_chars)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # c1: ONE merged session 10:00..10:50 with all 4 turns
+    assert got[("c1", "2024-01-01 10:00:00")] == (4, 10)
+    assert not any(k[0] == "c1" and "10:50" in k[1] for k in got)
+    # c2: its lone turn emitted as a closed single-row session
+    assert got[("c2", "2024-01-01 10:05:00")] == (1, 2)
