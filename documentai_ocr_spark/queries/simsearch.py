@@ -286,6 +286,47 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 60
 
 
+def simhash_band_segments(
+    fp: DataFrame, hamming_max: int, n_bands: int | None = None
+) -> DataFrame:
+    """Explode a (doc_id, simhash) table into its pigeonhole band keys:
+    (doc_id, simhash, seg, seg_val) with ``n_bands = hamming_max + 1``
+    segments partitioning the 60 bits (uneven widths are fine — the
+    pigeonhole argument only needs a partition). Shared by the
+    self-join pair path and the incremental corpus-index probe."""
+    if n_bands is None:
+        n_bands = hamming_max + 1
+    base, rem = divmod(_SIMHASH_BITS, n_bands)
+    specs = []
+    off = 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        specs.append((i, off, width))
+        off += width
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seg"),
+                    F.lit(o).alias("off"),
+                    F.lit(w).alias("bw"),
+                )
+                for i, o, w in specs
+            ]
+        )
+    ).alias("band")
+    return (
+        fp.select("doc_id", "simhash", bands)
+        .withColumn(
+            "seg_val",
+            F.expr(
+                "shiftright(simhash, band.off) & (shiftleft(1L, band.bw) - 1L)"
+            ),
+        )
+        .select("doc_id", "simhash", F.col("band.seg").alias("seg"), "seg_val")
+    )
+
+
 def simhash_pairs_banded(
     fp: DataFrame, hamming_max: int, n_bands: int | None = None
 ) -> DataFrame:
@@ -313,37 +354,7 @@ def simhash_pairs_banded(
     hamming budget split k1+k2, i.e. candidates must match one segment
     exactly AND a second within budget), or widen the fingerprint to 128
     bits. The pigeonhole completeness argument carries over unchanged."""
-    if n_bands is None:
-        n_bands = hamming_max + 1
-    base, rem = divmod(_SIMHASH_BITS, n_bands)
-    specs = []
-    off = 0
-    for i in range(n_bands):
-        width = base + (1 if i < rem else 0)
-        specs.append((i, off, width))
-        off += width
-    bands = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("seg"),
-                    F.lit(o).alias("off"),
-                    F.lit(w).alias("bw"),
-                )
-                for i, o, w in specs
-            ]
-        )
-    ).alias("band")
-    segs = (
-        fp.select("doc_id", "simhash", bands)
-        .withColumn(
-            "seg_val",
-            F.expr(
-                "shiftright(simhash, band.off) & (shiftleft(1L, band.bw) - 1L)"
-            ),
-        )
-        .select("doc_id", "simhash", F.col("band.seg").alias("seg"), "seg_val")
-    )
+    segs = simhash_band_segments(fp, hamming_max, n_bands)
     a = segs.alias("a")
     b = segs.alias("b")
     ham = F.expr("bit_count(a.simhash ^ b.simhash)")
@@ -644,5 +655,137 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cluster",
             F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+
+
+# ------------------------------------- incremental near-dup (corpus index)
+def _fp_cte(src: str) -> str:
+    """DuckDB CTE chain deriving (doc_id, simhash) from a (doc_id, text)
+    CTE named ``src`` — the same vote formulation as SIMHASH_PAIRS_SQL,
+    parameterized so the oracle can fingerprint corpus and batch."""
+    return f"""
+    tok_{src} AS (
+      SELECT doc_id, t AS tok, CAST(COUNT(*) AS bigint) AS w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM {src})
+      GROUP BY doc_id, t),
+    h_{src} AS (
+      SELECT doc_id, w,
+             ('0x' || substr(md5(tok), 1, 15))::bigint AS hv
+      FROM tok_{src}),
+    vote_{src} AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN w ELSE -w END)
+               AS vote
+      FROM h_{src},
+           (SELECT unnest(generate_series(0, {_SIMHASH_BITS - 1})) AS bit) b
+      GROUP BY doc_id, b.bit),
+    fp_{src} AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN (1::bigint << bit)
+                           ELSE 0 END) AS bigint) AS simhash
+      FROM vote_{src} GROUP BY doc_id)"""
+
+
+_INCR_HAMMING_MAX = 8
+
+
+@_q(
+    "q_incremental_neardup",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 3 = 0 THEN c.text
+                  WHEN d.doc_id % 3 = 1
+                    THEN c.text || ' drifted tail token'
+                  ELSE d.text || ' wholly new material' END AS text
+      FROM documents d JOIN documents c ON c.doc_id = d.doc_id - 1
+      WHERE d.doc_id % 2 = 1
+    ),
+    {_fp_cte("corpus")},
+    {_fp_cte("batch")}
+    SELECT b.doc_id,
+           bool_or(bit_count(xor(b.simhash, c.simhash))
+                   <= {_INCR_HAMMING_MAX}) AS is_neardup
+    FROM fp_batch b CROSS JOIN fp_corpus c
+    GROUP BY b.doc_id
+    """,
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-duplicate screen: a fresh crawl batch probed
+    against the EXISTING corpus' simhash band index — the near-dup
+    analogue of the bloom exact-membership prefilter (corpusops). The
+    batch is derived deterministically (each odd doc is an exact replay
+    of its even neighbor, a one-phrase drift of it, or genuinely new
+    content), both engines build the identical pair of snapshots.
+
+    The Spark path is the pigeonhole equi-join of batch band keys
+    against corpus band keys (9 bands ⇒ provably complete at hamming ≤
+    8); the oracle brute-forces all batch×corpus pairs — different
+    algorithm, same verdict column, so the gate is a completeness
+    check of the banded probe, not a reimplementation.
+
+    Scale: the corpus band index (doc_id, seg, seg_val — 9 rows of 24 B
+    per corpus doc) is computed once and persisted as a bucketed table
+    in production; only the batch (crawl-sized, orders smaller than the
+    corpus) fingerprints and shuffles per run. Candidates ∝ band
+    matches, never |batch|×|corpus|; AQE splits hot band buckets the
+    same way it does in the self-join path."""
+    from .dedup import _simhash_df
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .join(prev, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.col("prev_text"))
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat("prev_text", F.lit(" drifted tail token")),
+            )
+            .otherwise(F.concat("text", F.lit(" wholly new material")))
+            .alias("text"),
+        )
+    )
+    cfp = _simhash_df(corpus)
+    bfp = _simhash_df(batch)
+    cb = simhash_band_segments(cfp, _INCR_HAMMING_MAX)
+    bb = simhash_band_segments(bfp, _INCR_HAMMING_MAX)
+    cand = (
+        bb.alias("b")
+        .join(
+            cb.alias("c"),
+            (F.col("b.seg") == F.col("c.seg"))
+            & (F.col("b.seg_val") == F.col("c.seg_val")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.simhash").alias("bh"),
+            F.col("c.simhash").alias("ch"),
+        )
+        .distinct()
+    )
+    hits = (
+        cand.where(F.expr("bit_count(bh ^ ch)") <= _INCR_HAMMING_MAX)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_neardup", F.lit(True))
+    )
+    return (
+        bfp.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_neardup", F.lit(False)).alias("is_neardup"),
         )
     )

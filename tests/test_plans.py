@@ -148,3 +148,11 @@ def test_substring_dedup_no_cartesian(spark):
     p = plan(QUERIES["q_substring_dedup"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_neardup_band_equijoin(spark):
+    """The corpus probe must be the band equi-join — batch×corpus must
+    never plan as a product."""
+    p = plan(QUERIES["q_incremental_neardup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

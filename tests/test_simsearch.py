@@ -140,3 +140,20 @@ def test_semdedup_recall_and_keep_policy(spark):
     # exactly the larger-id members of detected pairs are dropped —
     # this also implies no detected pair survives with both kept
     assert dropped == {b for _, b in found}
+
+
+def test_incremental_neardup_flags_exact_replays(spark):
+    """Every exact replay in the synthetic batch (odd doc_id % 3 == 0,
+    text identical to its corpus neighbor) must flag is_neardup — the
+    hamming-0 case the band join can never miss."""
+    from documentai_ocr_spark.queries.simsearch import q_incremental_neardup
+
+    out = {
+        r.doc_id: r.is_neardup
+        for r in q_incremental_neardup(spark, SF).collect()
+    }
+    replays = [i for i in out if i % 3 == 0]
+    assert replays and all(out[i] for i in replays)
+    # fresh-content docs exist and at least one is correctly non-dup
+    fresh = [i for i in out if i % 3 == 2]
+    assert fresh and not all(out[i] for i in fresh)
