@@ -294,3 +294,107 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     )
+
+
+# --------------------------------------------- DSIR importance weights
+# Data Selection with Importance Resampling (Xie et al., 2023): score
+# every document by the log-likelihood ratio of its hashed-feature
+# counts under a target-domain bag-of-buckets model vs the whole-corpus
+# model. Documents that look like the target domain get high weight —
+# the standard pretraining-data selection op. Target stand-in: the
+# 'src0' slice of the corpus.
+_DSIR_BUCKETS = 256
+
+
+@_q(
+    "q_dsir_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             (('0x' || substr(md5(tok), 1, 8))::bigint
+               % {_DSIR_BUCKETS}) AS bucket
+      FROM tok
+    ),
+    cb AS (SELECT bucket, CAST(COUNT(*) AS bigint) AS cc
+           FROM b GROUP BY bucket),
+    tb AS (SELECT bucket, CAST(COUNT(*) AS bigint) AS tc
+           FROM b WHERE source = 'src0' GROUP BY bucket),
+    tots AS (SELECT (SELECT SUM(cc) FROM cb) AS totc,
+                    (SELECT COALESCE(SUM(tc), 0) FROM tb) AS tott),
+    dim AS (
+      SELECT cb.bucket,
+             ln((COALESCE(tb.tc, 0) + 1.0)
+                / (tots.tott + {_DSIR_BUCKETS}.0))
+             - ln((cb.cc + 1.0) / (tots.totc + {_DSIR_BUCKETS}.0)) AS r
+      FROM cb LEFT JOIN tb USING (bucket), tots
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS bigint) AS n_toks,
+           ROUND(SUM(dim.r), 6) AS dsir_weight
+    FROM b JOIN dim USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document: hashed token features
+    (md5 → {_DSIR_BUCKETS} buckets), Laplace-smoothed bag-of-buckets
+    models for the target domain and the full corpus, per-doc weight =
+    Σ log(p_target(bucket)/p_corpus(bucket)) over its tokens, rounded
+    once after the sum (the module's float discipline).
+
+    Scale: both feature models reduce to ≤{_DSIR_BUCKETS} rows with
+    map-side partials (the corpus never shuffles to build them); the
+    log-ratio dim broadcasts back onto the token stream, so the only
+    doc-keyed shuffle is the final per-doc aggregation. Resampling on
+    the weight composes with q_stratified_sample / q_epoch_shuffle."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    b = tok.select("doc_id", "source", bucket.alias("bucket"))
+    cb = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("cc"))
+    tb = (
+        b.where(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    )
+    totc = cb.agg(F.sum("cc").cast("long").alias("totc"))
+    tott = tb.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).cast("long").alias("tott")
+    )
+    dim = (
+        cb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(totc))
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + F.lit(1.0))
+                    / (F.col("tott") + F.lit(float(_DSIR_BUCKETS)))
+                )
+                - F.log(
+                    (F.col("cc") + F.lit(1.0))
+                    / (F.col("totc") + F.lit(float(_DSIR_BUCKETS)))
+                )
+            ).alias("r"),
+        )
+    )
+    return (
+        b.join(F.broadcast(dim), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.sum("r"), 6).alias("dsir_weight"),
+        )
+    )

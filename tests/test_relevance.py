@@ -117,3 +117,25 @@ def test_mixture_queries_tiny_group_count(spark, q):
     )
     n = q(spark, SF).count()
     assert n in (n_sources, n_sources * len(_QUANTILE_PS))
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """Documents from the target domain ('src0') must score a higher
+    mean importance weight than the rest of the corpus — the defining
+    property of the likelihood-ratio selector (target docs' features
+    are by construction more probable under the target model)."""
+    from documentai_ocr_spark.queries.relevance import q_dsir_weights
+    from documentai_ocr_spark.queries.util import load
+
+    w = q_dsir_weights(spark, SF)
+    src = load(spark, SF, "documents").select("doc_id", "source")
+    j = {
+        (r.source,): r.m
+        for r in w.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.avg(F.col("dsir_weight") / F.col("n_toks")).alias("m"))
+        .collect()
+    }
+    tgt = j[("src0",)]
+    others = [v for k, v in j.items() if k != ("src0",)]
+    assert others and all(tgt > o for o in others)
