@@ -1366,3 +1366,237 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_tool", F.col("tool").alias("next_tool"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------- as-of join
+# The time-series operator Spark has no built-in for: attach to each
+# purchase the most recent strictly-prior click of the same user
+# ("strictly prior" = earlier by (ts, event_id), a total order). The
+# scalable formulation is NOT a join at all: union-tag both event
+# streams, one sort-window per user, and carry the last-seen click
+# forward with last(ignorenulls) — one shuffle on user_id, O(n log n)
+# per partition, no pairwise comparison anywhere.
+@_q(
+    "q_asof_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_ms(p.ts) AS purchase_ms,
+           c.event_id AS click_id,
+           epoch_ms(c.ts) AS click_ms,
+           ROUND(c.value, 6) AS click_value
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY p.event_id
+      ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join purchases←clicks without a join: union the two event
+    streams, sort each user's timeline once by (ts, event_id), and
+    carry the latest click forward onto every purchase row with
+    last(..., ignorenulls) over an unbounded-preceding frame. The DuckDB
+    oracle brute-forces the per-user cross product with arg_max, so the
+    gate proves the window formulation equals the quadratic definition.
+
+    Scale: exactly one Exchange (hash by user_id) + one per-partition
+    sort shared by the window; the quadratic form never runs on Spark.
+    Skewed users cost O(their rows), not O(their rows²)."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    carried = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts"),
+        F.last(F.when(is_click, F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("click_value_raw"),
+    )
+    return carried.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ms"),
+        "click_id",
+        F.unix_millis(F.col("click_ts").cast("timestamp")).alias("click_ms"),
+        F.round("click_value_raw", 6).alias("click_value"),
+    )
+
+
+# --------------------------------------------- interval-overlap (range) join
+# Point-in-interval join: each error event opens a window of `value`
+# seconds; count the purchases each user makes inside it. A naive
+# non-equi join is a nested loop (O(n·m) per user); the scale path bins
+# both sides into fixed-width epochs sized >= the maximum interval
+# length, so every interval spans <= 2 buckets (bounded explode) and
+# the non-equi predicate becomes an equi-join on (user, bucket) plus a
+# residual filter. Integer-ms arithmetic with explicit floor keeps the
+# two engines bit-identical (Spark's double->long cast truncates,
+# DuckDB's rounds — never rely on either).
+_RANGE_BUCKET_MS = 512_000  # > max interval (490.02 s) => <=2 buckets
+
+
+@_q(
+    "q_interval_overlap",
+    """
+    WITH e AS (
+      SELECT event_id AS error_id, user_id,
+             epoch_ms(ts) AS beg_ms,
+             epoch_ms(ts) + CAST(FLOOR(value * 1000) AS BIGINT) AS end_ms
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT user_id, epoch_ms(ts) AS p_ms, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.error_id, e.user_id,
+           CAST(COUNT(p.p_ms) AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(SUM(p.value), 0.0), 6) AS purchase_value
+    FROM e LEFT JOIN p
+      ON e.user_id = p.user_id
+     AND p.p_ms BETWEEN e.beg_ms AND e.end_ms
+    GROUP BY e.error_id, e.user_id
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: intervals explode to their covered epoch
+    buckets (<=2 by construction), points map to exactly one, and the
+    overlap test runs only within (user, bucket) groups. The DuckDB
+    oracle is the plain non-equi join, so the gate proves the binned
+    rewrite loses no pairs and invents none.
+
+    Scale: shuffle keys are (user_id, bucket) — time-locality means a
+    bucket only meets its own ~width of data; the nested-loop surface
+    is gone. Zero-match intervals are restored by a left join against
+    the (small) aggregated hit set, not by outer-joining the raw
+    streams."""
+    ev = load(spark, sf_dir, "events")
+    w_ms = _RANGE_BUCKET_MS
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("beg_ms"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * 1000).cast("long")
+        ).alias("end_ms"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("p_ms"),
+        "value",
+    )
+    e_binned = e.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("beg_ms") / w_ms).cast("long"),
+                (F.col("end_ms") / w_ms).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    p_binned = p.withColumn("bucket", (F.col("p_ms") / w_ms).cast("long"))
+    hits = (
+        e_binned.join(p_binned, ["user_id", "bucket"])
+        .where(F.col("p_ms").between(F.col("beg_ms"), F.col("end_ms")))
+        .groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("value").alias("pv"),
+        )
+    )
+    return e.join(hits, "error_id", "left").select(
+        "error_id",
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0).cast("long")).alias(
+            "n_purchases"
+        ),
+        F.round(F.coalesce("pv", F.lit(0.0)), 6).alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------- agent-loop detection
+# Transcripts-native hygiene op: an agent stuck in a loop shows as a
+# run of consecutive tool turns invoking the SAME tool. Classic
+# gaps-and-islands on value-equality: two row_numbers whose difference
+# is constant within a run. The oracle re-derives the generator's
+# deterministic (doc, turn) tool assignment, as q_tool_transitions does.
+@_q(
+    "q_agent_loops",
+    """
+    WITH turns AS (
+      SELECT doc_id, g.t
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+      WHERE g.t % 3 = 2
+    ),
+    tt AS (
+      SELECT doc_id, t,
+             ['search','browser','calculator','code_exec']
+               [('0x' || substr(md5(doc_id || ':' || t), 1, 8))::bigint
+                % 4 + 1] AS tool
+      FROM turns
+    ),
+    isl AS (
+      SELECT doc_id, t, tool,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t)
+             - ROW_NUMBER() OVER (PARTITION BY doc_id, tool ORDER BY t)
+               AS grp
+      FROM tt
+    )
+    SELECT 'conv-' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id,
+           tool,
+           CAST(MIN(t) AS INT) AS first_turn,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM isl
+    GROUP BY doc_id, tool, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect agent tool-loops: runs of >=2 consecutive tool turns
+    calling the same tool within one conversation (reference analogue:
+    the run detector of /root/reference/font/characterSegment.py:20-96
+    applied to the tool sequence instead of pixel density). Two
+    row_number windows share one (conv) shuffle+sort; the per-(conv,
+    tool) numbering rides the same partitioning.
+
+    Scale: state is one row per tool turn; runs group within a
+    conversation so skew is bounded by the longest transcript."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    tools = t.where(F.col("role") == "tool").select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w_all = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    isl = tools.withColumn(
+        "grp",
+        F.row_number().over(w_all) - F.row_number().over(w_tool),
+    )
+    return (
+        isl.groupBy("conv_id", "tool", "grp")
+        .agg(
+            F.min("turn_idx").cast("int").alias("first_turn"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .where(F.col("run_len") >= 2)
+        .drop("grp")
+    )

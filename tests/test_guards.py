@@ -29,3 +29,72 @@ def test_anchor_queries_are_guarded(spark, monkeypatch):
     for q in (q_simhash_pairs, q_embed_neardup):
         with pytest.raises(RuntimeError, match="capped"):
             q(spark, "/root/testdata/sf0.001")
+
+
+def test_asof_strictly_prior_tie_break(spark):
+    """A click at the exact same timestamp as the purchase but a LOWER
+    event_id is 'prior' under the (ts, event_id) total order; one with a
+    higher event_id is not — pin the tie semantics the oracle encodes."""
+    import datetime
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import q_asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 5, 9],
+            "ts": [t0, t0, t0],
+            "user_id": [7, 7, 7],
+            "event_type": ["click", "purchase", "click"],
+            "value": [1.5, 0.0, 9.9],
+            "props": ["{}"] * 3,
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {r.purchase_id: r for r in q_asof_join(spark, d).collect()}
+    assert out[5].click_id == 1  # same-ts lower-id click counts
+    assert out[5].click_value == 1.5  # not the later 9.9 click
+
+
+def test_interval_overlap_boundary_inclusive(spark):
+    """Both interval endpoints are inclusive in integer milliseconds —
+    a purchase at exactly beg_ms or end_ms is inside."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import q_interval_overlap
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = pd.DataFrame(
+        {
+            # error interval [t0, t0+10s]; purchases at beg, end, end+1ms
+            "event_id": [1, 2, 3, 4],
+            "ts": [at(0), at(0), at(10), at(10.001)],
+            "user_id": [7] * 4,
+            "event_type": ["error", "purchase", "purchase", "purchase"],
+            "value": [10.0, 1.0, 1.0, 1.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = q_interval_overlap(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].n_purchases == 2  # both boundaries in, end+1ms out

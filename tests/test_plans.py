@@ -156,3 +156,33 @@ def test_incremental_neardup_band_equijoin(spark):
     p = plan(QUERIES["q_incremental_neardup"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_has_no_join_node(spark):
+    """The as-of attach is a window carry-forward, not a join: the plan
+    must contain zero join operators and exactly one exchange (hash by
+    user_id) feeding the sort+window."""
+    p = plan(QUERIES["q_asof_join"](spark, SF))
+    for j in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert j not in p, j
+    assert "Window" in p
+    assert n_exchanges(p) == 1
+
+
+def test_interval_overlap_is_equijoin(spark):
+    """The binned range join must plan as a hash/merge equi-join on
+    (user, bucket) — the nested-loop surface of the naive non-equi join
+    is exactly what the binning removes."""
+    p = plan(QUERIES["q_interval_overlap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert any(
+        j in p
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
