@@ -656,3 +656,95 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "epoch_rank")
     )
+
+
+# ------------------------------------------- benchmark decontamination
+# The eval-set n-gram collision check every pretraining pipeline runs
+# before training (GPT-3 appendix C / PaLM style): a training document
+# is contaminated if it shares any K-token window with a benchmark
+# document. Deterministic sentinel injection guarantees real overlap in
+# the synthetic corpus: docs with doc_id%10==0 carry a benchmark
+# sentence; the eval set is doc_id%50==0, so every train doc with
+# 10|doc_id but not 50|doc_id is contaminated by construction.
+_DECON_K = 8
+_EVAL_SENTINEL = (
+    "the quick benchmark asks what is the capital of france"
+)
+
+
+@_q(
+    "q_decontaminate",
+    f"""
+    WITH decorated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' {_EVAL_SENTINEL}'
+                  ELSE text END AS raw
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(raw), ' '),
+                         x -> x <> '') AS t
+      FROM decorated
+    ),
+    win AS (
+      SELECT doc_id, i,
+             array_to_string(t[i:i+{_DECON_K - 1}], ' ') AS wk
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - {_DECON_K - 1})) AS i
+      ) g
+    ),
+    eval_keys AS (
+      SELECT DISTINCT wk FROM win WHERE doc_id % 50 = 0
+    )
+    SELECT win.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hit_positions,
+           CAST(COUNT(DISTINCT win.wk) AS BIGINT) AS n_shared_windows
+    FROM win JOIN eval_keys USING (wk)
+    WHERE win.doc_id % 50 <> 0
+    GROUP BY win.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every training document sharing a
+    {_DECON_K}-token window with any benchmark document, with hit counts.
+
+    Scale: the benchmark side is tiny relative to the corpus (that is
+    the defining shape of decontamination), so its distinct window keys
+    BROADCAST onto the training window stream — the corpus is scanned
+    once, tokenized narrowly, and never shuffled except for the final
+    per-doc aggregation of the (small) hit set. At 100 TB join on
+    xxhash64(window) (8 B keys) exactly as q_substring_dedup documents."""
+    k = _DECON_K
+    raw = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"), F.lit(" " + _EVAL_SENTINEL)),
+    ).otherwise(F.col("text"))
+    toks = F.filter(F.split(F.lower(raw), " "), lambda t: t != "")
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {k})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("wk"),
+    )
+    eval_keys = (
+        win.where(F.col("doc_id") % 50 == 0).select("wk").distinct()
+    )
+    return (
+        win.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_keys), "wk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_positions"),
+            F.countDistinct("wk").cast("long").alias("n_shared_windows"),
+        )
+    )

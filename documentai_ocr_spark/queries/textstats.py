@@ -643,3 +643,130 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+# ----------------------------------------------- repetition signals
+# Gopher-style within-document repetition quality signals (Rae et al.,
+# 2021 table A1): the fraction of the document covered by its most
+# frequent token bigram, and the fraction of trigram positions whose
+# trigram content occurs more than once in the document. High values
+# mark boilerplate/spam/generation loops for removal.
+@_q(
+    "q_repetition_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, t[i] AS w, len(t) AS n
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t))) AS i
+      ) g
+    ),
+    bg AS (
+      SELECT doc_id, n,
+             w || ' ' || lead(w) OVER (
+               PARTITION BY doc_id ORDER BY i) AS g2,
+             w || ' ' || lead(w) OVER (
+               PARTITION BY doc_id ORDER BY i) || ' ' ||
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS g3
+      FROM pos
+    ),
+    bgc AS (
+      SELECT doc_id, MAX(n) AS n, MAX(c) AS max_bg
+      FROM (SELECT doc_id, g2, MAX(n) AS n, COUNT(*) AS c
+            FROM bg WHERE g2 IS NOT NULL GROUP BY doc_id, g2)
+      GROUP BY doc_id
+    ),
+    tgc AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos,
+             SUM(c) AS all_pos
+      FROM (SELECT doc_id, g3, COUNT(*) AS c
+            FROM bg WHERE g3 IS NOT NULL GROUP BY doc_id, g3)
+      GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(len(tok.t) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(bgc.max_bg * 2.0 / bgc.n, 0.0), 6)
+             AS top_bigram_frac,
+           ROUND(COALESCE(tgc.dup_pos * 1.0 / tgc.all_pos, 0.0), 6)
+             AS dup_trigram_frac
+    FROM tok
+    LEFT JOIN bgc USING (doc_id)
+    LEFT JOIN tgc USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: top-bigram coverage fraction
+    (occurrences of the most frequent bigram × 2 / n_tokens) and
+    duplicated-trigram position fraction. Both n-gram streams come off
+    ONE explode of the token array built inside the row (slice
+    arithmetic, no window pass at all on the Spark side); the only
+    shuffles are (doc_id, gram)-keyed partial-aggregating groupBys, so
+    skew is bounded by one document's length and the corpus text itself
+    never moves."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
+    )
+    base = d.select("doc_id", F.size("t").alias("n_tokens"), "t")
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> struct("
+                    " concat_ws(' ', slice(t, i, 2)) as g2,"
+                    " CASE WHEN i <= size(t) - 2"
+                    "  THEN concat_ws(' ', slice(t, i, 3)) END as g3))"
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<g2:string,g3:string>>")
+            )
+        ).alias("x"),
+    ).select("doc_id", "n_tokens", "x.g2", "x.g3")
+    bgc = (
+        grams.groupBy("doc_id", "g2")
+        .agg(F.max("n_tokens").alias("n"), F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("n"), F.max("c").alias("max_bg"))
+    )
+    tgc = (
+        grams.where(F.col("g3").isNotNull())
+        .groupBy("doc_id", "g3")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_pos"
+            ),
+            F.sum("c").alias("all_pos"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(bgc, "doc_id", "left")
+        .join(tgc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(
+                    F.col("max_bg") * 2.0 / F.col("n"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_pos") * 1.0 / F.col("all_pos"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )

@@ -147,3 +147,56 @@ def test_snapshot_diff_statuses_match_arithmetic(spark):
             assert out[i] == "changed"
         else:
             assert out[i] == "unchanged"
+
+
+def test_decontaminate_construction_guarantee(spark):
+    """Every train doc carrying the injected benchmark sentinel
+    (10|doc_id, not 50|doc_id) must be flagged, with at least the 3
+    full-sentinel windows shared; eval docs themselves never appear."""
+    from documentai_ocr_spark.queries.corpusops import (
+        _EVAL_SENTINEL,
+        q_decontaminate,
+    )
+
+    n_sent = len(_EVAL_SENTINEL.split())
+    out = {r.doc_id: r for r in q_decontaminate(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    planted = [i for i in ids if i % 10 == 0 and i % 50 != 0]
+    assert planted, "fixture must contain planted train docs"
+    for i in planted:
+        assert i in out, i
+        assert out[i].n_shared_windows >= n_sent - 8 + 1
+    assert all(i % 50 != 0 for i in out)
+
+
+def test_repetition_stats_pure_loop_doc(spark):
+    """A document that is one token repeated: top bigram covers ~all of
+    it and every trigram is a duplicate — the exact signature the Gopher
+    filter exists to catch. A all-distinct doc scores 0 on both."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.textstats import q_repetition_stats
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["spam " * 40, " ".join(f"w{i}" for i in range(40))],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [200, 200],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in q_repetition_stats(spark, d).collect()}
+    assert out[1].n_tokens == 40
+    assert out[1].top_bigram_frac == round(39 * 2.0 / 40, 6)
+    assert out[1].dup_trigram_frac == 1.0
+    assert out[2].top_bigram_frac == round(2.0 / 40, 6)
+    assert out[2].dup_trigram_frac == 0.0
