@@ -233,3 +233,51 @@ def stream_sessionize(
             "n_chars",
         )
     )
+
+
+def stream_enrich_join(
+    turns: DataFrame,
+    annotations: DataFrame,
+    bound: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: enrich a live turn stream
+    with an asynchronous annotation stream (model verdicts, labels)
+    keyed by (conv_id, turn_idx), accepting an annotation only within
+    ``bound`` AFTER the turn's own event time. This is the streaming
+    analogue of the batch rescue join (q_lang_id's left-outer) for the
+    case where BOTH sides arrive incrementally — the reference's
+    poll-loop join of OCR results onto pending work items
+    (/root/reference/ocrclient/redisdata.py:60-88) re-expressed as
+    Structured Streaming's state-store join.
+
+    State bounds (the at-scale contract): each side is watermarked, and
+    the time-range predicate lets the engine evict a buffered turn once
+    the annotation watermark passes ``turn ts + bound`` (and vice
+    versa) — without the range condition the join state would grow with
+    the stream's lifetime, which at 10^12 turns is an OOM, not a join.
+    The equi-key (conv_id, turn_idx) keeps the state-store shuffle
+    hash-partitioned exactly like the table bucketing."""
+    t = turns.selectExpr(
+        "conv_id", "turn_idx", "text", "ts AS turn_ts"
+    ).withWatermark("turn_ts", watermark)
+    a = annotations.selectExpr(
+        "conv_id", "turn_idx", "verdict", "ts AS ann_ts"
+    ).withWatermark("ann_ts", watermark)
+    return t.join(
+        a,
+        [
+            t.conv_id == a.conv_id,
+            t.turn_idx == a.turn_idx,
+            a.ann_ts >= t.turn_ts,
+            a.ann_ts <= t.turn_ts + F.expr(f"INTERVAL {bound}"),
+        ],
+        "inner",
+    ).select(
+        t.conv_id,
+        t.turn_idx,
+        "text",
+        "verdict",
+        "turn_ts",
+        "ann_ts",
+    )

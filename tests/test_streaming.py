@@ -313,3 +313,69 @@ def test_stream_sessionize_gap_split_and_merge(spark, tmp_path_factory):
     assert not any(k[0] == "c1" and "10:50" in k[1] for k in got)
     # c2: its lone turn emitted as a closed single-row session
     assert got[("c2", "2024-01-01 10:05:00")] == (1, 2)
+
+
+def test_stream_enrich_join_bound_and_cross_batch(spark, tmp_path_factory):
+    """Stream-stream enrich join: an annotation within the 10-minute
+    bound joins its turn even when it arrives in a LATER micro-batch
+    (state buffering), while one past the bound never matches (the
+    range predicate, which is also what lets the engine evict state)."""
+    import datetime
+
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        stream_enrich_join,
+    )
+
+    base = tmp_path_factory.mktemp("enrichstream")
+    t_src, a_src = str(base / "turns"), str(base / "anns")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows, cols):
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+        return df.withColumn("turn_idx", df.turn_idx.cast("int"))
+
+    turns = mk(
+        [
+            ("c1", 0, "user", "hello there", "", t0),
+            ("c1", 1, "assistant", "reply text", "", t0 + datetime.timedelta(minutes=1)),
+        ],
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    turns.coalesce(1).write.parquet(t_src)
+    ann_cols = ["conv_id", "turn_idx", "verdict", "ts"]
+    # batch 1: in-bound annotation for turn 0
+    mk([("c1", 0, "ok", t0 + datetime.timedelta(minutes=5))], ann_cols
+       ).coalesce(1).write.parquet(a_src)
+    # batch 2 (separate file): out-of-bound annotation for turn 1
+    mk([("c1", 1, "late", t0 + datetime.timedelta(minutes=20))], ann_cols
+       ).coalesce(1).write.mode("append").parquet(a_src)
+
+    t_stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(t_src)
+    )
+    a_stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, verdict string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(a_src)
+    )
+    q = (
+        stream_enrich_join(t_stream, a_stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "enrich join drain did not finish"
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert (got[0].turn_idx, got[0].verdict) == (0, "ok")
