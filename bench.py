@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "q_model_classify",         # batched model hook (singleton + broadcast)
     "q_substring_dedup",        # repeated-window span removal (corpus-wide)
     "q_epoch_shuffle",          # global rank via bucketed offsets
+    "q_asof_join",              # as-of via window carry-forward (no join)
+    "q_interval_overlap",       # binned range join (equi-join rewrite)
+    "q_repetition_stats",       # Gopher repetition signals
+    "q_dsir_weights",           # DSIR importance weights
 ]
 # NOT timed here: q_dedup_components — at bench SF its wall is ~6 driver
 # rounds of fixed per-job overhead (~1.5 s each), which measures the
