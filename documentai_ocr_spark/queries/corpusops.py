@@ -748,3 +748,63 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("wk").cast("long").alias("n_shared_windows"),
         )
     )
+
+
+# ------------------------------------------- weighted sample (A-ES keys)
+# Weighted sampling-without-replacement via Efraimidis–Spirakis
+# exponential race: each doc draws key = ln(u)/w with u deterministic
+# from md5(doc_id) — the top-K keys ARE a weighted sample. This is the
+# resampling half of importance-based selection (q_dsir_weights emits
+# the weights; any weight column plugs in — here n_chars so the oracle
+# stays self-contained). Deterministic u makes the sample reproducible
+# and cross-engine identical.
+_WSAMPLE_K = 100
+
+
+@_q(
+    "q_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS bigint) AS n_chars,
+             ln((('0x' || substr(md5('rs:' || doc_id), 1, 8))::bigint
+                 + 0.5) / 4294967296.0) / n_chars AS race_key
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, ROUND(race_key, 9) AS race_key
+    FROM keyed
+    ORDER BY race_key DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} weighted sample without replacement: key = ln(u)/w,
+    u = (md5-hash + 0.5)/2^32 — P(doc in sample) follows the classic
+    A-ES weighted-reservoir guarantee, deterministically.
+
+    Scale: no shuffle of the corpus at all — the key is a row-local
+    expression and the top-K is TakeOrderedAndProject (per-partition
+    heap + driver merge of K·n_partitions rows). The corpus-wide sort
+    a naive ORDER BY would cost never happens."""
+    k = _WSAMPLE_K
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rs:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = d.withColumn("race_key", F.log(u) / F.col("n_chars"))
+    return (
+        keyed.orderBy(F.col("race_key").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("race_key", 9).alias("race_key"),
+        )
+    )

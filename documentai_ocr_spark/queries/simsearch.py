@@ -789,3 +789,62 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_neardup", F.lit(False)).alias("is_neardup"),
         )
     )
+
+
+# ------------------------------------------- int8 scalar quantization
+# Vector compression for ANN at scale: per-dimension min/max codebook
+# over the corpus, each float mapped to an 8-bit code — 4× smaller
+# index, the standard first rung of the quantization ladder (IVF-SQ8).
+# Long (vec_id, dim, code) output keeps the oracle comparison exact.
+@_q(
+    "q_embed_quantize",
+    """
+    WITH x AS (
+      SELECT vec_id, g.i - 1 AS dim,
+             CAST(embedding[g.i] AS double) AS val
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+      ) g
+    ),
+    mm AS (
+      SELECT dim, MIN(val) AS lo, MAX(val) AS hi
+      FROM x GROUP BY dim
+    )
+    SELECT x.vec_id, CAST(x.dim AS int) AS dim,
+           CAST(LEAST(FLOOR((x.val - mm.lo) / (mm.hi - mm.lo) * 256.0),
+                      255.0) AS int) AS code
+    FROM x JOIN mm USING (dim)
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantize the embedding corpus to int8 codes against a
+    per-dimension min/max codebook: code = min(floor((x-lo)/(hi-lo)
+    ·256), 255).
+
+    Scale: the codebook is dims-sized (64 rows here) — it reduces with
+    map-side partial min/max and BROADCASTS back, so the vector corpus
+    is scanned once and never shuffled; code assignment is a row-local
+    expression. Decode (lo + (code+0.5)·(hi-lo)/256) reuses the same
+    broadcast dim, so a quantized kNN touches 1/4 of the bytes."""
+    e = spread(load(spark, sf_dir, "embeddings"))
+    x = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("val"))
+    mm = x.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    return x.join(F.broadcast(mm), "dim").select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.least(
+            F.floor(
+                (F.col("val") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 256.0
+            ),
+            F.lit(255.0),
+        )
+        .cast("int")
+        .alias("code"),
+    )

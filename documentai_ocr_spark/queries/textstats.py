@@ -770,3 +770,181 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+# ----------------------------------------- interpolated bigram LM score
+# The KenLM-proxy quality signal one tier above q_unigram_logprob: mean
+# log-probability under a Laplace-smoothed bigram model interpolated
+# with the unigram model (lambda=0.7) — low scores mark incoherent or
+# out-of-distribution text. All corpus statistics reduce map-side; the
+# bigram-count dim is vocab²-bounded and joins the bigram stream on its
+# own key (NOT broadcast — at web scale that dim is large; Catalyst/AQE
+# may still pick broadcast when it fits, which is the right call).
+_BILM_LAMBDA = 0.7
+
+
+@_q(
+    "q_bigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i, t[i] AS w
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t))) AS i
+      ) g
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS bigint) AS c1 FROM occ GROUP BY w),
+    scal AS (SELECT CAST(SUM(c1) AS bigint) AS tot,
+                    CAST(COUNT(*) AS bigint) AS v FROM uni),
+    bg AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM occ
+    ),
+    bgp AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS bigint) AS c12
+            FROM bgp GROUP BY w1, w2)
+    SELECT bgp.doc_id,
+           CAST(COUNT(*) AS bigint) AS n_bigrams,
+           ROUND(SUM(ln(
+             {_BILM_LAMBDA} * (bgc.c12 + 1.0) / (u1.c1 + scal.v)
+             + {1.0 - _BILM_LAMBDA} * (u2.c1 + 1.0) / (scal.tot + scal.v)
+           )) / COUNT(*), 6) AS avg_logprob
+    FROM bgp
+    JOIN bgc USING (w1, w2)
+    JOIN uni u1 ON bgp.w1 = u1.w
+    JOIN uni u2 ON bgp.w2 = u2.w, scal
+    GROUP BY bgp.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean interpolated bigram log-probability per document:
+    p(w2|w1) = λ·(c12+1)/(c1+V) + (1−λ)·(c2+1)/(T+V), λ={_BILM_LAMBDA}.
+
+    Scale: unigram dim (vocab) and the two scalars broadcast; the
+    bigram stream joins the bigram-count dim on (w1, w2) — a keyed,
+    partially-aggregated equi-join whose width is vocab², never the
+    corpus; the final per-doc mean is the only doc-keyed shuffle."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
+    )
+    occ = d.select("doc_id", F.explode("t").alias("w"))
+    uni = occ.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    scal = uni.agg(
+        F.sum("c1").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    bgp = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> struct("
+                    " element_at(t, i) as w1,"
+                    " element_at(t, i + 1) as w2))"
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("x"),
+    ).select("doc_id", "x.w1", "x.w2")
+    bgc = bgp.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    lam = _BILM_LAMBDA
+    u1 = uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "c1a")
+    u2 = uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c1b")
+    return (
+        bgp.join(bgc, ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log(
+                        lam
+                        * (F.col("c12") + 1.0)
+                        / (F.col("c1a") + F.col("v"))
+                        + (1.0 - lam)
+                        * (F.col("c1b") + 1.0)
+                        / (F.col("tot") + F.col("v"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --------------------------------------------------- PII scrub
+# Regex-family PII redaction (emails, phone-like numbers) — the scrub
+# pass every released training corpus runs. The synthetic corpus holds
+# no PII, so both engines decorate it identically first: docs with
+# doc_id%9==4 gain a deterministic contact line. Patterns stay inside
+# the regex subset (literal classes, +, {n}) where Java regex and RE2
+# agree exactly.
+_PII_EMAIL = "[a-z0-9]+@[a-z]+[.][a-z]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+@_q(
+    "q_pii_redact",
+    f"""
+    WITH decorated AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 4 THEN
+               text || ' contact user' || doc_id ||
+               '@example.com or call 555-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE text END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS bigint)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS bigint)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(raw, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM decorated
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact PII-shaped substrings per document; the cleaned
+    text is returned as an md5 so the gate hash-compares full redacted
+    payloads without shipping them.
+
+    Scale: pure row-local regexp expressions inside whole-stage codegen
+    — zero shuffle, zero Python; the scan prunes to (doc_id, text)."""
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    raw = F.when(
+        F.col("doc_id") % 9 == 4,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL, "[EMAIL]"),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+    )

@@ -139,3 +139,61 @@ def test_dsir_weights_favor_target_domain(spark):
     tgt = j[("src0",)]
     others = [v for k, v in j.items() if k != ("src0",)]
     assert others and all(tgt > o for o in others)
+
+
+def test_bigram_logprob_prefers_predictable_text(spark):
+    """A document whose bigrams repeat (predictable under the corpus
+    LM) must outscore one of all-distinct never-repeated bigrams."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.textstats import q_bigram_logprob
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b " * 20, " ".join(f"z{i}" for i in range(40))],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [80, 160],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r.avg_logprob
+               for r in q_bigram_logprob(spark, d).collect()}
+    assert out[1] > out[2]
+
+
+def test_weighted_sample_matches_python_spec(spark):
+    """The Spark top-K must equal a pure-Python re-derivation of the
+    A-ES race keys (md5-seeded u, key = ln(u)/w) — determinism and
+    exact key arithmetic in one check."""
+    import hashlib
+    import math
+
+    from documentai_ocr_spark.queries.corpusops import (
+        _WSAMPLE_K,
+        q_weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def key(doc_id, w):
+        h = int(hashlib.md5(f"rs:{doc_id}".encode()).hexdigest()[:8], 16)
+        return math.log((h + 0.5) / 4294967296.0) / w
+
+    want = sorted(
+        ((key(r.doc_id, r.n_chars), r.doc_id) for r in docs),
+        key=lambda t: (-t[0], t[1]),
+    )[:_WSAMPLE_K]
+    got = q_weighted_sample(spark, SF).collect()
+    assert [r.doc_id for r in got] == [d for _, d in want]
+    for r, (k, _) in zip(got, want):
+        assert r.race_key == round(k, 9)
