@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "q_epoch_shuffle",          # global rank via bucketed offsets
     "q_asof_join",              # as-of via window carry-forward (no join)
     "q_interval_overlap",       # binned range join (equi-join rewrite)
-    "q_repetition_stats",       # Gopher repetition signals
+    "q_top_ngram_coverage",     # Gopher top-n-gram coverage
     "q_dsir_weights",           # DSIR importance weights
 ]
 # NOT timed here: q_dedup_components — at bench SF its wall is ~6 driver

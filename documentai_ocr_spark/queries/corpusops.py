@@ -808,3 +808,64 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("race_key", 9).alias("race_key"),
         )
     )
+
+
+# --------------------------------------------------- overlapping chunking
+# Retrieval/embedding prep: split every document into fixed-size token
+# chunks with overlap (sliding window, stride < width), the standard
+# RAG/embedding-index layout. Chunk content is emitted as md5 so the
+# gate hash-compares full payloads cheaply.
+_CHUNK_W = 64
+_CHUNK_STRIDE = 48
+
+
+@_q(
+    "q_chunk_text",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, g.s,
+             CAST((g.s - 1) // {_CHUNK_STRIDE} AS int) AS chunk_idx
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(
+          1, GREATEST(len(t) - {_CHUNK_W} + 1, 1), {_CHUNK_STRIDE})) AS s
+      ) g
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(LEAST({_CHUNK_W}, len(t) - s + 1) AS int) AS n_tokens,
+           md5(array_to_string(t[s:s+{_CHUNK_W - 1}], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (width {_CHUNK_W}, stride
+    {_CHUNK_STRIDE}): every document yields ceil((n-w)/stride)+1 chunks
+    covering it fully, each identified by (doc_id, chunk_idx) with an
+    md5 of its content.
+
+    Scale: chunk starts come from an in-row sequence explode — no
+    window pass, no shuffle at all (the plan is scan → generate →
+    project); output size is corpus × w/stride, the inherent cost of
+    overlap. Feeds q_embed_quantize / kNN as the indexing front end."""
+    w, st = _CHUNK_W, _CHUNK_STRIDE
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {w} + 1, 1),"
+                f" {st}), s -> struct("
+                f" cast((s - 1) div {st} as int) as chunk_idx,"
+                f" cast(least({w}, size(t) - s + 1) as int) as n_tokens,"
+                f" md5(concat_ws(' ', slice(t, s, {w}))) as chunk_md5))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_md5")

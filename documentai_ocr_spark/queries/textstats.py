@@ -645,14 +645,15 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
-# ----------------------------------------------- repetition signals
-# Gopher-style within-document repetition quality signals (Rae et al.,
-# 2021 table A1): the fraction of the document covered by its most
-# frequent token bigram, and the fraction of trigram positions whose
-# trigram content occurs more than once in the document. High values
-# mark boilerplate/spam/generation loops for removal.
+# ------------------------------------------- top n-gram coverage
+# The OTHER half of Gopher's repetition table (Rae et al., 2021 A1):
+# q_repetition measures duplicate-n-gram FRACTIONS; this measures the
+# fraction of the document covered by its single most frequent bigram
+# and trigram — the signature of generation loops and templated spam
+# that duplicate fractions alone under-weight (one dominant phrase vs
+# many scattered repeats).
 @_q(
-    "q_repetition_stats",
+    "q_top_ngram_coverage",
     """
     WITH tok AS (
       SELECT doc_id,
@@ -682,9 +683,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id
     ),
     tgc AS (
-      SELECT doc_id,
-             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos,
-             SUM(c) AS all_pos
+      SELECT doc_id, MAX(c) AS max_tg
       FROM (SELECT doc_id, g3, COUNT(*) AS c
             FROM bg WHERE g3 IS NOT NULL GROUP BY doc_id, g3)
       GROUP BY doc_id
@@ -693,22 +692,21 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(tok.t) AS BIGINT) AS n_tokens,
            ROUND(COALESCE(bgc.max_bg * 2.0 / bgc.n, 0.0), 6)
              AS top_bigram_frac,
-           ROUND(COALESCE(tgc.dup_pos * 1.0 / tgc.all_pos, 0.0), 6)
-             AS dup_trigram_frac
+           ROUND(COALESCE(tgc.max_tg * 3.0 / bgc.n, 0.0), 6)
+             AS top_trigram_frac
     FROM tok
     LEFT JOIN bgc USING (doc_id)
     LEFT JOIN tgc USING (doc_id)
     """,
 )
-def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document repetition signals: top-bigram coverage fraction
-    (occurrences of the most frequent bigram × 2 / n_tokens) and
-    duplicated-trigram position fraction. Both n-gram streams come off
-    ONE explode of the token array built inside the row (slice
-    arithmetic, no window pass at all on the Spark side); the only
-    shuffles are (doc_id, gram)-keyed partial-aggregating groupBys, so
-    skew is bounded by one document's length and the corpus text itself
-    never moves."""
+def q_top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-n-gram coverage: occurrences of the most
+    frequent bigram × 2 / n_tokens, and of the most frequent trigram
+    × 3 / n_tokens. Both gram streams come off ONE explode of the
+    token array built in-row (slice arithmetic, no window pass on the
+    Spark side); the only shuffles are (doc_id, gram)-keyed
+    partial-aggregating groupBys, so skew is bounded by one document's
+    length and the corpus text itself never moves."""
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", toks.alias("t")
@@ -742,12 +740,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "g3")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-                "dup_pos"
-            ),
-            F.sum("c").alias("all_pos"),
-        )
+        .agg(F.max("c").alias("max_tg"))
     )
     return (
         base.select("doc_id", "n_tokens")
@@ -764,10 +757,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_bigram_frac"),
             F.round(
                 F.coalesce(
-                    F.col("dup_pos") * 1.0 / F.col("all_pos"), F.lit(0.0)
+                    F.col("max_tg") * 3.0 / F.col("n"), F.lit(0.0)
                 ),
                 6,
-            ).alias("dup_trigram_frac"),
+            ).alias("top_trigram_frac"),
         )
     )
 
@@ -882,69 +875,4 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_logprob"),
         )
-    )
-
-
-# --------------------------------------------------- PII scrub
-# Regex-family PII redaction (emails, phone-like numbers) — the scrub
-# pass every released training corpus runs. The synthetic corpus holds
-# no PII, so both engines decorate it identically first: docs with
-# doc_id%9==4 gain a deterministic contact line. Patterns stay inside
-# the regex subset (literal classes, +, {n}) where Java regex and RE2
-# agree exactly.
-_PII_EMAIL = "[a-z0-9]+@[a-z]+[.][a-z]+"
-_PII_PHONE = "[0-9]{3}-[0-9]{4}"
-
-
-@_q(
-    "q_pii_redact",
-    f"""
-    WITH decorated AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 9 = 4 THEN
-               text || ' contact user' || doc_id ||
-               '@example.com or call 555-' ||
-               lpad((doc_id % 10000)::VARCHAR, 4, '0')
-             ELSE text END AS raw
-      FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS bigint)
-             AS n_emails,
-           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS bigint)
-             AS n_phones,
-           md5(regexp_replace(
-                 regexp_replace(raw, '{_PII_EMAIL}', '[EMAIL]', 'g'),
-                 '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
-    FROM decorated
-    """,
-)
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count and redact PII-shaped substrings per document; the cleaned
-    text is returned as an md5 so the gate hash-compares full redacted
-    payloads without shipping them.
-
-    Scale: pure row-local regexp expressions inside whole-stage codegen
-    — zero shuffle, zero Python; the scan prunes to (doc_id, text)."""
-    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
-    raw = F.when(
-        F.col("doc_id") % 9 == 4,
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or call 555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        ),
-    ).otherwise(F.col("text"))
-    red = F.regexp_replace(
-        F.regexp_replace(raw, _PII_EMAIL, "[EMAIL]"),
-        _PII_PHONE,
-        "[PHONE]",
-    )
-    return d.select(
-        "doc_id",
-        F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(raw, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
-        F.md5(red).alias("redacted_md5"),
     )

@@ -170,16 +170,16 @@ def test_decontaminate_construction_guarantee(spark):
     assert all(i % 50 != 0 for i in out)
 
 
-def test_repetition_stats_pure_loop_doc(spark):
-    """A document that is one token repeated: top bigram covers ~all of
-    it and every trigram is a duplicate — the exact signature the Gopher
-    filter exists to catch. A all-distinct doc scores 0 on both."""
+def test_top_ngram_coverage_pure_loop_doc(spark):
+    """A document that is one token repeated: the top bigram and top
+    trigram cover ~all of it — the exact signature the Gopher coverage
+    rule exists to catch. An all-distinct doc scores the floor."""
     import os
     import tempfile
 
     import pandas as pd
 
-    from documentai_ocr_spark.queries.textstats import q_repetition_stats
+    from documentai_ocr_spark.queries.textstats import q_top_ngram_coverage
 
     rows = pd.DataFrame(
         {
@@ -194,54 +194,11 @@ def test_repetition_stats_pure_loop_doc(spark):
         spark.createDataFrame(rows).write.parquet(
             os.path.join(d, "documents.parquet")
         )
-        out = {r.doc_id: r for r in q_repetition_stats(spark, d).collect()}
+        out = {r.doc_id: r
+               for r in q_top_ngram_coverage(spark, d).collect()}
     assert out[1].n_tokens == 40
     assert out[1].top_bigram_frac == round(39 * 2.0 / 40, 6)
-    assert out[1].dup_trigram_frac == 1.0
+    assert out[1].top_trigram_frac == round(38 * 3.0 / 40, 6)
     assert out[2].top_bigram_frac == round(2.0 / 40, 6)
-    assert out[2].dup_trigram_frac == 0.0
+    assert out[2].top_trigram_frac == round(3.0 / 40, 6)
 
-
-def test_pii_redact_counts_and_payload(spark):
-    """Handcrafted PII fixture: counts and the redacted payload md5
-    must match a pure-Python re/md5 re-derivation (doc_id chosen so the
-    deterministic injection does NOT fire and the fixture text is used
-    as-is)."""
-    import hashlib
-    import os
-    import re
-    import tempfile
-
-    import pandas as pd
-
-    from documentai_ocr_spark.queries.textstats import (
-        _PII_EMAIL,
-        _PII_PHONE,
-        q_pii_redact,
-    )
-
-    txt = (
-        "write to alice1@example.com and bob@test.org "
-        "or dial 555-1234 today"
-    )
-    rows = pd.DataFrame(
-        {
-            "doc_id": [1],
-            "text": [txt],
-            "lang": ["en"],
-            "source": ["s"],
-            "n_chars": [len(txt)],
-        }
-    )
-    with tempfile.TemporaryDirectory() as d:
-        spark.createDataFrame(rows).write.parquet(
-            os.path.join(d, "documents.parquet")
-        )
-        out = q_pii_redact(spark, d).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert (r.n_emails, r.n_phones) == (2, 1)
-    red = re.sub(
-        _PII_PHONE, "[PHONE]", re.sub(_PII_EMAIL, "[EMAIL]", txt)
-    )
-    assert r.redacted_md5 == hashlib.md5(red.encode()).hexdigest()
