@@ -813,10 +813,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- overlapping chunking
 # Retrieval/embedding prep: split every document into fixed-size token
 # chunks with overlap (sliding window, stride < width), the standard
-# RAG/embedding-index layout. Chunk content is emitted as md5 so the
-# gate hash-compares full payloads cheaply.
-_CHUNK_W = 64
-_CHUNK_STRIDE = 48
+# RAG/embedding-index layout. A final chunk is anchored at n-w+1
+# whenever the stride grid misses the document end, so every token is
+# covered by at least one chunk (the tail is where answers live; plain
+# strided chunking silently drops up to stride-1 trailing tokens).
+# Chunk content is emitted as md5 so the gate hash-compares full
+# payloads cheaply.
+_CHUNK_W = 32
+_CHUNK_STRIDE = 24
 
 
 @_q(
@@ -829,43 +833,63 @@ _CHUNK_STRIDE = 48
       FROM documents
     ),
     starts AS (
-      SELECT doc_id, t, g.s,
-             CAST((g.s - 1) // {_CHUNK_STRIDE} AS int) AS chunk_idx
+      SELECT doc_id, t, g.s
       FROM tok, LATERAL (
         SELECT unnest(generate_series(
           1, GREATEST(len(t) - {_CHUNK_W} + 1, 1), {_CHUNK_STRIDE})) AS s
       ) g
+      UNION ALL
+      SELECT doc_id, t, len(t) - {_CHUNK_W} + 1 AS s
+      FROM tok
+      WHERE len(t) > {_CHUNK_W}
+        AND (len(t) - {_CHUNK_W}) % {_CHUNK_STRIDE} <> 0
+    ),
+    idx AS (
+      SELECT doc_id, t, s,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY s) - 1 AS int) AS chunk_idx
+      FROM starts
     )
     SELECT doc_id, chunk_idx,
            CAST(LEAST({_CHUNK_W}, len(t) - s + 1) AS int) AS n_tokens,
            md5(array_to_string(t[s:s+{_CHUNK_W - 1}], ' ')) AS chunk_md5
-    FROM starts
+    FROM idx
     """,
 )
 def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token chunking (width {_CHUNK_W}, stride
-    {_CHUNK_STRIDE}): every document yields ceil((n-w)/stride)+1 chunks
-    covering it fully, each identified by (doc_id, chunk_idx) with an
-    md5 of its content.
+    {_CHUNK_STRIDE}) with tail anchoring: chunk starts are the stride
+    grid plus, when the grid misses the end, one final start at
+    n-w+1 — full coverage, no token dropped.
 
-    Scale: chunk starts come from an in-row sequence explode — no
-    window pass, no shuffle at all (the plan is scan → generate →
-    project); output size is corpus × w/stride, the inherent cost of
-    overlap. Feeds q_embed_quantize / kNN as the indexing front end."""
+    Scale: chunk starts come from an in-row sequence build + one
+    posexplode — no window pass, no shuffle at all (the plan is scan →
+    generate → project; chunk_idx is the explode ordinal, which equals
+    the ascending-start rank the oracle's row_number computes); output
+    size is corpus × w/stride, the inherent cost of overlap. Feeds
+    q_embed_quantize / kNN as the indexing front end."""
     w, st = _CHUNK_W, _CHUNK_STRIDE
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", toks.alias("t")
     )
+    starts = F.expr(
+        f"concat("
+        f" sequence(1, greatest(size(t) - {w} + 1, 1), {st}),"
+        f" if(size(t) > {w} and (size(t) - {w}) % {st} != 0,"
+        f"    array(size(t) - {w} + 1), array()))"
+    )
     return d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(t) - {w} + 1, 1),"
-                f" {st}), s -> struct("
-                f" cast((s - 1) div {st} as int) as chunk_idx,"
-                f" cast(least({w}, size(t) - s + 1) as int) as n_tokens,"
-                f" md5(concat_ws(' ', slice(t, s, {w}))) as chunk_md5))"
-            )
-        ).alias("c"),
-    ).select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_md5")
+        "t",
+        F.posexplode(starts).alias("chunk_idx", "s"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(
+            F.lit(w), F.size("t") - F.col("s") + 1
+        ).cast("int").alias("n_tokens"),
+        F.md5(F.expr(f"concat_ws(' ', slice(t, s, {w}))")).alias(
+            "chunk_md5"
+        ),
+    )

@@ -202,3 +202,53 @@ def test_top_ngram_coverage_pure_loop_doc(spark):
     assert out[2].top_bigram_frac == round(2.0 / 40, 6)
     assert out[2].top_trigram_frac == round(3.0 / 40, 6)
 
+
+
+def test_chunk_text_covers_document_with_overlap(spark):
+    """Chunking invariants on a 101-token doc (stride grid misses the
+    end): starts are the stride grid PLUS the anchored tail at n-w+1,
+    every chunk md5 matches a Python re-derivation, and the union of
+    chunks covers every token exactly (no dropped tail)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.corpusops import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        q_chunk_text,
+    )
+
+    toks = [f"t{i}" for i in range(101)]
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [" ".join(toks)],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [500],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = sorted(
+            q_chunk_text(spark, d).collect(), key=lambda r: r.chunk_idx
+        )
+    n = len(toks)
+    starts = list(range(0, n - _CHUNK_W + 1, _CHUNK_STRIDE))
+    if starts[-1] != n - _CHUNK_W:
+        starts.append(n - _CHUNK_W)  # the anchored tail chunk
+    assert len(got) == len(starts)
+    covered = set()
+    for r, s0 in zip(got, starts):
+        chunk = toks[s0 : s0 + _CHUNK_W]
+        assert r.n_tokens == len(chunk)
+        assert r.chunk_md5 == hashlib.md5(
+            " ".join(chunk).encode()
+        ).hexdigest()
+        covered.update(range(s0, s0 + len(chunk)))
+    assert covered == set(range(n))  # full coverage, tail included
