@@ -186,3 +186,42 @@ def test_interval_overlap_is_equijoin(spark):
         j in p
         for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
+
+
+def test_weighted_sample_is_partial_topk(spark):
+    """The weighted sample must plan as TakeOrderedAndProject (per-
+    partition heap + driver merge) — a global Sort here would be the
+    corpus-wide sort the operator exists to avoid."""
+    p = plan(QUERIES["q_weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_embed_quantize_broadcasts_codebook(spark):
+    """Code assignment joins the 64-row min/max codebook as a broadcast
+    — the vector corpus must not be shuffled for the join (its only
+    exchange feeds the codebook aggregation itself)."""
+    p = plan(QUERIES["q_embed_quantize"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_chunk_text_is_narrow(spark):
+    """Chunking is scan → in-row start build → posexplode → project:
+    zero exchanges, zero joins, zero window operators."""
+    p = plan(QUERIES["q_chunk_text"](spark, SF))
+    # the only allowed exchange is spread()'s round-robin fan-out of the
+    # single-file test scan — never a hash/range (data-keyed) shuffle
+    lo = p.lower()
+    assert "hashpartitioning" not in lo
+    assert "rangepartitioning" not in lo
+    assert "Window" not in p
+    assert "Join" not in p
+
+
+def test_decontaminate_broadcasts_eval_keys(spark):
+    """The eval-set window keys must broadcast onto the train window
+    stream (the corpus side is never shuffle-partitioned for the probe
+    join)."""
+    p = plan(QUERIES["q_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in p
