@@ -110,3 +110,57 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_zorder_prunes_both_dims(spark, tmp_path_factory):
+    """Per-file min/max bounding boxes under the z-order layout must
+    prune point-range predicates on EITHER dimension, while a linear
+    sort by dim X prunes only X: for a narrow Y-band query, count the
+    files whose [min,max] Y-interval intersects the band — z-order must
+    intersect strictly fewer than the X-sorted layout (which degrades
+    to ~all files)."""
+    import pyspark.sql.functions as F
+
+    from documentai_ocr_spark.bucketing import (
+        write_range_sorted,
+        write_zorder,
+    )
+
+    base = tmp_path_factory.mktemp("zorder")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select(
+            "event_id",
+            F.col("user_id").cast("long").alias("x"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("y"),
+        )
+    )
+    zpath, lpath = str(base / "z"), str(base / "linear")
+    write_zorder(ev, zpath, "x", "y", n_files=16)
+    write_range_sorted(ev, lpath, "x", n_files=16)
+
+    def files_touching_y_band(path, lo_frac, hi_frac):
+        df = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        )
+        stats = (
+            df.groupBy("f")
+            .agg(F.min("y").alias("ymin"), F.max("y").alias("ymax"))
+            .collect()
+        )
+        gmin = min(r.ymin for r in stats)
+        gmax = max(r.ymax for r in stats)
+        lo = gmin + (gmax - gmin) * lo_frac
+        hi = gmin + (gmax - gmin) * hi_frac
+        touch = sum(1 for r in stats if r.ymax >= lo and r.ymin <= hi)
+        return touch, len(stats)
+
+    z_touch, z_total = files_touching_y_band(zpath, 0.40, 0.45)
+    l_touch, l_total = files_touching_y_band(lpath, 0.40, 0.45)
+    assert z_total >= 8 and l_total >= 8
+    # linear-by-x layout: y is uncorrelated with file placement → the
+    # band touches (almost) every file; z-order: a 5% band touches a
+    # strict subset
+    assert l_touch >= l_total - 1
+    assert z_touch < l_touch
+    assert z_touch <= z_total // 2
