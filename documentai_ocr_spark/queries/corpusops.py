@@ -706,8 +706,14 @@ _EVAL_SENTINEL = (
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set decontamination: flag every training document sharing a
-    {_DECON_K}-token window with any benchmark document, with hit counts.
+    """Benchmark-probe decontamination: flag every TRAINING document
+    sharing a {_DECON_K}-token window with any benchmark document, with
+    hit counts. Complements dedup.q_contamination, which runs the same
+    n-gram collision check in the opposite direction (which VAL docs
+    overlap the train split) with a split-vs-split shingle equi-join;
+    this variant exploits the benchmark side being tiny — the defining
+    shape when the eval set is external (MMLU/GSM-style) rather than a
+    held-out split.
 
     Scale: the benchmark side is tiny relative to the corpus (that is
     the defining shape of decontamination), so its distinct window keys
@@ -892,4 +898,89 @@ def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.expr(f"concat_ws(' ', slice(t, s, {w}))")).alias(
             "chunk_md5"
         ),
+    )
+
+
+# --------------------------------------------------- count-min sketch
+# Mergeable frequency sketch (Cormode & Muthukrishnan 2005): depth
+# independent hash rows × width counters; estimate = min over rows.
+# The fixed-size complement of the bloom filter (membership) for
+# frequency questions — "how often does this token/url/shingle occur
+# corpus-wide?" without a vocab-sized exact table. Build is ONE
+# groupBy over (row, bucket) — (depth × width) cells regardless of
+# corpus size, trivially mergeable across partitions/snapshots by
+# cell-wise addition (the same partial-aggregation Spark already does
+# map-side).
+_CMS_DEPTH = 4
+_CMS_WIDTH = 2048
+
+
+def cms_build(df: DataFrame, col: str) -> DataFrame:
+    """Build the sketch as a (d, bucket, cnt) DataFrame of at most
+    depth × width rows."""
+    rows = [
+        df.select(
+            F.lit(d).alias("d"),
+            (
+                F.abs(F.xxhash64(F.col(col), F.lit(d))) % _CMS_WIDTH
+            ).alias("bucket"),
+        )
+        for d in range(_CMS_DEPTH)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionAll(r)
+    return u.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(candidates: DataFrame, col: str, sketch: DataFrame) -> DataFrame:
+    """Point-estimate counts for a candidate column: min over the
+    depth rows, sketch broadcast (it is ≤ depth×width cells)."""
+    probes = [
+        candidates.select(
+            F.col(col),
+            F.lit(d).alias("d"),
+            (
+                F.abs(F.xxhash64(F.col(col), F.lit(d))) % _CMS_WIDTH
+            ).alias("bucket"),
+        )
+        for d in range(_CMS_DEPTH)
+    ]
+    u = probes[0]
+    for r in probes[1:]:
+        u = u.unionAll(r)
+    return (
+        u.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est_cnt")
+        )
+    )
+
+
+@_q("x_cms_heavyhitters")
+def x_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter verification harness: estimate the exact top-20
+    tokens' counts from the sketch next to their true counts. Rows-only
+    registry entry (the sketch layout is hash-defined, not
+    SQL-portable); the CMS guarantees — never an underestimate,
+    overestimate ≤ (e/width)·N with high probability — are pinned in
+    tests/test_corpusops.py."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sketch = cms_build(tok, "tok")
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "tok")
+        .limit(20)
+    )
+    return (
+        cms_estimate(top.select("tok"), "tok", sketch)
+        .join(top, "tok")
+        .select("tok", "true_cnt", "est_cnt")
     )

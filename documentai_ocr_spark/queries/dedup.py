@@ -548,7 +548,9 @@ _CONTAM_K = 8  # word 8-grams: long enough that overlap means real leakage
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag val-split documents sharing any
     word 8-gram with the train split (the n-gram overlap check every LLM
-    training pipeline runs before holding out an eval set). The split is
+    training pipeline runs before holding out an eval set). The inverse
+    direction — scrubbing TRAIN against a tiny external benchmark with
+    a broadcast probe — is corpusops.q_decontaminate. The split is
     the same deterministic md5-mod as q_train_split; the only join is a
     shingle equi-join (train shingles deduped first), so cost tracks
     shared-shingle count — never |train|×|val|."""

@@ -252,3 +252,31 @@ def test_chunk_text_covers_document_with_overlap(spark):
         ).hexdigest()
         covered.update(range(s0, s0 + len(chunk)))
     assert covered == set(range(n))  # full coverage, tail included
+
+
+def test_cms_overestimates_within_bound(spark):
+    """Count-min guarantees on the fixture corpus: (1) estimates never
+    undercount (per-row collisions only ADD); (2) every top-20 token's
+    overestimate is within the standard (e/width)·N bound (deterministic
+    here: fixed seeds)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from documentai_ocr_spark.queries.corpusops import (
+        _CMS_WIDTH,
+        x_cms_heavyhitters,
+    )
+
+    rows = x_cms_heavyhitters(spark, SF).collect()
+    assert len(rows) == 20
+    n_total = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .count()
+    )
+    bound = math.e / _CMS_WIDTH * n_total
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt, r
+        assert r.est_cnt - r.true_cnt <= bound, (r, bound)

@@ -225,3 +225,25 @@ def test_decontaminate_broadcasts_eval_keys(spark):
     join)."""
     p = plan(QUERIES["q_decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):
+    """Partition-layout evidence: joining a partitioned fact table to a
+    filtered dim must plan a dynamic-pruning subquery on the partition
+    column, so only the dim-selected partitions are scanned at runtime
+    — at 100 TB this is the difference between reading one event_type
+    directory and reading the corpus. (Static pruning handles literal
+    predicates; DPP covers the join-derived ones.)"""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("dpp") / "events_by_type")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("click", 0.5), ("error", 0.0)],
+        "event_type string, weight double",
+    ).where(F.col("weight") > 0.7)
+    j = fact.join(dim, "event_type").agg(F.sum("value"))
+    p = plan(j)
+    assert "dynamicpruning" in p.lower() or "DynamicPruning" in p, p[:500]
