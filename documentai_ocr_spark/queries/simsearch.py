@@ -848,3 +848,74 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("code"),
     )
+
+
+# --------------------------------------------- near-dup graph centrality
+# Canonical-document election signal: PageRank over the near-dup graph
+# (banded simhash pairs as undirected edges). A doc that is "central"
+# among its near-duplicates — closest to many variants — is the best
+# keeper; min-id election (x_semdedup, q_dedup_components) is a
+# convention, centrality is a quality. Iterative DataFrame linear
+# algebra: each round is one join of the edge list with the current
+# rank vector + one groupBy — O(iters) shuffle rounds over (edge)
+# rows only, the same per-round shape as the components loop.
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = _PR_ITERS,
+             damping: float = _PR_DAMPING) -> DataFrame:
+    """Power iteration on an undirected edge list (doc_a, doc_b).
+    ``nodes`` is (doc_id); isolated nodes keep teleport-only mass.
+    Fixed iteration count keeps the job graph static and deterministic
+    (rank changes per round decay geometrically; 5 rounds ≈ 1e-3 on
+    graphs of this diameter)."""
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    n = nodes.count()
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            sym.join(deg, "src")
+            .join(
+                ranks.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        # checkpoint the lineage every round: without this the plan
+        # doubles per iteration (the components loop does the same)
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+@_q("x_neardup_centrality")
+def x_neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank documents by PageRank centrality inside the simhash
+    near-dup graph (rows-only entry: iterative — not one SQL
+    expression; the numpy independent-spec equality is pinned in
+    tests/test_simsearch.py)."""
+    from .dedup import _SIMHASH_HAMMING_MAX, _simhash_df
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    fp = _simhash_df(docs).hint("merge")
+    edges = simhash_pairs_banded(fp, _SIMHASH_HAMMING_MAX)
+    nodes = docs.select("doc_id")
+    return pagerank(edges, nodes).select(
+        "doc_id", F.round("rank", 9).alias("rank")
+    )

@@ -205,3 +205,41 @@ def test_embed_quantize_matches_numpy_spec_and_keeps_recall(spark):
         len(set(top5(X, q)) & set(top5(D, q))) / 5.0 for q in qs
     ]
     assert float(np.mean(recalls)) >= 0.85, float(np.mean(recalls))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """The DataFrame PageRank must equal an independent numpy power
+    iteration on the same edge list (same damping, same iteration
+    count) to float tolerance, and total mass must stay ~1."""
+    import numpy as np
+
+    from documentai_ocr_spark.queries.simsearch import (
+        _PR_DAMPING,
+        _PR_ITERS,
+        pagerank,
+    )
+
+    # star (0 center of 1..3) + pair (4,5) + isolate (6): irregular, so
+    # ranks genuinely move (a union of regular components would keep the
+    # uniform start vector stationary and test nothing)
+    edges_py = [(0, 1), (0, 2), (0, 3), (4, 5)]
+    edges = spark.createDataFrame(edges_py, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    got = {r.doc_id: r.rank for r in pagerank(edges, nodes).collect()}
+
+    n = 7
+    adj = np.zeros((n, n))
+    for a, b in edges_py:
+        adj[a][b] = adj[b][a] = 1
+    deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if deg[i]:
+                contrib += adj[i] * (r[i] / deg[i])
+        r = (1 - _PR_DAMPING) / n + _PR_DAMPING * contrib
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # hub outranks leaves, leaves outrank the teleport-only isolate
+    assert got[0] > got[1] > got[6]
