@@ -1600,3 +1600,175 @@ def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("run_len") >= 2)
         .drop("grp")
     )
+
+
+# --------------------------------------------------------- funnel analysis
+# Ordered-sequence conversion funnel: how many users performed
+# signup → view → purchase IN THAT ORDER. Each stage anchors on the
+# FIRST qualifying event after the previous stage (the standard
+# product-analytics semantics). Three conditional min-aggregations over
+# one user-keyed pass — never a self-join per stage.
+@_q(
+    "q_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(ms) AS t1 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ms) AS t2
+      FROM e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ms > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ms) AS t3
+      FROM e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ms > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           s1.t1 AS signup_ms,
+           s2.t2 AS view_ms,
+           s3.t3 AS purchase_ms,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS int) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel per user (signup → first view after
+    signup → first purchase after that view), with the deepest stage
+    reached. The Spark form needs NO join at all: one user-keyed
+    sort-window pass computes all three stage anchors with running
+    conditional minima (stage-2 min only admits views later than the
+    stage-1 running min, etc.), so a funnel over 10^12 events is one
+    shuffle + one sort — the per-stage join cascade the SQL oracle
+    spells out stays in DuckDB as the independent formulation."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # running first-signup; first view strictly after it; first purchase
+    # strictly after that — each as a running min over the same window
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ms"))).over(w)
+    rows = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "view")
+            & F.col("t1").isNotNull()
+            & (F.col("ms") > F.col("t1")),
+            F.col("ms"),
+        )
+    ).over(w)
+    rows = rows.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("t2").isNotNull()
+            & (F.col("ms") > F.col("t2")),
+            F.col("ms"),
+        )
+    ).over(w)
+    rows = rows.withColumn("t3", t3)
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.min("t1").alias("signup_ms"),
+            F.min("t2").alias("view_ms"),
+            F.min("t3").alias("purchase_ms"),
+        )
+        .where(F.col("signup_ms").isNotNull())
+        .select(
+            "user_id",
+            "signup_ms",
+            "view_ms",
+            "purchase_ms",
+            F.when(F.col("purchase_ms").isNotNull(), 3)
+            .when(F.col("view_ms").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage_reached"),
+        )
+    )
+
+
+# ------------------------------------------------- EWMA anomaly flag
+# Trailing exponentially-weighted moving average per user over event
+# values, truncated at K lags so the recursion unrolls into a CLOSED
+# FORM both engines evaluate identically (a true infinite-horizon EWMA
+# is a recursive accumulator — cross-engine float parity would hinge on
+# accumulation order; the truncated form is also what a streaming
+# implementation keeps as bounded state). Events whose value exceeds
+# 3× the trailing EWMA are flagged — the spike detector of an ingest
+# monitoring pipeline.
+_EWMA_ALPHA = 0.5
+_EWMA_K = 8
+
+
+def _ewma_terms_sql() -> str:
+    num = " + ".join(
+        f"COALESCE({_EWMA_ALPHA ** lag} * lag(value, {lag}) OVER w, 0.0)"
+        for lag in range(1, _EWMA_K + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {lag}) OVER w IS NOT NULL"
+        f" THEN {_EWMA_ALPHA ** lag} ELSE 0.0 END)"
+        for lag in range(1, _EWMA_K + 1)
+    )
+    return num, den
+
+
+@_q(
+    "q_ewma_anomaly",
+    f"""
+    SELECT event_id, user_id,
+           ROUND(value, 6) AS value,
+           ROUND(({_ewma_terms_sql()[0]})
+                 / NULLIF({_ewma_terms_sql()[1]}, 0.0), 6) AS ewma,
+           value > 3.0 * (({_ewma_terms_sql()[0]})
+                 / NULLIF({_ewma_terms_sql()[1]}, 0.0)) AS is_spike
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing EWMA (α={_EWMA_ALPHA}, truncated at
+    {_EWMA_K} lags, weights renormalized over available history) and a
+    3× spike flag. One user-keyed shuffle + sort serves all
+    {_EWMA_K} lag() calls (same window). Rows with no history yield
+    NULL ewma / NULL flag."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    a = _EWMA_ALPHA
+    num = None
+    den = None
+    for lag in range(1, _EWMA_K + 1):
+        lv = F.lag("value", lag).over(w)
+        t = F.coalesce(F.lit(a**lag) * lv, F.lit(0.0))
+        d = F.when(lv.isNotNull(), F.lit(a**lag)).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    ewma = num / F.nullif(den, F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.round(ewma, 6).alias("ewma"),
+        (F.col("value") > 3.0 * ewma).alias("is_spike"),
+    )
