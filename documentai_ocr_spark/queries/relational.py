@@ -1772,3 +1772,68 @@ def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ewma, 6).alias("ewma"),
         (F.col("value") > 3.0 * ewma).alias("is_spike"),
     )
+
+
+# --------------------------------------------------------- retention cohorts
+# Cohort retention matrix: users grouped by their first-signup week,
+# counted as retained in each later week they produced any event. The
+# companion analytics op to q_funnel (did the user convert) — did the
+# user COME BACK. Absolute epoch weeks (epoch_ms // 1w) keep both
+# engines on integer arithmetic with no corpus-wide min.
+@_q(
+    "q_retention_cohorts",
+    """
+    WITH wk AS (
+      SELECT user_id, event_type,
+             epoch_ms(ts) // 604800000 AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week
+      FROM wk WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT wk.user_id, cohort.cohort_week,
+             wk.week - cohort.cohort_week AS week_offset
+      FROM wk JOIN cohort USING (user_id)
+      WHERE wk.week >= cohort.cohort_week
+    )
+    SELECT cohort_week, CAST(week_offset AS int) AS week_offset,
+           CAST(COUNT(*) AS bigint) AS n_users
+    FROM active
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: (cohort_week, week_offset) → distinct
+    retained users. Two user-keyed aggregations and one counting
+    groupBy over (cohort, offset) pairs — the distinct collapses
+    map-side first, so the wide stream is (user, week) pairs, never raw
+    events. week_offset 0 row per cohort = cohort size (the
+    denominator a retention curve divides by)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            / F.lit(604800000)
+        ).cast("long").alias("week"),
+    )
+    cohort = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = (
+        ev.join(cohort, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy(
+        "cohort_week", F.col("week_offset").cast("int").alias("week_offset")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

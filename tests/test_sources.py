@@ -64,3 +64,43 @@ def test_json_roundtrip(spark, tmp_path):
     )
     rows = {r.id: r.ocr for r in back.collect()}
     assert rows[1].text == "t1" and abs(rows[2].score - 0.4) < 1e-9
+
+
+def test_scan_survives_corrupt_file(spark, tmp_path_factory):
+    """Production scans meet truncated/garbage files (failed writers,
+    partial uploads). With ignoreCorruptFiles the scan must return every
+    row of the intact files and skip the garbage instead of failing the
+    whole 100-TB job."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("corrupt") / "t")
+    df = spark.range(0, 100).withColumnRenamed("id", "v")
+    df.coalesce(2).write.parquet(base)
+    with open(os.path.join(base, "part-junk.snappy.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not really parquet \x00\x01\x02")
+    got = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(base)
+        .count()
+    )
+    assert got == 100
+
+
+def test_schema_evolution_merge(spark, tmp_path_factory):
+    """Long-lived tables gain columns over time. mergeSchema must union
+    the per-file schemas: old files read the new column as NULL, new
+    files carry it — no rewrite of 100 TB of history."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("evolve") / "t")
+    spark.range(0, 5).select(
+        F.col("id").alias("doc_id")
+    ).write.parquet(base)
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.mode("append").parquet(base)
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"doc_id", "lang"}
+    rows = {r.doc_id: r.lang for r in df.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[7] == "en"
