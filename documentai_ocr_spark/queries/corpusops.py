@@ -918,20 +918,23 @@ _CMS_WIDTH = 2048
 def cms_build(df: DataFrame, col: str) -> DataFrame:
     """Build the sketch as a (d, bucket, cnt) DataFrame of at most
     depth × width rows."""
-    rows = [
-        df.select(
-            F.lit(d).alias("d"),
-            (
-                F.abs(F.xxhash64(F.col(col), F.lit(d))) % _CMS_WIDTH
-            ).alias("bucket"),
-        )
-        for d in range(_CMS_DEPTH)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionAll(r)
-    return u.groupBy("d", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # one corpus scan: the depth rows come from an in-row array explode,
+    # not a per-depth unionAll (which would scan the corpus depth times)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.abs(F.xxhash64(F.col(col), F.lit(d))) % _CMS_WIDTH
+                ).alias("bucket"),
+            )
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .groupBy("p.d", "p.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
 
 

@@ -873,7 +873,13 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = _PR_ITERS,
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # materialize the graph once: every iteration joins sym and deg, and
+    # without this the whole upstream edge pipeline (fingerprints, band
+    # join) would re-execute per round — 5 rounds = 5 corpus passes
+    sym = sym.localCheckpoint()
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).localCheckpoint()
     n = nodes.count()
     ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
