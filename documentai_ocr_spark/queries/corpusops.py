@@ -941,19 +941,20 @@ def cms_build(df: DataFrame, col: str) -> DataFrame:
 def cms_estimate(candidates: DataFrame, col: str, sketch: DataFrame) -> DataFrame:
     """Point-estimate counts for a candidate column: min over the
     depth rows, sketch broadcast (it is ≤ depth×width cells)."""
-    probes = [
-        candidates.select(
-            F.col(col),
-            F.lit(d).alias("d"),
-            (
-                F.abs(F.xxhash64(F.col(col), F.lit(d))) % _CMS_WIDTH
-            ).alias("bucket"),
-        )
-        for d in range(_CMS_DEPTH)
-    ]
-    u = probes[0]
-    for r in probes[1:]:
-        u = u.unionAll(r)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.abs(F.xxhash64(F.col(col), F.lit(d))) % _CMS_WIDTH
+                ).alias("bucket"),
+            )
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    u = candidates.select(F.col(col), F.explode(probes).alias("p")).select(
+        col, "p.d", "p.bucket"
+    )
     return (
         u.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(col)
