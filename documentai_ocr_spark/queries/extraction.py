@@ -172,3 +172,42 @@ def x_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("decision"),
         (reason == "kept").alias("kept"),
     )
+
+
+@_q("x_extract_ab_diff")
+def x_extract_ab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-upgrade blast radius: run per-turn extraction under the
+    production plain-path variant AND the hysteresis candidate, report
+    only the turns whose extracted text differs (with both lengths).
+    This is the regression report a team reads before switching rule
+    versions on 10^12 turns — the batch analogue of a canary diff.
+
+    Scale: both variants are narrow zero-shuffle stages over the same
+    scan; the diff join keys on (conv_id, turn_idx) — with the
+    transcripts table bucketed on conv_id both sides arrive
+    co-partitioned and the join is local. Rows-only entry (two
+    mapInPandas passes are not one SQL expression); the per-variant
+    kernels are each golden-tested against their own oracle variant."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    a = extract_turns(t, plain_variant="density").select(
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("text_a"),
+    )
+    b = extract_turns(t, plain_variant="hysteresis").select(
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("text_b"),
+    )
+    return (
+        a.join(b, ["conv_id", "turn_idx"])
+        .where(F.col("text_a") != F.col("text_b"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.length("text_a").alias("len_a"),
+            F.length("text_b").alias("len_b"),
+        )
+    )

@@ -876,3 +876,112 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------- PMI collocations
+# Corpus-wide word-association mining (collocation extraction, the
+# word2vec/phrase-mining prep): pointwise mutual information over
+# adjacent token pairs, keeping pairs seen >= _PMI_MIN times. Distinct
+# from q_bigram_logprob (which scores DOCUMENTS under an LM): PMI
+# scores WORD PAIRS against independence, ranking the corpus's fused
+# phrases.
+_PMI_MIN = 5
+_PMI_TOPK = 50
+
+
+@_q(
+    "q_pmi_collocations",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i, t[i] AS w
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t))) AS i
+      ) g
+    ),
+    uni AS (SELECT w, CAST(COUNT(*) AS bigint) AS c FROM occ GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS bigint) AS t FROM uni),
+    bg AS (
+      SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM occ
+    ),
+    bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS bigint) AS c12
+      FROM bg WHERE w2 IS NOT NULL
+      GROUP BY w1, w2 HAVING COUNT(*) >= {_PMI_MIN}
+    ),
+    scored AS (
+      SELECT bgc.w1, bgc.w2, bgc.c12,
+             ROUND(ln(CAST(bgc.c12 AS double) * tot.t
+                      / (u1.c * u2.c)), 6) AS pmi
+      FROM bgc
+      JOIN uni u1 ON bgc.w1 = u1.w
+      JOIN uni u2 ON bgc.w2 = u2.w, tot
+    )
+    SELECT w1, w2, c12, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} adjacent-pair collocations by PMI =
+    ln(c12·T / (c1·c2)), min pair count {_PMI_MIN}.
+
+    Scale: unigram dim + the total broadcast; the pair count dim is
+    HAVING-pruned before scoring (rare pairs never leave the partial
+    agg); final top-K is a TakeOrderedAndProject on the ROUNDED score
+    with a lexicographic tiebreak so rank is identical across
+    engines."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
+    )
+    occ = d.select("doc_id", F.explode("t").alias("w"))
+    uni = occ.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = uni.agg(F.sum("c").cast("long").alias("t"))
+    bgp = d.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> struct("
+                    " element_at(t, i) as w1,"
+                    " element_at(t, i + 1) as w2))"
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("x"),
+    ).select("x.w1", "x.w2")
+    bgc = (
+        bgp.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .where(F.col("c12") >= _PMI_MIN)
+    )
+    u1 = uni.selectExpr("w AS w1", "c AS c1")
+    u2 = uni.selectExpr("w AS w2", "c AS c2")
+    scored = (
+        bgc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("t")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(_PMI_TOPK)

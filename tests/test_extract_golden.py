@@ -95,3 +95,30 @@ def test_edge_payloads(spark):
         assert _span_tuples(got[t].spans) == _span_tuples(want["spans"])
     assert got[0].text == "" and got[0].n_spans == 0
     assert got[3].n_spans == 1  # 500 a's: long dense line is content
+
+
+def test_ab_diff_equals_oracle_variant_diff(spark):
+    """x_extract_ab_diff must flag EXACTLY the turns where the two
+    pure-Python oracle variants (density vs hysteresis) disagree —
+    nothing missed, nothing invented. Verified per-turn over the full
+    sf0.001 transcript set."""
+    from documentai_ocr_spark.queries.extraction import x_extract_ab_diff
+    from documentai_ocr_spark.synth import transcripts_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    raw = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in transcripts_from_documents(spark, sf).collect()
+    }
+    want = set()
+    for key, text in raw.items():
+        a = extract_turn(text, plain_variant="density")["text"]
+        b = extract_turn(text, plain_variant="hysteresis")["text"]
+        if a != b:
+            want.add(key)
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in x_extract_ab_diff(spark, sf).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus should produce at least one variant diff"
