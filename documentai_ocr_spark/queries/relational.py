@@ -1837,3 +1837,131 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy(
         "cohort_week", F.col("week_offset").cast("int").alias("week_offset")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+# --------------------------------------------------------- data-quality suite
+# Deequ-style constraint verification as a query: uniqueness,
+# referential integrity, domain membership, internal consistency, and
+# value-range checks, each reporting (check, n_checked, n_violations).
+# The scale shape matters more than any single check: ALL checks on a
+# table fuse into ONE aggregation pass (conditional sums), then unpivot
+# — never one scan per assertion; the referential check is the only
+# join and it is an anti-join on the key column alone.
+@_q(
+    "q_dq_checks",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(COUNT(*) AS bigint) AS n_checked,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS bigint)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_order_fk', CAST(COUNT(*) AS bigint),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS bigint)
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'documents_nchars_consistent', CAST(COUNT(*) AS bigint),
+           CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                AS bigint)
+    FROM documents
+    UNION ALL
+    SELECT 'documents_lang_domain', CAST(COUNT(*) AS bigint),
+           CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                         THEN 1 ELSE 0 END) AS bigint)
+    FROM documents
+    UNION ALL
+    SELECT 'documents_len_le_400', CAST(COUNT(*) AS bigint),
+           CAST(SUM(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS bigint)
+    FROM documents
+    UNION ALL
+    SELECT 'events_value_range', CAST(COUNT(*) AS bigint),
+           CAST(SUM(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END)
+                AS bigint)
+    FROM events
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality verification suite. The three documents checks run
+    in ONE fused aggregation over one scan (conditional sums, then an
+    in-row unpivot) — the pattern that keeps a 50-assertion suite at
+    one pass per table on 100 TB; the lineitem→orders referential check
+    is a key-only anti-join (here via left-join-null-count so n_checked
+    rides the same pass). Two checks are deliberately tight enough to
+    fire on the fixture corpus (len>400, value>250) so the gate
+    compares real violation counts, not a column of zeros."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    docs = load(spark, sf_dir, "documents").select(
+        "n_chars", "text", "lang"
+    )
+    ev = load(spark, sf_dir, "events").select("value")
+
+    def unpivot(agg_df, triples):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col(nc).cast("long").alias("n_checked"),
+                    F.col(nv).cast("long").alias("n_violations"),
+                )
+                for name, nc, nv in triples
+            ]
+        )
+        return agg_df.select(F.explode(arr).alias("r")).select(
+            "r.check_name", "r.n_checked", "r.n_violations"
+        )
+
+    o = unpivot(
+        orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v"),
+        ),
+        [("orders_pk_unique", "n", "v")],
+    )
+    fk = unpivot(
+        li.join(
+            orders.select("o_orderkey").distinct(),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("v"),
+        ),
+        [("lineitem_order_fk", "n", "v")],
+    )
+    d = unpivot(
+        docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+            ).alias("v1"),
+            F.sum(
+                F.when(
+                    ~F.col("lang").isin("en", "de", "es", "fr", "zh"), 1
+                ).otherwise(0)
+            ).alias("v2"),
+            F.sum(F.when(F.col("n_chars") > 400, 1).otherwise(0)).alias(
+                "v3"
+            ),
+        ),
+        [
+            ("documents_nchars_consistent", "n", "v1"),
+            ("documents_lang_domain", "n", "v2"),
+            ("documents_len_le_400", "n", "v3"),
+        ],
+    )
+    e = unpivot(
+        ev.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when((F.col("value") < 0) | (F.col("value") > 250), 1)
+                .otherwise(0)
+            ).alias("v"),
+        ),
+        [("events_value_range", "n", "v")],
+    )
+    return o.unionAll(fk).unionAll(d).unionAll(e)

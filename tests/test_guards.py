@@ -179,3 +179,67 @@ def test_ewma_matches_python_recursion_truncated(spark):
                 den += _EWMA_ALPHA**lag
             assert got[r.event_id].ewma == round(num / den, 6), r
         h.append(r.value)
+
+
+def test_dq_checks_fire_on_planted_violations(spark):
+    """The suite must actually detect what it claims: plant a duplicate
+    pk, an orphan lineitem, an n_chars mismatch, an unknown lang, and an
+    out-of-range value in a tiny synthetic warehouse and expect each
+    check to count exactly its planted violations."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import q_dq_checks
+
+    t0 = datetime.datetime(2024, 1, 1)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "o_orderkey": [1, 1, 2],  # planted dup
+                    "o_custkey": [1, 1, 1],
+                    "o_orderstatus": ["F"] * 3,
+                    "o_totalprice": [1.0] * 3,
+                    "o_orderdate": [t0] * 3,
+                    "o_orderpriority": ["1-URGENT"] * 3,
+                }
+            )
+        ).write.parquet(os.path.join(d, "orders.parquet"))
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"l_orderkey": [1, 2, 99]}  # 99 = planted orphan
+            )
+        ).write.parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": ["abc", "defg"],
+                    "lang": ["en", "xx"],       # planted bad lang
+                    "source": ["s"] * 2,
+                    "n_chars": [3, 99],         # planted mismatch
+                }
+            )
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2],
+                    "ts": [t0, t0],
+                    "user_id": [1, 1],
+                    "event_type": ["click", "click"],
+                    "value": [10.0, 9999.0],    # planted out-of-range
+                    "props": ["{}"] * 2,
+                }
+            )
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.check_name: r for r in q_dq_checks(spark, d).collect()}
+    assert got["orders_pk_unique"].n_violations == 1
+    assert got["lineitem_order_fk"].n_violations == 1
+    assert got["documents_nchars_consistent"].n_violations == 1
+    assert got["documents_lang_domain"].n_violations == 1
+    assert got["events_value_range"].n_violations == 1
+    assert got["orders_pk_unique"].n_checked == 3
