@@ -925,3 +925,40 @@ def x_neardup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, nodes).select(
         "doc_id", F.round("rank", 9).alias("rank")
     )
+
+
+@_q("x_canonical_election")
+def x_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical election: near-dup clusters come from the
+    components loop (min-label + pointer jumping, dedup.py), the keeper
+    per cluster is the member with the highest PageRank centrality in
+    the near-dup graph (tie → min doc_id) instead of the min-id
+    convention — the doc closest to all its variants represents them
+    best. Composition of two already-verified operators; one extra
+    (component)-keyed window picks the argmax.
+
+    Scale: ranks and labels are both (doc, value) tables co-keyed on
+    doc_id; the election window partitions by component, so skew is
+    bounded by the largest near-dup cluster — the same bound the
+    components loop already carries."""
+    from .dedup import _simhash_df, lsh_components
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    comp = lsh_components(docs).select("doc_id", "component", "n_docs")
+    fp = _simhash_df(docs).hint("merge")
+    edges = simhash_pairs_banded(fp, 8)
+    ranks = pagerank(edges, docs.select("doc_id"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("rank").desc(), "doc_id"
+    )
+    return (
+        comp.join(ranks, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "n_docs",
+            F.round("rank", 9).alias("rank"),
+            (F.col("rn") == 1).alias("canonical"),
+        )
+    )

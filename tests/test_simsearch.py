@@ -243,3 +243,23 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     # hub outranks leaves, leaves outrank the teleport-only isolate
     assert got[0] > got[1] > got[6]
+
+
+def test_canonical_election_one_keeper_per_cluster(spark):
+    """Exactly one canonical per component, canonical rank is the
+    component max (tie broken to min doc_id), singletons elect
+    themselves."""
+    from documentai_ocr_spark.queries.simsearch import x_canonical_election
+
+    rows = x_canonical_election(spark, "/root/testdata/sf0.001").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert by_comp
+    for comp, members in by_comp.items():
+        cans = [m for m in members if m.canonical]
+        assert len(cans) == 1, comp
+        best = max(members, key=lambda m: (m.rank, -m.doc_id))
+        assert cans[0].doc_id == best.doc_id
+        if len(members) == 1:
+            assert members[0].canonical
