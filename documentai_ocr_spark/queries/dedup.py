@@ -801,3 +801,31 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_val.cast("long").alias("n_val"),
         ((n_train > 0) & (n_val > 0)).alias("leaky"),
     )
+
+
+@_q("x_component_split")
+def x_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what q_split_leakage audits: assign the train/val
+    split at the near-dup COMPONENT level (md5 of the component label,
+    same 70/30 coin as q_train_split) so a cluster of near-duplicates
+    lands wholly on one side — leakage is impossible by construction,
+    not just measured. Rows-only entry (components are iterative); the
+    zero-leak closure is pinned by the companion test re-running the
+    q_split_leakage aggregation on THIS split.
+
+    Scale: one broadcast-sized expression on top of the components
+    labels — the split adds no shuffle beyond the clustering itself."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    labels, _ = min_label_components(
+        docs.select("doc_id"), _lsh_star_edges(docs)
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("component").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10
+    return labels.select(
+        "doc_id",
+        "component",
+        F.when(bucket < 7, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )

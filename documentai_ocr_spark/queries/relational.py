@@ -1965,3 +1965,86 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("events_value_range", "n", "v")],
     )
     return o.unionAll(fk).unionAll(d).unionAll(e)
+
+
+# --------------------------------------------------------- grouped OLS
+# Per-group closed-form linear regression — the "does length predict
+# tokens, per source" feature-stats aggregate. Everything reduces to
+# SIX exact integer sums per group (n, Σx, Σy, Σxy, Σx², Σy²), so the
+# slope/intercept/r² doubles are each ONE arithmetic expression over
+# exact bigints — bit-identical across engines with no accumulation-
+# order caveat at all. This is also precisely the map-side-combinable
+# shape: 100 TB of rows fold into 6 numbers per group before the
+# shuffle.
+@_q(
+    "q_ols_per_source",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(COUNT(*) AS bigint) AS n,
+             CAST(SUM(n_chars) AS bigint) AS sx,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS bigint) AS sy,
+             CAST(SUM(n_chars * len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS bigint) AS sxy,
+             CAST(SUM(n_chars * n_chars) AS bigint) AS sxx,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))
+                      * len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS bigint) AS syy
+      FROM documents GROUP BY source
+    )
+    SELECT source, n,
+           ROUND(CAST(n * sxy - sx * sy AS double)
+                 / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - CAST(n * sxy - sx * sy AS double)
+                       / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS double)
+                 * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * CAST(n * syy - sy * sy
+                                               AS double)), 6) AS r2
+    FROM s
+    """,
+)
+def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of token count on n_chars per source: slope, intercept, r²
+    from six exact integer sums (one grouped aggregation, map-side
+    combinable; the doubles are single expressions over bigints so both
+    engines agree to the last ulp before the one round)."""
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("long")
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        toks.alias("y"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = num.cast("double") / den
+    return s.select(
+        "source",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            num.cast("double")
+            * num
+            / (
+                den
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            ),
+            6,
+        ).alias("r2"),
+    )

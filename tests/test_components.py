@@ -140,3 +140,34 @@ def test_giant_duplicate_cluster(spark):
     assert all(out[i]["component"] == 0 for i in range(200))
     assert out[0]["n_docs"] == 200
     assert sum(1 for r in out.values() if r["canonical"]) == 2  # 0 and 900
+
+
+def test_component_split_has_zero_leakage(spark):
+    """Re-run the leakage audit's aggregation on the component-level
+    split: no component may straddle train/val (the doc-level split
+    provably leaks on this corpus — q_split_leakage finds >0 leaky
+    groups — so this is a real difference, not a vacuous pass), and the
+    split fraction must stay near 70/30."""
+    import pyspark.sql.functions as F
+
+    from documentai_ocr_spark.queries.dedup import (
+        q_split_leakage,
+        x_component_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    doc_level_leaks = (
+        q_split_leakage(spark, sf).where(F.col("leaky")).count()
+    )
+    assert doc_level_leaks > 0  # the problem exists on this corpus
+
+    s = x_component_split(spark, sf)
+    leaks = (
+        s.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert leaks == 0
+    frac = s.where(F.col("split") == "train").count() / s.count()
+    assert 0.55 < frac < 0.85
