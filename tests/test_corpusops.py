@@ -280,3 +280,57 @@ def test_cms_overestimates_within_bound(spark):
     for r in rows:
         assert r.est_cnt >= r.true_cnt, r
         assert r.est_cnt - r.true_cnt <= bound, (r, bound)
+
+
+def test_chunk_text_start_grid_across_lengths(spark):
+    """One multi-doc fixture sweeps the start-grid edge cases (empty,
+    shorter than width, exactly width, width+1, grid-aligned end,
+    off-grid end, long): for every doc the chunk set must equal the
+    Python spec — stride grid plus anchored tail — with full coverage."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.corpusops import (
+        _CHUNK_STRIDE,
+        _CHUNK_W,
+        q_chunk_text,
+    )
+
+    lengths = [0, 1, 31, 32, 33, 56, 57, 80, 81, 101, 200]
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(len(lengths))),
+            "text": [" ".join(f"w{i}" for i in range(n)) for n in lengths],
+            "lang": ["en"] * len(lengths),
+            "source": ["s"] * len(lengths),
+            "n_chars": [1] * len(lengths),
+        }
+    )
+
+    def spec_starts(n):
+        if n <= _CHUNK_W:
+            return [0]
+        starts = list(range(0, n - _CHUNK_W + 1, _CHUNK_STRIDE))
+        if starts[-1] != n - _CHUNK_W:
+            starts.append(n - _CHUNK_W)
+        return starts
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {}
+        for r in q_chunk_text(spark, d).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    for doc_id, n in enumerate(lengths):
+        starts = spec_starts(n)
+        chunks = sorted(got[doc_id])
+        assert len(chunks) == len(starts), (doc_id, n)
+        for (idx, n_tok), s0 in zip(chunks, starts):
+            assert n_tok == max(0, min(_CHUNK_W, n - s0)), (doc_id, s0)
+        if n > 0:
+            assert chunks[-1][0] == len(starts) - 1
+            # tail coverage: last chunk must reach the document end
+            assert starts[-1] + chunks[-1][1] == n

@@ -243,3 +243,75 @@ def test_dq_checks_fire_on_planted_violations(spark):
     assert got["documents_lang_domain"].n_violations == 1
     assert got["events_value_range"].n_violations == 1
     assert got["orders_pk_unique"].n_checked == 3
+
+
+def test_asof_join_no_prior_click_yields_nulls(spark):
+    """A purchase with no prior click keeps NULL click columns (left
+    semantics), and a user with zero clicks entirely is still present."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import q_asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [t0, t0 + datetime.timedelta(1), t0],
+            "user_id": [7, 7, 8],
+            "event_type": ["purchase", "click", "purchase"],
+            "value": [0.0, 1.0, 0.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {r.purchase_id: r for r in q_asof_join(spark, d).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].click_id is None  # click exists but is LATER
+    assert out[3].click_id is None  # user has no clicks at all
+
+
+def test_backfill_dynamic_partition_overwrite(spark, tmp_path_factory):
+    """Backfill semantics at scale: re-running one day with dynamic
+    partition overwrite must replace ONLY that day's partition and
+    leave every other day untouched (static overwrite would wipe the
+    table — the classic backfill footgun)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("backfill") / "t")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("day", F.to_date(F.col("ts").cast("timestamp")))
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(base)
+    days = [r.day for r in ev.select("day").distinct().collect()]
+    target = sorted(days)[1]
+    before_total = ev.count()
+    before_target = ev.where(F.col("day") == target).count()
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # backfill: the target day recomputed with a corrected value
+        (
+            ev.where(F.col("day") == target)
+            .withColumn("value", F.col("value") * 0 + 42.0)
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .parquet(base)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    got = spark.read.parquet(base)
+    assert got.count() == before_total
+    tgt = got.where(F.col("day") == target)
+    assert tgt.count() == before_target
+    assert tgt.where(F.col("value") != 42.0).count() == 0
+    other = got.where((F.col("day") != target) & (F.col("value") == 42.0))
+    assert other.count() == 0
