@@ -195,3 +195,28 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     done = sorted(committed_buckets(spark, out_dir))
     df = spark.read.parquet(f"{out_dir}/extracted")
     return df.where(F.col("bucket").isin(done))
+
+
+def read_extracted_asof(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> DataFrame:
+    """Time-travel read: the committed view AS OF lineage batch
+    ``batch_id`` (inclusive) — only buckets whose commit carries a
+    batch_id ≤ the requested one are visible, exactly like reading an
+    older Iceberg snapshot by snapshot-id. Works because each bucket
+    commits exactly once with the monotonic counter, so the as-of set
+    is a prefix of commit history; on an Iceberg deployment this maps
+     1:1 to ``VERSION AS OF``. The filter is partition pruning on the
+    bucket column — an as-of read scans only the old buckets' files."""
+    path = f"{out_dir}/lineage"
+    rows = (
+        spark.read.schema(LINEAGE_SCHEMA)
+        .parquet(path)
+        .where(F.col("batch_id") <= batch_id)
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    done = sorted(r.bucket for r in rows)
+    df = spark.read.parquet(f"{out_dir}/extracted")
+    return df.where(F.col("bucket").isin(done))

@@ -108,3 +108,51 @@ def test_empty_input_commits_and_converges(spark, tmp_path):
     lin = spark.read.parquet(f"{out}/lineage")
     assert lin.count() == 8
     assert lin.where("n_turns = 0").count() == 8
+
+
+def test_time_travel_read_asof_batch(spark, tmp_path_factory):
+    """As-of reads reconstruct historical table states: after two
+    incremental commits, reading as of batch 0 returns exactly the
+    first increment's buckets (and their convs), as of the latest
+    batch returns everything, and as of -1 returns nothing."""
+    import pyspark.sql.functions as F
+
+    from documentai_ocr_spark.lineage import (
+        read_extracted,
+        read_extracted_asof,
+        run_extraction_increment,
+    )
+    from documentai_ocr_spark.synth import synth_transcripts
+
+    out = str(tmp_path_factory.mktemp("asof") / "out")
+    tr = spark.createDataFrame(
+        synth_transcripts(n_convs=12, seed=3, skew_factor=1)
+    )
+    n1 = run_extraction_increment(
+        spark, tr, out, n_buckets=8, max_buckets=3
+    )
+    n2 = run_extraction_increment(
+        spark, tr, out, n_buckets=8, max_buckets=8
+    )
+    assert n1 and n2
+
+    full = read_extracted(spark, out)
+    asof0 = read_extracted_asof(spark, out, 0)
+    b_full = {r.bucket for r in full.select("bucket").distinct().collect()}
+    b_0 = {r.bucket for r in asof0.select("bucket").distinct().collect()}
+    assert len(b_0) == 3 and b_0 < b_full
+    assert asof0.count() < full.count()
+    # the old snapshot's rows are byte-identical to the same rows today
+    # (buckets commit once; later commits never rewrite them)
+    key0 = {
+        (r.conv_id, r.turn_idx, r.text)
+        for r in asof0.select("conv_id", "turn_idx", "text").collect()
+    }
+    key_full = {
+        (r.conv_id, r.turn_idx, r.text)
+        for r in full.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert key0 < key_full
+    assert read_extracted_asof(spark, out, -1).count() == 0
+    latest = read_extracted_asof(spark, out, 1)
+    assert latest.count() == full.count()
