@@ -962,3 +962,90 @@ def x_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") == 1).alias("canonical"),
         )
     )
+
+
+# --------------------------------------------------------- IVF-SQ8 ANN
+def _decode_sq8(e: DataFrame) -> DataFrame:
+    """Round-trip every vector through the int8 scalar quantizer
+    (q_embed_quantize's codebook: per-dim min/max → 256 cells, decode
+    at cell midpoints). Row-local against the broadcast 64-value
+    codebook — no shuffle; this is what the data side of an ANN index
+    stores at 1/4 the bytes."""
+    mm = (
+        e.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    lo = np.array([r.lo for r in sorted(mm, key=lambda r: r.dim)])
+    hi = np.array([r.hi for r in sorted(mm, key=lambda r: r.dim)])
+    bc = e.sparkSession.sparkContext.broadcast((lo, hi))
+
+    def dec(batches):
+        import pandas as _pd
+
+        l, h = bc.value
+        span = h - l
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["emb"].to_numpy())
+            codes = np.minimum(np.floor((m - l) / span * 256.0), 255.0)
+            out = l + (codes + 0.5) * span / 256.0
+            yield _pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "emb": list(out)}
+            )
+
+    return e.mapInPandas(dec, schema="vec_id bigint, emb array<double>")
+
+
+@_q("x_knn_ivf_sq8")  # approximate — recall-gated in tests
+def x_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8: the x_knn_ivf probe with the DATA side stored as
+    int8-quantized vectors (decoded at cell midpoints for scoring) and
+    queries kept full-precision — the memory-bounded production layout:
+    coarse pruning cuts candidates to ~nprobe/k of the corpus, scalar
+    quantization cuts stored bytes 4×. Composition of two verified
+    operators; recall vs the exact kNN is gated in
+    tests/test_simsearch.py."""
+    e = _emb_double(spark, sf_dir)
+    data_dec = _decode_sq8(e)
+    cents = _ivf_centroids(data_dec, _IVF_K, _IVF_ITERS)
+    data = _assign_clusters(data_dec, cents, 1).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    q = (
+        _assign_clusters(
+            e.where(F.col("vec_id") < _KNN_NQUERIES), cents, _IVF_NPROBE
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "cluster",
+        )
+    )
+    cand = (
+        F.broadcast(q)
+        .join(data, ["cluster"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qemb", "qnrm", "vec_id", "emb", "nrm")
+    )
+    pairs = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("emb"))
+            / (F.col("qnrm") * F.col("nrm")),
+            3,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -985,3 +985,37 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(_PMI_TOPK)
+
+
+# --------------------------------------------------- score calibration
+# Rank-normalization before cross-source mixing: raw quality scores
+# (here the length proxy) are not comparable across sources with
+# different distributions; cume_dist within source maps every doc onto
+# [0,1] by its within-source rank — the calibration step before a
+# global quality threshold is applied to a multi-source corpus.
+@_q(
+    "q_score_calibration",
+    """
+    SELECT doc_id, source,
+           CAST(n_chars AS bigint) AS n_chars,
+           ROUND(cume_dist() OVER (
+             PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+    FROM documents
+    """,
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source cumulative-distribution rank of n_chars (ties share
+    the upper step value — cume_dist is deterministic under ties, unlike
+    percent_rank ordering games). One shuffle on source; at scale a
+    skewed source is the same bound every per-source window here
+    carries."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.cume_dist().over(w), 6).alias("pct_rank"),
+    )

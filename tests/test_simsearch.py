@@ -263,3 +263,28 @@ def test_canonical_election_one_keeper_per_cluster(spark):
         assert cans[0].doc_id == best.doc_id
         if len(members) == 1:
             assert members[0].canonical
+
+
+def test_ivf_sq8_recall_vs_exact(spark):
+    """The memory-bounded ANN composition (IVF coarse pruning + int8
+    data vectors) must keep top-5 recall >= 0.7 against the exact kNN —
+    quantization on top of IVF (recall-gated 0.7 alone) should cost
+    little, since midpoint decode perturbs cosines by < one cell."""
+    from documentai_ocr_spark.queries.simsearch import (
+        _KNN_K,
+        x_knn_ivf_sq8,
+    )
+    from documentai_ocr_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in QUERIES["q_knn_cosine"](spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in x_knn_ivf_sq8(spark, sf).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx) == set(exact)
+    recalls = [
+        len(exact[q] & approx[q]) / _KNN_K for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, sum(recalls) / len(recalls)
