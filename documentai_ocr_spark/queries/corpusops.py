@@ -430,9 +430,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the one corpus-wide exchange is the window-content groupBy —
     inherent to the op (the suffix-array formulation needs a global sort
-    of comparable volume). Shuffle width is the window string (~50 B);
-    at 100 TB, group on xxhash64(window) instead (8 B, collision odds
-    ~n²/2⁶⁴) and keep strings only for the final per-doc rewrite. The
+    of comparable volume). Windows shuffle as 8-byte xxhash64 keys, not
+    ~50-B strings (collision odds ~n²/2⁶⁵; the DuckDB oracle groups the
+    full strings, so the gate doubles as a collision check). At sf0.1
+    the key narrowing is measurement-neutral (warm 1.5–2.2 s both
+    forms, back-to-back) — the payoff is shuffle bytes at corpus
+    scale, where the exchange IS the bill. The
     cover explode is ×{K} on *duplicated* windows only (a small corpus
     fraction), the islands window and rewrite aggregation both partition
     by doc_id — no skew beyond a doc's own length, and the rewrite
@@ -451,6 +454,11 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", toks.alias("t")
     )
+    # windows carry an 8-byte xxhash64 of their content, not the ~50-B
+    # string: the window-content groupBy is THE corpus-wide exchange of
+    # this op, so key width is the shuffle bill (collision odds across
+    # 2^64 are ~n²/2⁶⁵ — the DuckDB oracle still groups full strings, so
+    # the gate would catch a collision as a value mismatch)
     win = d.select(
         "doc_id",
         F.explode(
@@ -459,10 +467,10 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"transform(sequence(1, size(t) - {k - 1}),"
                     f" i -> struct(i as i,"
-                    f"  concat_ws(' ', slice(t, i, {k})) as wk))"
+                    f"  xxhash64(concat_ws(' ', slice(t, i, {k}))) as wk))"
                 ),
             ).otherwise(
-                F.array().cast("array<struct<i:int,wk:string>>")
+                F.array().cast("array<struct<i:int,wk:bigint>>")
             )
         ).alias("x"),
     ).select("doc_id", "x.i", "x.wk")
