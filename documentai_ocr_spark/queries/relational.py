@@ -2048,3 +2048,78 @@ def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# --------------------------------------------------------- turn integrity
+# Ingest-integrity audit for the transcripts table: a conversation is
+# complete when its turn indices are exactly 0..max with no holes and
+# no duplicates — the precondition of "per-turn text equality under
+# stable turn ordering". The generator emits complete conversations, so
+# both engines decimate deterministically first (md5 coin drops ~1/37
+# of turns) — the audit has real holes to find and the gate compares
+# real counts.
+@_q(
+    "q_turn_integrity",
+    """
+    WITH turns AS (
+      SELECT doc_id, g.t
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+    ),
+    kept AS (
+      SELECT doc_id, t FROM turns
+      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
+            % 37 <> 0
+    )
+    SELECT 'conv-' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id,
+           CAST(COUNT(*) AS bigint) AS n_turns,
+           CAST(MAX(t) AS int) AS max_idx,
+           CAST(MAX(t) + 1 - COUNT(DISTINCT t) AS bigint) AS n_missing,
+           CAST(COUNT(*) - COUNT(DISTINCT t) AS bigint) AS n_dup_idx
+    FROM kept
+    GROUP BY doc_id
+    """,
+)
+def q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation completeness audit: turn count, max index,
+    missing-index count (holes in 0..max), duplicate-index count. One
+    conv-keyed aggregation; with the table bucketed on conv_id the
+    audit runs shuffle-free. Pairs with streaming.stream_dedup (which
+    prevents duplicates at ingest) and the lineage resume (which
+    prevents holes from partial failures) — this is the detector that
+    proves they worked."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx"
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.substring("conv_id", 6, 20)
+                        .cast("long")
+                        .cast("string"),
+                        F.lit("#"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+    )
+    kept = t.where(coin != 0)
+    return kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.max("turn_idx").cast("int").alias("max_idx"),
+        (F.max("turn_idx") + 1 - F.countDistinct("turn_idx"))
+        .cast("long")
+        .alias("n_missing"),
+        (F.count(F.lit(1)) - F.countDistinct("turn_idx"))
+        .cast("long")
+        .alias("n_dup_idx"),
+    )
