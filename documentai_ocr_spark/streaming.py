@@ -281,3 +281,32 @@ def stream_enrich_join(
         "turn_ts",
         "ann_ts",
     )
+
+
+def stream_extract_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+    watermark: str = "1 hour",
+):
+    """The composed ingest front door: at-least-once source →
+    cross-batch dedup (dropDuplicatesWithinWatermark on (conv_id,
+    turn_idx)) → per-batch extraction → idempotent sink. The guarantee
+    stack: the dedup state kills replays the source delivers twice, the
+    sink's batch-id idempotence kills replays the ENGINE delivers twice
+    (retry after sink success but before checkpoint commit) — together,
+    exactly-once extracted output over an at-least-once stream."""
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    deduped = stream_dedup(src, watermark=watermark)
+    return (
+        extract_stream_writer(deduped, make_sink(spark, output_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

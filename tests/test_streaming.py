@@ -379,3 +379,33 @@ def test_stream_enrich_join_bound_and_cross_batch(spark, tmp_path_factory):
     got = spark.read.parquet(out).collect()
     assert len(got) == 1
     assert (got[0].turn_idx, got[0].verdict) == (0, "ok")
+
+
+def test_stream_extract_dedup_end_to_end(spark, tmp_path_factory):
+    """Composed pipeline proof: a source that delivers every file TWICE
+    still yields exactly-once extracted output, per-turn byte-equal to
+    the batch kernel over the unique input."""
+    from documentai_ocr_spark.extract import extract_turns
+    from documentai_ocr_spark.streaming import stream_extract_dedup
+
+    base = tmp_path_factory.mktemp("e2e")
+    src, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ck")
+    pdf = synth_transcripts(n_convs=6, seed=11, skew_factor=2)
+    df = spark.createDataFrame(pdf)
+    df.coalesce(1).write.parquet(src)                 # original delivery
+    df.coalesce(1).write.mode("append").parquet(src)  # full replay
+    q = stream_extract_dedup(
+        spark, src, out, ckpt, max_files_per_trigger=1
+    )
+    assert q.awaitTermination(180), "composed drain did not finish"
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in spark.read.parquet(f"{out}/extracted").collect()
+    }
+    want = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in extract_turns(df.dropDuplicates(
+            ["conv_id", "turn_idx"]
+        )).collect()
+    }
+    assert got == want  # exactly once, byte-equal to batch
