@@ -247,3 +247,24 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path_factory):
     j = fact.join(dim, "event_type").agg(F.sum("value"))
     p = plan(j)
     assert "dynamicpruning" in p.lower() or "DynamicPruning" in p, p[:500]
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark):
+    """Registry-wide scale invariant: NO oracle-gated query may plan a
+    CartesianProduct — the one join strategy that cannot survive a
+    100-TB input. (Broadcast nested loops over 1-row scalar dims are
+    fine and excluded; the O(n²) anchor queries are runtime-guarded by
+    guard_allpairs and still must not plan a shuffled cross product at
+    the test SF.) Sweeping every q_ entry makes this a standing net:
+    a future refactor that silently degrades an equi-join to a cross
+    join fails here, not at 100 TB."""
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("x_"):
+            continue  # iterative/driver-looping entries: covered by
+            # their own plan/recall tests; building them here would
+            # re-run k-means / prefix-sum jobs for no plan insight
+        p = plan(fn(spark, SF))
+        if "CartesianProduct" in p:
+            bad.append(name)
+    assert bad == [], bad
