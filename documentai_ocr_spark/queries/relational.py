@@ -2123,3 +2123,41 @@ def q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_idx"),
     )
+
+
+# --------------------------------------------------------- JSON props
+# Semi-structured handling: the events.props column is a JSON payload
+# (the reference's OCR-result JSON carried per-item metadata the same
+# way — /root/reference/ocrclient/redisdata.py stores dict blobs).
+# Fixed-schema extraction (from_json with an explicit schema), never
+# driver-side schema inference — inference over 100 TB is a full
+# pre-scan, and a drifting inferred schema silently changes the plan.
+@_q(
+    "q_props_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS bigint) AS n,
+           CAST(COUNT(CAST(props ->> '$.k' AS int)) AS bigint)
+             AS n_with_k,
+           CAST(SUM(CAST(props ->> '$.k' AS int)) AS bigint) AS sum_k,
+           CAST(MIN(CAST(props ->> '$.k' AS int)) AS int) AS min_k,
+           CAST(MAX(CAST(props ->> '$.k' AS int)) AS int) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props column with an explicit
+    schema (k int), aggregated per event_type — integer sums so both
+    engines are exact. Malformed/missing JSON yields NULL and drops out
+    of the aggregates (n_with_k counts the parsed ones), which is the
+    tolerant-read posture a crawl-scale pipeline needs."""
+    ev = load(spark, sf_dir, "events").select("event_type", "props")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )

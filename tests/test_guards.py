@@ -315,3 +315,35 @@ def test_backfill_dynamic_partition_overwrite(spark, tmp_path_factory):
     assert tgt.where(F.col("value") != 42.0).count() == 0
     other = got.where((F.col("day") != target) & (F.col("value") == 42.0))
     assert other.count() == 0
+
+
+def test_props_stats_tolerates_malformed_json(spark):
+    """Malformed JSON and missing keys must degrade to NULL (dropping
+    out of sum/min/max but still counted in n) — never fail the job."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import q_props_stats
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [t0] * 4,
+            "user_id": [1] * 4,
+            "event_type": ["click"] * 4,
+            "value": [1.0] * 4,
+            "props": ['{"k": 5}', "not json at all", '{"other": 1}', None],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = q_props_stats(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.n_with_k, r.sum_k, r.min_k, r.max_k) == (4, 1, 5, 5, 5)
