@@ -996,3 +996,27 @@ def x_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(top, "tok")
         .select("tok", "true_cnt", "est_cnt")
     )
+
+
+# --------------------------------------------------- HLL cardinality
+@_q("x_hll_cardinality")
+def x_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch trilogy, part 3: distinct-token cardinality per source via
+    HyperLogLog++ (approx_count_distinct, rsd 2%) next to the exact
+    count. Membership → bloom (bloom_build), frequency → count-min
+    (cms_build), cardinality → this: at 100 TB the exact side's
+    (source, token) distinct is the expensive path (full dedup
+    shuffle), the HLL side reduces map-side to a fixed ~4 KB register
+    set per group and merges — the estimator a corpus dashboard runs
+    hourly. Rows-only entry (register layouts are engine-specific);
+    the relative-error bracket is pinned in tests."""
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return tok.groupBy("source").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct"),
+        F.approx_count_distinct("tok", rsd=0.02)
+        .cast("long")
+        .alias("hll_distinct"),
+    )

@@ -334,3 +334,16 @@ def test_chunk_text_start_grid_across_lengths(spark):
             assert chunks[-1][0] == len(starts) - 1
             # tail coverage: last chunk must reach the document end
             assert starts[-1] + chunks[-1][1] == n
+
+
+def test_hll_cardinality_within_rsd(spark):
+    """HLL++ estimates must sit within 3× the configured 2% relative
+    standard deviation of the exact distinct counts for every source
+    (99.7% band; deterministic here — fixed hash seeds)."""
+    from documentai_ocr_spark.queries.corpusops import x_hll_cardinality
+
+    rows = x_hll_cardinality(spark, SF).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.hll_distinct - r.exact_distinct) / r.exact_distinct
+        assert rel <= 0.06, (r.source, r.exact_distinct, r.hll_distinct)
