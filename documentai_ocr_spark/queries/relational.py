@@ -176,14 +176,23 @@ def q_group_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop rows below their group mean (height-mean line filter,
     /root/reference/font/project_rec.py:159-167). Mean as exact-int-sum /
-    count so both engines produce the identical double."""
+    count so both engines produce the identical double.
+
+    Scale: an unordered `SUM/COUNT OVER (PARTITION BY lang)` window
+    colocates every row of a lang onto one task — with O(10) langs in a
+    100-TB corpus that is a whole-language sort on a single reducer.
+    Identical semantics as a partial-aggregated groupBy (map-side
+    combine, O(langs) result rows) broadcast-joined back onto the scan:
+    the fact table never shuffles at all."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang")
-    m = F.sum("n_chars").over(w).cast("double") / F.count(F.lit(1)).over(w).cast(
-        "double"
+    means = docs.groupBy("lang").agg(
+        (
+            F.sum("n_chars").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
     )
     return (
-        docs.withColumn("m", m)
+        docs.join(F.broadcast(means), "lang")
         .where(F.col("n_chars") >= F.col("m"))
         .select("doc_id", "lang", "n_chars")
     )

@@ -495,6 +495,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # global single-partition scan; a corpus-global pack would use the same
 # two-phase partial-sum composition as q_group_range).
 _PACK_BLOCK = 512  # tokens per training block
+_PACK_BUCKETS = 32
 
 
 @_q(
@@ -517,9 +518,23 @@ _PACK_BLOCK = 512  # tokens per training block
     """,
 )
 def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chop packing layout per source shard: a single
-    cumulative-sum window over (source, doc_id) yields every document's
-    global token offset; block indices are pure arithmetic on it."""
+    """Concat-and-chop packing layout per source shard: every document's
+    global token offset within its source's (doc_id-ordered) stream;
+    block indices are pure arithmetic on it.
+
+    Scale — the cumulative sum WITHOUT a whole-source window: a corpus
+    has O(10) sources, so `SUM OVER (PARTITION BY source ORDER BY
+    doc_id)` sorts an entire source in one task. Two-phase instead
+    (same pattern as q_epoch_shuffle): (1) bucket rows by equal-width
+    doc_id ranges — a monotone function of the order key, so bucket
+    order is a prefix of full (source, doc_id) order; (2) a tiny
+    aggregate yields per-(source, bucket) token totals (O(sources ×
+    {nb}) rows) whose per-source exclusive prefix-sum — a window over
+    the TINY dim, ≤{nb} rows per source — is each bucket's starting
+    offset, broadcast back; (3) the running sum runs per (source,
+    bucket), ~1/{nb} of a source per task, plus the bucket offset. At
+    1000 executors raise _PACK_BUCKETS to O(cores); the dim stays
+    tiny.""".format(nb=_PACK_BUCKETS)
     docs = spread(
         load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
@@ -528,12 +543,33 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n"),
     )
-    w = (
+    lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = (lo or 0), (hi or 0)
+    width = max(1, (hi - lo + _PACK_BUCKETS) // _PACK_BUCKETS)
+    t = t.withColumn(
+        "pack_bucket",
+        ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    bdim = t.groupBy("source", "pack_bucket").agg(F.sum("n").alias("bsum"))
+    woff = (
         Window.partitionBy("source")
+        .orderBy("pack_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bdim = bdim.select(
+        "source",
+        "pack_bucket",
+        F.coalesce(F.sum("bsum").over(woff), F.lit(0)).alias("boff"),
+    )
+    w = (
+        Window.partitionBy("source", "pack_bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    c = t.withColumn("tok_beg", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    c = t.join(F.broadcast(bdim), ["source", "pack_bucket"]).withColumn(
+        "tok_beg",
+        F.col("boff") + F.coalesce(F.sum("n").over(w), F.lit(0)),
+    )
     blk_beg = F.floor(F.col("tok_beg") / _PACK_BLOCK).cast("long")
     blk_end = F.floor(
         (F.col("tok_beg") + F.col("n") - 1) / _PACK_BLOCK
@@ -993,6 +1029,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # different distributions; cume_dist within source maps every doc onto
 # [0,1] by its within-source rank — the calibration step before a
 # global quality threshold is applied to a multi-source corpus.
+_CALIB_BUCKETS = 32
+
+
 @_q(
     "q_score_calibration",
     """
@@ -1006,16 +1045,61 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-source cumulative-distribution rank of n_chars (ties share
     the upper step value — cume_dist is deterministic under ties, unlike
-    percent_rank ordering games). One shuffle on source; at scale a
-    skewed source is the same bound every per-source window here
-    carries."""
+    percent_rank ordering games).
+
+    Scale — cume_dist WITHOUT a whole-source window: `cume_dist() OVER
+    (PARTITION BY source ORDER BY n_chars)` sorts an entire source in
+    one task, and a corpus has O(10) sources. Decompose: cume_dist(x) =
+    (# rows in the source with value ≤ x) / (source total). Bucket rows
+    by equal-width VALUE ranges of n_chars — ties share a value, hence
+    a bucket, so the ≤-count never crosses a bucket boundary except
+    through whole earlier buckets. Then (1) a tiny per-(source, bucket)
+    count dim gives each bucket's exclusive prefix (rows in earlier
+    buckets, all ≤ by construction) and the source totals; (2) within a
+    bucket a RANGE-framed count window (frame end = current row ⇒ all
+    peers/ties included) counts rows ≤ x locally, ~1/{nb} of a source
+    per task. Identical output to the single-window form — oracle-gated
+    against DuckDB's cume_dist.""".format(nb=_CALIB_BUCKETS)
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    w = Window.partitionBy("source").orderBy("n_chars")
-    return d.select(
-        "doc_id",
+    lo, hi = d.agg(F.min("n_chars"), F.max("n_chars")).first()
+    lo, hi = (lo or 0), (hi or 0)
+    width = max(1, (hi - lo + _CALIB_BUCKETS) // _CALIB_BUCKETS)
+    d = d.withColumn(
+        "vbucket",
+        ((F.col("n_chars") - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    cdim = d.groupBy("source", "vbucket").agg(
+        F.count(F.lit(1)).alias("bcnt")
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("vbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("source")
+    cdim = cdim.select(
         "source",
-        "n_chars",
-        F.round(F.cume_dist().over(w), 6).alias("pct_rank"),
+        "vbucket",
+        F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("coff"),
+        F.sum("bcnt").over(wtot).alias("ctotal"),
+    )
+    wle = (
+        Window.partitionBy("source", "vbucket")
+        .orderBy("n_chars")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(cdim), ["source", "vbucket"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(
+                (F.col("coff") + F.count(F.lit(1)).over(wle)).cast("double")
+                / F.col("ctotal").cast("double"),
+                6,
+            ).alias("pct_rank"),
+        )
     )

@@ -89,12 +89,41 @@ def test_stratified_sample_broadcasts_rates(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_token_packing_single_hash_exchange(spark):
-    """Packing is one cumulative-sum window per source shard: exactly one
-    hash exchange on the window key (plus spread()'s test-table fan-out,
-    which is round-robin, not hash)."""
+def test_token_packing_bucketed_window(spark):
+    """Packing is two-phase: the fact-side running-sum window must
+    partition by (source, pack_bucket) — never by source alone, which
+    would sort a whole source on one reducer. The only source-alone
+    hash exchange allowed is the tiny per-bucket offset dim (≤
+    _PACK_BUCKETS rows per source), which must reach the fact side as
+    a broadcast, not a shuffle join."""
     p = plan(QUERIES["q_token_packing"](spark, SF))
-    assert p.count("hashpartitioning(") == 1, p
+    assert "pack_bucket" in p, p
+    # every Window spec that includes `source` must also carry the bucket
+    for ln in p.splitlines():
+        if "Window " in ln and "source" in ln and "partial" not in ln:
+            assert "pack_bucket" in ln or "boff" in ln, ln
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_score_calibration_bucketed_window(spark):
+    """cume_dist must decompose: the fact-side ≤-count window partitions
+    by (source, vbucket); the per-source prefix/total windows run only
+    over the tiny count dim, broadcast back."""
+    p = plan(QUERIES["q_score_calibration"](spark, SF))
+    assert "vbucket" in p, p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mean_filter_broadcasts_means(spark):
+    """The per-lang mean is a partial-aggregated dim broadcast back to
+    the scan — no lang-partitioned whole-group window on the fact
+    side."""
+    p = plan(QUERIES["q_mean_filter"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
 
 
 def test_pdfish_decode_single_shuffle_key(spark):

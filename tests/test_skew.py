@@ -111,3 +111,77 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_two_phase_source_windows_under_skew(spark, tmp_path):
+    """One source 100x the others: the two-phase bucketed forms of
+    token packing and score calibration must (a) still produce the
+    exact single-window answer, and (b) spread the hot source across
+    buckets so no (source, bucket) task holds more than a bounded
+    multiple of the fair share — the property that kills the
+    whole-source single-reducer sort at 100 TB."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.textstats import (
+        _CALIB_BUCKETS,
+        _PACK_BUCKETS,
+        q_score_calibration,
+        q_token_packing,
+    )
+
+    hot_n, cold_n = 3000, 30
+    # interleave: doc_id i -> hot unless i % 21 picks a cold slot
+    data = []
+    cold_sources = [f"cold{j}" for j in range(5)]
+    ci = 0
+    for i in range(hot_n + 5 * cold_n):
+        if ci < 5 * cold_n and i % 21 == 0:
+            src = cold_sources[ci % 5]
+            ci += 1
+        else:
+            src = "hot"
+        data.append(
+            (i, src, "tok " * ((i * 7) % 40 + 1), ((i * 13) % 997) + 1)
+        )
+    pdf = pd.DataFrame(
+        data, columns=["doc_id", "source", "text", "n_chars"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path / "skewfix")
+    sdf.repartition(4).write.parquet(f"{out}/documents.parquet")
+
+    # (a) exactness vs a pandas single-pass reference
+    pack = q_token_packing(spark, out).toPandas()
+    ref = pdf.copy()
+    ref["n"] = ref["text"].str.split(" ").str.len().astype("int64")
+    ref = ref.sort_values(["source", "doc_id"])
+    ref["tok_beg"] = ref.groupby("source")["n"].cumsum() - ref["n"]
+    got = {(r.doc_id): r.tok_beg for r in pack.itertuples()}
+    exp = {(r.doc_id): r.tok_beg for r in ref.itertuples()}
+    assert got == exp
+
+    calib = q_score_calibration(spark, out).toPandas()
+    refc = pdf.copy()
+    grp = refc.groupby("source")["n_chars"]
+    refc["pct"] = grp.transform(
+        lambda s: s.rank(method="max") / len(s)
+    ).round(6)
+    gotc = {r.doc_id: round(r.pct_rank, 6) for r in calib.itertuples()}
+    expc = {r.doc_id: round(r.pct, 6) for r in refc.itertuples()}
+    assert gotc == expc
+
+    # (b) balance: the hot source's rows spread over the bucket grid;
+    # max bucket load stays within 3x the fair share (uniform doc_ids)
+    lo, hi = int(pdf.doc_id.min()), int(pdf.doc_id.max())
+    width = max(1, (hi - lo + _PACK_BUCKETS) // _PACK_BUCKETS)
+    hotp = pdf[pdf.source == "hot"].copy()
+    hotp["b"] = (hotp.doc_id - lo) // width
+    fair = len(hotp) / _PACK_BUCKETS
+    assert hotp.groupby("b").size().max() <= 3 * fair
+    assert hotp.b.nunique() >= _PACK_BUCKETS - 1
+
+    clo, chi = int(pdf.n_chars.min()), int(pdf.n_chars.max())
+    cwidth = max(1, (chi - clo + _CALIB_BUCKETS) // _CALIB_BUCKETS)
+    hotp["vb"] = (hotp.n_chars - clo) // cwidth
+    cfair = len(hotp) / _CALIB_BUCKETS
+    assert hotp.groupby("vb").size().max() <= 3 * cfair
