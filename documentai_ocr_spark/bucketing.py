@@ -99,8 +99,22 @@ def compact_small_files(
     parallelism proportional to data. Sizing comes from the source
     files themselves (one listing, no data pass); the rewrite is one
     coalesce-free repartition so output files are even-sized regardless
-    of input skew. Returns the number of output files."""
+    of input skew. Returns the number of output files.
+
+    In-place compaction (out_path == path) is unsupported and rejected:
+    the lazy read would race mode('overwrite') deleting its own input
+    mid-scan and lose the data. Compact to a sibling dir and swap."""
     import math
+    import os
+
+    if os.path.abspath(out_path.rstrip("/")) == os.path.abspath(
+        path.rstrip("/")
+    ):
+        raise ValueError(
+            "compact_small_files: out_path must differ from path — "
+            "overwrite-while-reading would destroy the input; write to "
+            "a sibling directory and rename"
+        )
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -77,15 +77,13 @@ def _candidate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             # kernel's vectorized LEFT-FOLD score_sum (same accumulation
             # order as the oracle's sum()/len — np.mean's pairwise
             # summation can differ in the last ulp and flip the argmax).
-            # round() stays Python-side: the oracle uses Python round too.
+            # np.round is HALF_EVEN like Python round; the elementwise
+            # parity (incl. exact decimal midpoints) is pinned by
+            # tests/test_fusion.py::test_np_round_matches_python_round.
             cnt = res["n_spans"].to_numpy()
             ssum = res["score_sum"].to_numpy()
-            score = np.array(
-                [
-                    round(s / c, 6) if c else 0.0
-                    for s, c in zip(ssum.tolist(), cnt.tolist())
-                ]
-            )
+            safe = np.where(cnt == 0, 1, cnt)
+            score = np.where(cnt == 0, 0.0, np.round(ssum / safe, 6))
             keep = res["text"].to_numpy() != ""
             out_frames.append(
                 pd.DataFrame(

@@ -408,6 +408,16 @@ def vote_turn(text: str | None) -> str | None:
 
 
 # ------------------------------------------------------------------- fusion
+def round6(x: float) -> float:
+    """Scaled HALF_EVEN rounding to 6 decimals: round(x*1e6)/1e6 — the
+    pure-Python twin of np.round(x, 6) (same double ops, bit-identical;
+    pinned by tests/test_fusion.py::test_np_round_matches_round6 over
+    exact decimal midpoints). Builtin round(x, 6) is decimal-aware and
+    DIVERGES from np.round on midpoints, so the fusion spec uses this
+    form on both sides of the golden gate."""
+    return round(x * 1e6) / 1e6
+
+
 def fuse_turn(text: str | None) -> tuple[str, float] | None:
     """Per-turn oracle for the multi-engine fusion pipeline (reference
     /root/reference/ocrclient/redisdata.py:59-64,253-322 semantics):
@@ -423,7 +433,7 @@ def fuse_turn(text: str | None) -> tuple[str, float] | None:
         etext, spans = extract_plain(text or "", min_len, dens_t)
         if not etext:
             continue
-        score = round(sum(s["score"] for s in spans) / len(spans), 6)
+        score = round6(sum(s["score"] for s in spans) / len(spans))
         fused[etext] = fused.get(etext, 0.0) + FUSION_WEIGHTS[engine] * score
     cands = [(t, s) for t, s in fused.items() if s >= FUSION_SCORE_FLOOR]
     if not cands:

@@ -155,9 +155,16 @@ def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # verification: every source must yield min(k, n) rows; a deficient
     # source (possible only if the Chernoff tail fired) is re-ranked
-    # over its complete row set. The check touches only candidate rows.
-    got = cand.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_cand"), F.first("n_src").alias("n_src")
+    # over its complete row set. Anchored on the FULL per-source counts
+    # dim (left join, missing→0) so a source with ZERO candidates —
+    # every row hashed above the threshold — is still flagged rather
+    # than silently vanishing; the check touches only candidate rows
+    # plus the tiny dim.
+    ncand = cand.groupBy("source").agg(F.count(F.lit(1)).alias("n_cand"))
+    got = counts.join(ncand, "source", "left").select(
+        "source",
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        "n_src",
     )
     deficient = [
         r.source
@@ -293,19 +300,20 @@ def bloom_probe(batch: DataFrame, col: str, sketch: list) -> DataFrame:
     """
     spark = batch.sparkSession
     sk = spark.createDataFrame([(sketch,)], "bloom array<bigint>")
+    out = batch.crossJoin(F.broadcast(sk))
     hit = None
     for s in range(_BLOOM_SEEDS):
-        pos = _bloom_positions(F.col(col), s)
-        word = F.element_at("bloom", (pos / 64).cast("int") + 1)
-        bit = F.expr(
-            f"shiftleft(1L, cast(pmod(xxhash64('s{s}:' || {col}),"
-            f" {_BLOOM_BITS}) % 64 as int))"
-        )
+        # build and probe share the ONE bit-position formula
+        # (_bloom_positions) — a seed/hash/size change can never
+        # desynchronize the two sides and break no-false-negatives
+        out = out.withColumn(f"_pos{s}", _bloom_positions(F.col(col), s))
+        word = F.element_at("bloom", (F.col(f"_pos{s}") / 64).cast("int") + 1)
+        bit = F.expr(f"shiftleft(1L, cast(_pos{s} % 64 as int))")
         term = (word.bitwiseAND(bit)) != 0
         hit = term if hit is None else (hit & term)
-    return batch.crossJoin(F.broadcast(sk)).withColumn(
-        "maybe_dup", hit
-    ).drop("bloom")
+    return out.withColumn("maybe_dup", hit).drop(
+        "bloom", *[f"_pos{s}" for s in range(_BLOOM_SEEDS)]
+    )
 
 
 @_q("x_bloom_dedup")  # xxhash64 sketch — not DuckDB-expressible; the

@@ -279,10 +279,14 @@ def _simhash_packed(h: DataFrame, hv: str, out: str) -> DataFrame:
     it — BENCH.md negative result) replaces the 60× bit-row explode +
     two extra shuffles. A bit of the fingerprint is set iff
     2·Σw(bit set) > Σw. Lanes never interact while a document stays
-    under 2^21 tokens; beyond that Spark's ANSI mode fails the sum
-    LOUDLY (arithmetic overflow) rather than corrupting a lane —
-    transcript turns are orders of magnitude below the bound.
-    Bit-identical to the exploded form (verified on the full corpus)."""
+    under 2^21 total token weight; past that a low lane could silently
+    carry into its neighbor long before the bigint ANSI overflow check
+    could fire (that check is statistical — it needs the PACKED sum to
+    exceed 2^63, which unset high-lane bits can dodge), so the bound is
+    enforced STRUCTURALLY: every counter is ≤ the doc's total weight
+    tw, and the output expression raise_error()s on any doc with
+    tw ≥ 2^21 (guard pinned by tests/test_property.py). Bit-identical
+    to the exploded form (verified on the full corpus)."""
     aggs = [F.sum("w").alias("tw")]
     for g in range(_N_PACKED):
         lanes = " + ".join(
@@ -301,7 +305,14 @@ def _simhash_packed(h: DataFrame, hv: str, out: str) -> DataFrame:
         for g in range(_N_PACKED)
         for j in range(_LANES_PER_COL)
     )
-    return s.select("doc_id", F.expr(bit_terms).cast("long").alias(out))
+    guarded = (
+        f"CASE WHEN tw >= {1 << _LANE_BITS} THEN "
+        f"CAST(raise_error(concat('simhash SWAR lane guard: doc ', "
+        f"CAST(doc_id AS string), ' total token weight >= 2^{_LANE_BITS}"
+        f" — lanes would carry silently')) AS bigint) "
+        f"ELSE {bit_terms} END"
+    )
+    return s.select("doc_id", F.expr(guarded).cast("long").alias(out))
 
 
 def _simhash_df(docs: DataFrame) -> DataFrame:
@@ -803,15 +814,38 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("x_component_split")
-def x_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_q(
+    "q_component_split",
+    f"""
+    WITH RECURSIVE {_MH_BAND_CTE},
+    mn AS (SELECT band, bh, MIN(doc_id) AS mn FROM band GROUP BY band, bh),
+    edges AS (SELECT DISTINCT b.doc_id AS u, m.mn AS v
+              FROM band b JOIN mn m ON b.band = m.band AND b.bh = m.bh
+              WHERE b.doc_id <> m.mn),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach(u, v) AS (
+        SELECT doc_id AS u, doc_id AS v FROM documents
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT doc_id, component,
+           CASE WHEN ('0x' || substr(md5(CAST(component AS varchar)), 1, 4))
+                       ::int % 10 < 7
+                THEN 'train' ELSE 'val' END AS split
+    FROM comp
+    """,
+)
+def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FIX for what q_split_leakage audits: assign the train/val
     split at the near-dup COMPONENT level (md5 of the component label,
     same 70/30 coin as q_train_split) so a cluster of near-duplicates
     lands wholly on one side — leakage is impossible by construction,
-    not just measured. Rows-only entry (components are iterative); the
-    zero-leak closure is pinned by the companion test re-running the
-    q_split_leakage aggregation on THIS split.
+    not just measured. Oracle: the same recursive-closure CTE as
+    q_dedup_components/q_split_leakage plus the identical md5 coin on
+    the component label — the gate checks the split ASSIGNMENT, and the
+    zero-leak closure is additionally pinned by the companion test
+    re-running the q_split_leakage aggregation on THIS split.
 
     Scale: one broadcast-sized expression on top of the components
     labels — the split adds no shuffle beyond the clustering itself."""

@@ -64,7 +64,13 @@ def x_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_extract_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """×4 self-consistency vote (/root/reference/font/rec.py:41-87):
     keep turns where all four plain recognizers agree on the extracted
-    text. Golden-tested vs oracle.vote_turn."""
+    text. Golden-tested vs oracle.vote_turn.
+
+    Rows-only BY INPUT, not by semantics: the vote aggregation itself is
+    SQL and is value-hash-gated as q_agreement_vote (relational.py) over
+    a DuckDB-reproducible candidates table; THIS entry runs the same
+    vote on the Arrow kernel's candidates over the Python-synthesized
+    transcripts, which no DuckDB view can reproduce."""
     t = transcripts_from_documents(spark, sf_dir)
     return extract_vote(t)
 
@@ -102,7 +108,13 @@ def x_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("x_span_stats")
 def x_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level reporting: explode the spans array and aggregate per
-    (payload_kind, span kind) — the engine's per-run metrics output."""
+    (payload_kind, span kind) — the engine's per-run metrics output.
+
+    Rows-only BY INPUT, not by semantics: the identical metrics rollup
+    is value-hash-gated as q_span_stats_plain (relational.py) over the
+    SQL-expressible plain-run extraction; this instance reads the Arrow
+    kernel's spans over the Python-synthesized transcripts, which no
+    DuckDB view can reproduce."""
     t = transcripts_from_documents(spark, sf_dir)
     ex = extract_turns(t)
     return (

@@ -1099,6 +1099,46 @@ def q_extract_plain_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- span stats (oracled)
+# The oracle-gated counterpart of extraction.x_span_stats: the kernel
+# family's span metrics cannot be DuckDB-gated (their input is the
+# Python-synthesized transcripts table), but over the SQL-expressible
+# plain-run extraction the same reporting aggregation IS expressible —
+# this wraps q_extract_plain_runs' shared SQL in the metrics rollup, so
+# the span-stats SHAPE (per-position counts, lengths, offset ranges) is
+# value-hash-gated even though the Arrow-kernel instance is rows-only.
+_PLAIN_RUNS_SQL = ORACLES["q_extract_plain_runs"]
+
+
+@_q(
+    "q_span_stats_plain",
+    f"""
+    WITH plain_runs AS ({_PLAIN_RUNS_SQL})
+    SELECT run_no,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(SUM("end" - beg) AS bigint) AS total_len,
+           ROUND(AVG("end" - beg), 3) AS avg_len,
+           CAST(MIN(beg) AS int) AS min_beg,
+           CAST(MAX("end") AS int) AS max_end
+    FROM plain_runs GROUP BY run_no
+    """,
+)
+def q_span_stats_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run-position span reporting over the plain-path extraction:
+    counts, total/mean span length, offset envelope per run_no — one
+    partial-aggregated shuffle of O(max run_no) groups on top of the
+    extraction plan."""
+    runs = q_extract_plain_runs(spark, sf_dir)
+    ln = F.col("end") - F.col("beg")
+    return runs.groupBy("run_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ln).cast("long").alias("total_len"),
+        F.round(F.avg(ln), 3).alias("avg_len"),
+        F.min("beg").cast("int").alias("min_beg"),
+        F.max("end").cast("int").alias("max_end"),
+    )
+
+
 # ------------------------------------------------------------ verdict merge
 @_q(
     "q_verdict_merge",

@@ -164,3 +164,20 @@ def test_zorder_prunes_both_dims(spark, tmp_path_factory):
     assert l_touch >= l_total - 1
     assert z_touch < l_touch
     assert z_touch <= z_total // 2
+
+
+def test_compact_rejects_in_place(spark, tmp_path):
+    """out_path == path must be rejected before any write: overwrite
+    deletes the lazy read's input mid-scan."""
+    import pytest
+
+    from documentai_ocr_spark.bucketing import compact_small_files
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="must differ"):
+        compact_small_files(spark, p, p)
+    with pytest.raises(ValueError, match="must differ"):
+        compact_small_files(spark, p, p + "/")
+    # the input survived untouched
+    assert spark.read.parquet(p).count() == 10

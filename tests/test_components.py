@@ -152,7 +152,7 @@ def test_component_split_has_zero_leakage(spark):
 
     from documentai_ocr_spark.queries.dedup import (
         q_split_leakage,
-        x_component_split,
+        q_component_split,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -161,7 +161,7 @@ def test_component_split_has_zero_leakage(spark):
     )
     assert doc_level_leaks > 0  # the problem exists on this corpus
 
-    s = x_component_split(spark, sf)
+    s = q_component_split(spark, sf)
     leaks = (
         s.groupBy("component")
         .agg(F.countDistinct("split").alias("k"))

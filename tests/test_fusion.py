@@ -77,3 +77,37 @@ def test_variants_disagree_somewhere(fixture_pdf):
         if len(outs) > 1:
             diff += 1
     assert diff > 10
+
+
+def test_np_round_matches_round6():
+    """The vectorized candidate score (np.round(ssum/cnt, 6)) must equal
+    the oracle's round6 spec elementwise. Note builtin round(x, 6) is
+    NOT the spec: it is decimal-aware and diverges from np.round on
+    exact midpoints (e.g. 2.5e-06), so both sides of the golden gate
+    use the scaled form round(x*1e6)/1e6 == np.round(x, 6)."""
+    import numpy as np
+
+    from documentai_ocr_spark.oracle import round6
+
+    # exact decimal midpoints at the 6th place — the HALF_EVEN tie cases
+    mids = np.array(
+        [i / 2e6 for i in range(1, 40001, 2)]
+        + [0.1234565, 0.9999995, 0.5000005, 0.0000015]
+    )
+    assert np.array_equal(
+        np.round(mids, 6), np.array([round6(float(x)) for x in mids])
+    )
+
+    # kernel-shaped inputs: span-score sums / span counts
+    rng = np.random.RandomState(7)
+    cnt = rng.randint(1, 40, size=20000).astype("int64")
+    ssum = rng.uniform(0, 1, size=20000) * cnt
+    got = np.round(ssum / cnt, 6)
+    exp = np.array([round6(s / c) for s, c in zip(ssum.tolist(), cnt.tolist())])
+    assert np.array_equal(got, exp)
+
+    # broad magnitude fuzz
+    vals = rng.uniform(-1000, 1000, size=20000)
+    assert np.array_equal(
+        np.round(vals, 6), np.array([round6(float(x)) for x in vals])
+    )

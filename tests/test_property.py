@@ -94,3 +94,31 @@ def test_batch_equals_oracle(payloads):
             want["spans"]
         ), repr(text)
         assert int(out["n_spans"].iloc[i]) == want["n_spans"]
+
+
+def test_simhash_lane_guard_fires(spark):
+    """A doc whose total token weight reaches 2^21 must fail LOUDLY —
+    the structural guard, not the statistical bigint-overflow check
+    (which unset high-lane bits can dodge while a low lane silently
+    carries into its neighbor)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from documentai_ocr_spark.queries.dedup import (
+        _LANE_BITS,
+        _simhash_packed,
+    )
+
+    h = spark.createDataFrame(
+        [(1, 1 << _LANE_BITS, 0x5A5A5A5A5A5A5A)],
+        "doc_id bigint, w bigint, hv bigint",
+    )
+    with pytest.raises(Exception, match="lane guard"):
+        _simhash_packed(h, "hv", "simhash").collect()
+
+    # just under the bound: no error
+    ok = spark.createDataFrame(
+        [(1, (1 << _LANE_BITS) - 1, 0x5A5A5A5A5A5A5A)],
+        "doc_id bigint, w bigint, hv bigint",
+    )
+    assert _simhash_packed(ok, "hv", "simhash").count() == 1
