@@ -58,11 +58,14 @@ BENCH_QUERIES = [
     "q_interval_overlap",       # binned range join (equi-join rewrite)
     "q_top_ngram_coverage",     # Gopher top-n-gram coverage
     "q_dsir_weights",           # DSIR importance weights
+    "x_semdedup",               # SemDeDup within-cluster near-dup pairs
+    "x_knn_ivf",                # IVF ANN (inverted-list equi-join)
+    "q_dedup_components",       # LSH connected components; NOTE at bench
+    #   SF its wall is dominated by ~6 driver rounds of fixed per-job
+    #   overhead (~1.5 s each) — the number measures the scheduler floor,
+    #   not per-row work; the scale behavior (O(log n) rounds, one
+    #   shuffle per round) is pinned by tests/test_components.py
 ]
-# NOT timed here: q_dedup_components — at bench SF its wall is ~6 driver
-# rounds of fixed per-job overhead (~1.5 s each), which measures the
-# scheduler, not the operator; its scale behavior (O(log n) rounds, one
-# shuffle per round) is pinned by tests/test_components.py instead.
 
 _SF_TAG = SF_DIR.strip("/").replace("/", "_")
 
@@ -118,9 +121,12 @@ def main() -> None:
     # warm: JVM + python workers + parquet footers
     spark.read.parquet(bench_path).count()
 
-    def timed(fn, reps: int = 2) -> float:
-        """min of N runs — this sandbox shows intermittent multi-second
-        stalls; the min is the honest steady-state number."""
+    def timed(fn, reps: int = 3) -> float:
+        """min of N runs (k≥3) — this sandbox shows intermittent
+        multi-second stalls (minutes-long degraded hypervisor windows,
+        BENCH.md "Scaling methodology"); the min is the honest
+        steady-state number, and with 3 reps a single noise window
+        cannot manufacture a round-over-round regression."""
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
@@ -207,17 +213,30 @@ def main() -> None:
             tb = one_run(n_big)
             best[n_small] = max(best[n_small], tn)
             best[n_big] = max(best[n_big], tb)
-            pairs.append((tb / tn) / (n_big / n_small))
-        eff = sorted(pairs)[len(pairs) // 2]
+            pairs.append(
+                {
+                    "tps_n": round(tn, 1),
+                    "tps_4n": round(tb, 1),
+                    "efficiency": round((tb / tn) / (n_big / n_small), 3),
+                }
+            )
+        # the MEDIAN pair is the record, and its raw tps values are the
+        # published headline tps — so tps_4n / tps_n / 4 reproduces the
+        # published efficiency exactly (best-of-run tps are published
+        # separately; they generally come from different pairs)
+        med = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
         probe_full = [CPUS] if CPUS > n_big else []
         tps = {c: one_run(c) for c in probe_full}
         result["scaling"] = {
             "cores_n": n_small,
             "cores_4n": n_big,
-            "turns_per_sec_n": round(best[n_small], 1),
-            "turns_per_sec_4n": round(best[n_big], 1),
-            "efficiency": round(eff, 3),
-            "efficiency_pairs": [round(p, 3) for p in pairs],
+            "turns_per_sec_n": med["tps_n"],
+            "turns_per_sec_4n": med["tps_4n"],
+            "turns_per_sec_n_best": round(best[n_small], 1),
+            "turns_per_sec_4n_best": round(best[n_big], 1),
+            "efficiency": med["efficiency"],
+            "efficiency_pairs": [p["efficiency"] for p in pairs],
+            "pairs": pairs,
         }
         if CPUS in tps:
             result["scaling"]["turns_per_sec_full"] = round(tps[CPUS], 1)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load, spread
+from .util import guard_rowcap, load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -221,13 +221,19 @@ _QUANTILE_PS_SQL = "[" + ", ".join(str(p) for p in _QUANTILE_PS) + "]"
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source length quantiles (p25/p50/p75/p90 of n_chars,
     linear interpolation) — the distribution probe that sizes length
-    filters. Exact `percentile` sorts within each source group only (the
-    group count is the shuffle width, never the corpus). At 100 TB the
-    drop-in sketch path is `percentile_approx` (single-pass KLL-style
-    sketch, mergeable map-side) — bounded-error equivalence is pinned in
+    filters. Exact `percentile` BUFFERS each source group's values in
+    the aggregation state, so this is an oracle ANCHOR with the same
+    hard row-cap discipline as the all-pairs anchors — it refuses
+    production-sized inputs. The scale path is
+    x_length_quantiles_approx (`percentile_approx`: single-pass
+    KLL-style sketch, fixed-size state, mergeable map-side);
+    bounded-error equivalence between the two is pinned in
     tests/test_relevance.py."""
-    docs = spread(
-        load(spark, sf_dir, "documents").select("source", "n_chars")
+    docs = guard_rowcap(
+        spread(load(spark, sf_dir, "documents").select("source", "n_chars")),
+        "q_length_quantiles' exact percentile buffers whole groups",
+        "use x_length_quantiles_approx (percentile_approx sketch) on "
+        "large inputs",
     )
     q = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -243,6 +249,40 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("qi").cast("int").alias("qi"),
         F.round("quantile", 6).alias("quantile"),
+    )
+
+
+@_q("x_length_quantiles_approx")  # sketch state is Spark-internal —
+#                                   not DuckDB-expressible; the one-step
+#                                   bracket vs the exact anchor is
+#                                   pytest-gated (test_relevance.py)
+def x_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB quantile path: `percentile_approx` at accuracy 10000 —
+    a single-pass mergeable sketch with FIXED-SIZE aggregation state per
+    group (vs the exact anchor's whole-group value buffer). Same output
+    shape as q_length_quantiles; the sketch returns an actual order
+    statistic, so values bracket the exact interpolated quantile within
+    one discrete step (pinned by the companion test)."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("source", "n_chars")
+    )
+    q = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.percentile_approx(
+            "n_chars",
+            F.array(*[F.lit(p) for p in _QUANTILE_PS]),
+            10000,
+        ).alias("qs"),
+    )
+    return q.select(
+        "source",
+        "n_docs",
+        F.posexplode("qs").alias("qi", "quantile"),
+    ).select(
+        "source",
+        "n_docs",
+        F.col("qi").cast("int").alias("qi"),
+        F.round(F.col("quantile").cast("double"), 6).alias("quantile"),
     )
 
 

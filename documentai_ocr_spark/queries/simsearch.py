@@ -395,10 +395,13 @@ def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- IVF ANN
 _IVF_K = 16        # coarse centroids (∝ sqrt(n) at scale)
-_IVF_NPROBE = 8    # centroids probed per query: measured top-5 recall
-                   # 0.84 at sf0.001 (4 → 0.60, 6 → 0.79) — random
-                   # gaussian vectors are IVF's worst case; clustered
-                   # real embeddings do far better at the same nprobe
+_IVF_NPROBE = 10   # centroids probed per query: measured top-5 recall
+                   # 0.91 at sf0.001 (4 → 0.60, 6 → 0.79, 8 → 0.84,
+                   # 12 → 0.96) — random gaussian vectors are IVF's
+                   # worst case; clustered real embeddings do far
+                   # better at the same nprobe. At scale K grows ∝ √n
+                   # while nprobe stays O(10), so the probed fraction
+                   # (candidate volume) shrinks with corpus size
 _IVF_ITERS = 2     # Lloyd refinement passes
 
 
@@ -947,7 +950,14 @@ def x_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = lsh_components(docs).select("doc_id", "component", "n_docs")
     fp = _simhash_df(docs).hint("merge")
     edges = simhash_pairs_banded(fp, 8)
-    ranks = pagerank(edges, docs.select("doc_id"))
+    # elect on the ROUNDED rank — the same value the row publishes.
+    # Ordering by the raw float invites a nondeterministic argmax: two
+    # members whose ranks differ only past the 9th decimal (float
+    # accumulation order varies with partitioning) would round to a tie
+    # in the output yet elect by the invisible raw difference.
+    ranks = pagerank(edges, docs.select("doc_id")).select(
+        "doc_id", F.round("rank", 9).alias("rank")
+    )
     w = Window.partitionBy("component").orderBy(
         F.col("rank").desc(), "doc_id"
     )
@@ -958,7 +968,7 @@ def x_canonical_election(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "component",
             "n_docs",
-            F.round("rank", 9).alias("rank"),
+            "rank",
             (F.col("rn") == 1).alias("canonical"),
         )
     )

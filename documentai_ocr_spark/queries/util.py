@@ -11,18 +11,27 @@ from pyspark.sql import DataFrame, SparkSession
 ALLPAIRS_MAX_ROWS = 200_000
 
 
-def guard_allpairs(df: DataFrame, what: str) -> DataFrame:
-    """Hard row-count cap for quadratic oracle-anchor queries. The probe
-    is ``limit(cap+1).count()`` so the guard itself stays O(cap) even on
+def guard_rowcap(df: DataFrame, what: str, hint: str) -> DataFrame:
+    """Hard row-count cap for oracle-anchor queries whose memory or
+    work is super-linear in input size. The probe is
+    ``limit(cap+1).count()`` so the guard itself stays O(cap) even on
     an accidental 100 TB input."""
     n = df.limit(ALLPAIRS_MAX_ROWS + 1).count()
     if n > ALLPAIRS_MAX_ROWS:
         raise RuntimeError(
-            f"{what} is an O(n^2) oracle anchor capped at "
-            f"{ALLPAIRS_MAX_ROWS} input rows; use its bucketed scale-path "
-            f"variant (banded simhash / LSH) on large inputs"
+            f"{what}, capped at {ALLPAIRS_MAX_ROWS} input rows; {hint}"
         )
     return df
+
+
+def guard_allpairs(df: DataFrame, what: str) -> DataFrame:
+    """Row cap specialized for the quadratic all-pairs anchors."""
+    return guard_rowcap(
+        df,
+        f"{what} is an O(n^2) oracle anchor",
+        "use its bucketed scale-path variant (banded simhash / LSH) on "
+        "large inputs",
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -347,3 +347,13 @@ def test_props_stats_tolerates_malformed_json(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n, r.n_with_k, r.sum_k, r.min_k, r.max_k) == (4, 1, 5, 5, 5)
+
+
+def test_length_quantiles_exact_is_guarded(spark, monkeypatch):
+    """The exact-percentile anchor refuses oversized inputs just like
+    the all-pairs anchors — percentile_approx is the scale path."""
+    from documentai_ocr_spark.queries.relevance import q_length_quantiles
+
+    monkeypatch.setattr(util, "ALLPAIRS_MAX_ROWS", 3)
+    with pytest.raises(RuntimeError, match="capped"):
+        q_length_quantiles(spark, "/root/testdata/sf0.001")

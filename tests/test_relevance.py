@@ -35,12 +35,14 @@ def test_quantile_sketch_brackets_exact(spark):
         .agg(F.collect_list("n_chars").alias("xs"))
         .collect()
     }
-    approx = docs.groupBy("source").agg(
-        F.percentile_approx(
-            "n_chars", F.array(*[F.lit(p) for p in _QUANTILE_PS]), 10000
-        ).alias("qs")
+    from documentai_ocr_spark.queries.relevance import (
+        x_length_quantiles_approx,
     )
-    rows = approx.select("source", F.posexplode("qs").alias("qi", "q")).collect()
+
+    rows = [
+        type("R", (), {"source": r.source, "qi": r.qi, "q": r.quantile})
+        for r in x_length_quantiles_approx(spark, SF).collect()
+    ]
     assert len(rows) == len(exact)
     import math
 

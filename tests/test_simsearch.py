@@ -36,15 +36,16 @@ def test_lsh_recall_vs_bruteforce(spark):
 
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF (k-means inverted lists, nprobe probing) is the second ANN
-    scale path: same recall discipline as LSH. 0.84 measured at the
-    nprobe=6 operating point; gate well below, far above chance."""
+    scale path: same recall discipline as LSH. 0.91 measured at the
+    nprobe=10 operating point (0.84 at 8, 0.96 at 12); gated at the
+    LSH path's 0.85 bar."""
     exact = {
         (r.query_id, r.neighbor_id) for r in q_knn_cosine(spark, SF).collect()
     }
     approx = {(r.query_id, r.neighbor_id) for r in x_knn_ivf(spark, SF).collect()}
     assert approx, "IVF returned nothing"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.7, recall
+    assert recall >= 0.85, recall
     # determinism: a second run returns the identical pair set
     again = {(r.query_id, r.neighbor_id) for r in x_knn_ivf(spark, SF).collect()}
     assert again == approx
