@@ -1028,3 +1028,233 @@ def x_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hll_distinct"),
     )
+
+
+# ------------------------------------------- source-overlap matrix
+# The source×source contamination matrix: how many distinct K-token
+# windows each PAIR of sources shares — the audit that tells a curation
+# team whether "independent" crawl slices are actually re-hosting the
+# same content (mirror sites, syndication, scraped-twice domains). The
+# per-pair counts directly size how much cross-source dedup will
+# remove. Deterministic shared boilerplate on doc_id%7==0 guarantees
+# the synthetic corpus has real cross-source overlap to count.
+_OVL_K = 8
+_OVL_BOILER = (
+    "standard disclaimer this content is provided as is without warranty"
+)
+
+
+@_q(
+    "q_source_overlap",
+    f"""
+    WITH decorated AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' {_OVL_BOILER}'
+                  ELSE text END AS raw
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(raw), ' '), x -> x <> '') AS t
+      FROM decorated
+    ),
+    win AS (
+      SELECT source, array_to_string(t[i:i+{_OVL_K - 1}], ' ') AS wk
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - {_OVL_K - 1})) AS i
+      ) g
+    ),
+    sw AS (SELECT DISTINCT source, wk FROM win)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS bigint) AS n_shared_windows
+    FROM sw a JOIN sw b ON a.wk = b.wk AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shared {_OVL_K}-token windows per (source, source) pair.
+
+    Scale: the (source, wk) distinct is ONE exchange on the window key
+    (at 100 TB: xxhash64(wk) 8-byte keys, as q_substring_dedup
+    documents); the self-join is an equi-join on that same key, so a
+    window shared by s of S sources contributes s(s-1)/2 ≤ S²/2 rows —
+    bounded by the SOURCE count squared per key, never by corpus size —
+    and the result is O(S²) rows. No broadcast needed and no cartesian
+    anywhere (registry-wide plan test)."""
+    k = _OVL_K
+    raw = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" " + _OVL_BOILER)),
+    ).otherwise(F.col("text"))
+    toks = F.filter(F.split(F.lower(raw), " "), lambda t: t != "")
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "source", toks.alias("t")
+    )
+    sw = d.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {k})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("wk"),
+    ).distinct()
+    a = sw.alias("a")
+    b = sw.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+    )
+
+
+# ------------------------------------------------- n-gram novelty score
+# Per-document novelty: the fraction of a doc's distinct K-token
+# windows that appear in NO earlier document (first occurrence is
+# this doc, under doc_id order = ingestion order). The curation signal
+# behind "diminishing returns" corpus growth curves — late crawl
+# snapshots score low novelty and get downweighted or dropped.
+@_q(
+    "q_ngram_novelty",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, array_to_string(t[i:i+{_OVL_K - 1}], ' ') AS wk
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - {_OVL_K - 1})) AS i
+      ) g
+    ),
+    dw AS (SELECT DISTINCT doc_id, wk FROM win),
+    fo AS (SELECT wk, MIN(doc_id) AS first_doc FROM dw GROUP BY wk)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS bigint) AS n_windows,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS bigint) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0
+                          END) AS double) / COUNT(*), 6) AS novelty
+    FROM dw d JOIN fo f USING (wk)
+    GROUP BY d.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of distinct {_OVL_K}-token windows whose corpus
+    FIRST occurrence (min doc_id) is this document.
+
+    Scale: two aggregations keyed on the window key (distinct, then
+    min-doc — AQE reuses the exchange) and one equi-join back, then a
+    per-doc aggregation; window keys become 8-byte xxhash64 at 100 TB.
+    This is the decontamination/substring-dedup shuffle shape — text
+    itself never moves, only window keys and doc ids."""
+    k = _OVL_K
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", toks.alias("t")
+    )
+    dw = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {k - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {k})))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("wk"),
+    ).distinct()
+    fo = dw.groupBy("wk").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        dw.join(fo, "wk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+# --------------------------------------------- duplicate-inflation profile
+# The cluster-size histogram of exact dedup: for each duplicate-cluster
+# size s, how many clusters, how many docs they hold, and how many are
+# redundant ((s-1) per cluster) — the one-table answer to "how inflated
+# is this corpus and where does the redundancy sit" that sizes the
+# payoff of a dedup pass before anyone runs it. Same normalized content
+# hash as q_dedup_exact (shared semantics, one definition of 'same').
+@_q(
+    "q_dup_inflation",
+    """
+    WITH decorated AS (
+      SELECT CASE WHEN doc_id % 17 = 0
+                  THEN 'mirrored syndicated page variant '
+                       || CAST(doc_id % 5 AS varchar)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    c AS (
+      SELECT md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+               AS ch,
+             COUNT(*) AS sz
+      FROM decorated GROUP BY 1
+    )
+    SELECT CAST(sz AS bigint) AS cluster_size,
+           CAST(COUNT(*) AS bigint) AS n_clusters,
+           CAST(sz * COUNT(*) AS bigint) AS n_docs,
+           CAST((sz - 1) * COUNT(*) AS bigint) AS n_redundant
+    FROM c GROUP BY sz
+    """,
+)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup cluster-size histogram with redundancy counts. The
+    synthetic corpus has no natural byte-dups, so docs with doc_id%17==0
+    are deterministically overwritten with one of 5 'mirrored page'
+    variants — real multi-doc clusters for the histogram to count,
+    identical in both engines.
+
+    Scale: the first groupBy shuffles 32-char hashes only (exactly
+    q_dedup_exact's plan); the second aggregates cluster sizes — its
+    key cardinality is the number of DISTINCT cluster sizes, O(100)
+    on any real corpus, fully map-side combined."""
+    raw = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            F.lit("mirrored syndicated page variant "),
+            (F.col("doc_id") % 5).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(raw.alias("text"))
+    h = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")))
+    c = docs.groupBy(h.alias("ch")).agg(F.count(F.lit(1)).alias("sz"))
+    return c.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("sz") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_redundant"),
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_redundant",
+    )
