@@ -34,6 +34,9 @@ from documentai_ocr_spark.synth import transcripts_from_documents  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+# scaling-only mode: skip the per-query headline loop (for re-measuring
+# the N→4N record on a quiet box without 15 min of query timings)
+ONLY_SCALING = os.environ.get("SPARK_GRAFT_ONLY_SCALING", "0") == "1"
 
 BENCH_QUERIES = [
     "q_pricing_summary",
@@ -148,10 +151,11 @@ def main() -> None:
 
     queries["assemble_convs"] = round(timed(_assemble, reps=3), 3)
 
-    for name in BENCH_QUERIES:
-        queries[name] = round(
-            timed(lambda: QUERIES[name](spark, SF_DIR).collect()), 3
-        )
+    if not ONLY_SCALING:
+        for name in BENCH_QUERIES:
+            queries[name] = round(
+                timed(lambda: QUERIES[name](spark, SF_DIR).collect()), 3
+            )
 
     result = {
         "metric": "headline_wall_sec",

@@ -1074,13 +1074,15 @@ _OVL_BOILER = (
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct shared {_OVL_K}-token windows per (source, source) pair.
 
-    Scale: the (source, wk) distinct is ONE exchange on the window key
-    (at 100 TB: xxhash64(wk) 8-byte keys, as q_substring_dedup
-    documents); the self-join is an equi-join on that same key, so a
-    window shared by s of S sources contributes s(s-1)/2 ≤ S²/2 rows —
-    bounded by the SOURCE count squared per key, never by corpus size —
-    and the result is O(S²) rows. No broadcast needed and no cartesian
-    anywhere (registry-wide plan test)."""
+    Scale: NO self-join — per window key, ONE aggregation collects the
+    set of sources holding it (set size ≤ #sources S, a few dozen —
+    never corpus-proportional, however hot the boilerplate window),
+    then ordered source pairs expand IN-ROW (≤ S²/2 structs per key)
+    into the final O(S²)-group rollup. The oracle keeps the equivalent
+    self-join formulation as an independent cross-check; the Spark plan
+    is two exchanges (window key, then pair key) and zero joins — the
+    self-join form would scan and aggregate the corpus twice and
+    shuffle the equi-join besides."""
     k = _OVL_K
     raw = F.when(
         F.col("doc_id") % 7 == 0,
@@ -1090,7 +1092,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents")).select(
         "source", toks.alias("t")
     )
-    sw = d.select(
+    win = d.select(
         "source",
         F.explode(
             F.when(
@@ -1101,21 +1103,22 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("wk"),
-    ).distinct()
-    a = sw.alias("a")
-    b = sw.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.wk") == F.col("b.wk"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
     )
+    per_key = win.groupBy("wk").agg(
+        F.collect_set("source").alias("ss")
+    )
+    pairs = per_key.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, a -> "
+                "transform(filter(ss, b -> b > a), "
+                "b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
 
 
 # ------------------------------------------------- n-gram novelty score

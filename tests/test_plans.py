@@ -297,3 +297,12 @@ def test_no_cartesian_product_anywhere_in_registry(spark):
         if "CartesianProduct" in p:
             bad.append(name)
     assert bad == [], bad
+
+
+def test_source_overlap_no_join(spark):
+    """The source-pair matrix must plan as aggregate → in-row pair
+    expansion → aggregate: zero join nodes (the naive self-join scans
+    and aggregates the corpus twice)."""
+    p = plan(QUERIES["q_source_overlap"](spark, SF))
+    assert "Join" not in p, p
+    assert "collect_set" in p
