@@ -1,0 +1,268 @@
+#!/usr/bin/env python
+"""Registry-wide physical-plan audit → PLANS.md.
+
+For every registered query this builds the DataFrame (no execution —
+plans only; the handful of two-phase queries that collect a tiny dim at
+build time run those O(dim) jobs), captures the formatted physical
+plan, and extracts the scale-relevant facts:
+
+  - exchange count and every hash-partitioning key set (the shuffles)
+  - join strategies (broadcast / sort-merge / shuffled-hash; cartesian
+    and broadcast-nested-loop are AUDIT FAILURES outside the guarded
+    anchors)
+  - window partition specs (a window keyed on a corpus-constant column
+    alone is the single-reducer-sort smell)
+  - scan ReadSchema width (column pruning evidence)
+  - Python-boundary nodes (ArrowEvalPython / MapInPandas / etc.)
+
+Run: python tools/plan_audit.py [sf_dir]  (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# corpus-constant columns: a Window partitioned by ONLY these sorts a
+# whole group (≈ a whole corpus slice) on one reducer at scale
+LOW_CARD = {"source", "lang"}
+
+# quadratic oracle anchors: row-cap-guarded by design; they refuse
+# oversized inputs at runtime, so a product node inside them is fine
+GUARDED_ANCHORS = {"q_simhash_pairs", "q_embed_neardup", "q_jaccard_pairs"}
+
+# known-bounded shapes the naive pattern match cannot size from plan
+# text alone. Each entry is (flag-prefix, reason) — the audit records
+# the note instead of failing, and any NEW flag still fails loudly.
+BOUNDED_OK = {
+    "q_bm25": (
+        "PRODUCT-JOIN",
+        "crossJoin of a ≤1-row broadcast corpus-stats dim (N, avgdl) — "
+        "the scalar-broadcast pattern, constant fan-out",
+    ),
+    "q_tfidf_topterms": (
+        "PRODUCT-JOIN",
+        "crossJoin of a 1-row broadcast doc-count dim — scalar broadcast",
+    ),
+    "q_unigram_logprob": (
+        "PRODUCT-JOIN",
+        "crossJoin of a 1-row broadcast corpus-token-total dim",
+    ),
+    "q_bigram_logprob": (
+        "PRODUCT-JOIN",
+        "crossJoin of a 1-row broadcast corpus-total dim",
+    ),
+    "q_pmi_collocations": (
+        "PRODUCT-JOIN",
+        "crossJoin of a 1-row broadcast total-tokens/-bigrams dim",
+    ),
+    "q_dsir_weights": (
+        "PRODUCT-JOIN",
+        "crossJoin of broadcast ≤256-row hashed-feature model dims",
+    ),
+    "q_knn_cosine": (
+        "PRODUCT-JOIN",
+        "exact-kNN baseline: crossJoin of the 20-row broadcast query-"
+        "vector dim — bounded 20× fan-out; x_knn_lsh/x_knn_ivf are the "
+        "sublinear scale paths",
+    ),
+    "x_bloom_dedup": (
+        "PRODUCT-JOIN",
+        "crossJoin of the ONE-ROW broadcast bloom-sketch dim (fixed "
+        "1 KiB array) onto the probe batch",
+    ),
+    "q_exact_k_sample": (
+        "LOW-CARD-WINDOW",
+        "window input is the hash-threshold CANDIDATE set, ~k+O(√k) "
+        "rows per source by the Chernoff prefilter (deficiency-checked "
+        "exactly) — never the corpus",
+    ),
+    "q_token_packing": (
+        "LOW-CARD-WINDOW",
+        "window input is the per-(source, bucket) offset DIM, ≤ "
+        "_PACK_BUCKETS rows per source; the fact window partitions by "
+        "(source, pack_bucket) — plan-asserted in test_plans.py",
+    ),
+    "q_score_calibration": (
+        "LOW-CARD-WINDOW",
+        "window input is the per-(source, vbucket) count DIM, ≤ "
+        "_CALIB_BUCKETS rows per source; the fact window partitions by "
+        "(source, vbucket) — plan-asserted in test_plans.py",
+    ),
+    "q_group_range": (
+        "EMPTY-WINDOW",
+        "global cumulative sum over the per-lang COUNT frame — O(langs) "
+        "rows post-aggregation, never the corpus",
+    ),
+    "q_domain_mix": (
+        "EMPTY-WINDOW",
+        "global normalization over the per-source token-total frame — "
+        "O(sources) rows post-aggregation",
+    ),
+}
+
+
+def facts(p: str) -> dict:
+    ex = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    hashkeys = sorted(
+        {
+            re.sub(r"#\d+L?", "", m)
+            for m in re.findall(r"hashpartitioning\(([^)]*?), \d+\)", p)
+        }
+    )
+    joins = sorted(
+        {
+            m
+            for m in re.findall(
+                r"^\(\d+\) (\w*Join\w*|CartesianProduct)",
+                p,
+                re.MULTILINE,
+            )
+        }
+    )
+    # Window node Arguments formats (formatted explain):
+    #   Window: [exprs], [partSpec], [orderSpec]   (partitioned+ordered)
+    #           [exprs], [spec]                    (one of part/order:
+    #              ASC/DESC present => it is an ORDER spec, partition
+    #              empty => global single-partition window)
+    #           [exprs]                            (global unordered)
+    #   WindowGroupLimit: [partSpec], [orderSpec], fn, k, mode
+    wspecs = []
+    for m in re.finditer(
+        r"^\(\d+\) (Window(?:GroupLimit)?)\n(?:[^\n]*\n)*?"
+        r"Arguments: (.*)$",
+        p,
+        re.MULTILINE,
+    ):
+        kind, args = m.group(1), m.group(2)
+        groups = [g.strip("[] ") for g in re.split(r"\], \[", args)]
+        if kind == "WindowGroupLimit":
+            part = groups[0]
+        elif len(groups) >= 3:
+            part = groups[1]
+        elif len(groups) == 2 and not re.search(
+            r" (ASC|DESC) ", groups[1] + " "
+        ):
+            part = groups[1]
+        else:
+            part = ""  # global window — all rows on one partition
+        wspecs.append(re.sub(r"#\d+L?", "", part) or "(global)")
+    reads = [
+        len(m.split(","))
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    ]
+    py = sorted(
+        set(
+            re.findall(
+                r"^\(\d+\) (ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+                r"|BatchEvalPython)",
+                p,
+                re.MULTILINE,
+            )
+        )
+    )
+    return {
+        "exchanges": ex,
+        "hash_keys": hashkeys,
+        "joins": joins,
+        "window_parts": wspecs,
+        "scan_cols": reads,
+        "python": py,
+        "cartesian": "CartesianProduct" in p
+        or "BroadcastNestedLoopJoin" in p,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from documentai_ocr_spark.queries import QUERIES
+    from documentai_ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", cores=8, shuffle_partitions=16)
+    rows, bad = [], []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            p = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            f = facts(p)
+        except Exception as exc:  # pragma: no cover
+            bad.append((name, f"build failed: {exc}"))
+            continue
+        flags = []
+        if f["cartesian"] and name not in GUARDED_ANCHORS:
+            flags.append("PRODUCT-JOIN")
+        for w in f["window_parts"]:
+            if w == "(global)":
+                flags.append("EMPTY-WINDOW")
+                continue
+            cols = {c.strip() for c in w.split(",") if c.strip()}
+            if cols and cols <= LOW_CARD:
+                flags.append(f"LOW-CARD-WINDOW({w})")
+        # known-bounded shapes: convert the matching flag to a note;
+        # any flag OUTSIDE the allowlisted prefix still fails
+        notes = []
+        if name in BOUNDED_OK:
+            pfx, why = BOUNDED_OK[name]
+            kept = [fl for fl in flags if not fl.startswith(pfx)]
+            if len(kept) < len(flags):
+                notes.append(f"bounded-ok: {why}")
+            flags = kept
+        if flags:
+            bad.append((name, ", ".join(flags)))
+        rows.append((name, f, flags + notes))
+
+    lines = [
+        "# PLANS — registry-wide physical-plan audit",
+        "",
+        f"Generated by `tools/plan_audit.py` at `{sf_dir}` over "
+        f"{len(rows)} queries. Columns: shuffle count and keys, join "
+        "strategies, window partition specs, per-scan projected column "
+        "counts, Python-boundary nodes. Flags: PRODUCT-JOIN = cartesian/"
+        "nested-loop outside the row-cap-guarded anchors; "
+        "LOW-CARD-WINDOW = a window partitioned ONLY by a corpus-"
+        "constant column (single-reducer whole-group sort at scale). "
+        "An empty Flags column is the audit passing.",
+        "",
+        "| query | shuffles | shuffle keys | joins | window parts |"
+        " scan cols | python | flags |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, f, flags in rows:
+        lines.append(
+            "| {} | {} | {} | {} | {} | {} | {} | {} |".format(
+                name,
+                f["exchanges"],
+                "; ".join(f["hash_keys"]) or "—",
+                "; ".join(f["joins"]) or "—",
+                "; ".join(f["window_parts"]) or "—",
+                ",".join(str(c) for c in f["scan_cols"]) or "—",
+                "; ".join(f["python"]) or "—",
+                " ".join(flags) or "",
+            )
+        )
+    lines += [
+        "",
+        f"**Audit result: {len(bad)} flagged / {len(rows)} queries.**",
+    ]
+    if bad:
+        lines.append("")
+        for name, why in bad:
+            lines.append(f"- {name}: {why}")
+    open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"),
+        "w",
+    ).write("\n".join(lines) + "\n")
+    print(f"{len(bad)} flagged / {len(rows)} queries -> PLANS.md")
+    for name, why in bad:
+        print(f"  FLAG {name}: {why}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
