@@ -160,39 +160,78 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_SEEDS = 8
 _MH_ROWS_PER_BAND = 2  # 4 bands of 2
 
+# Hash economics: ONE md5 digest per shingle, then the 8 "permutations"
+# are pairwise-independent linear maps (a·h + b) mod p of its 60-bit
+# prefix (reduced mod a 31-bit prime so a·h stays < 2^62 in bigint).
+# The original form hashed every shingle 8× (seed-prefixed md5 each);
+# digesting is the per-token cost that scales with the corpus, the
+# linear maps are near-free — measured 1.94 s → 1.19 s on the sf0.1
+# signature build (BENCH.md round 3). Both engines compute the same
+# integers, so the value-hash gate is unaffected.
+_MH_P = 2147483629  # largest prime < 2^31
+_MH_AB = [
+    (1948261107, 921312109),
+    (651088733, 1706916241),
+    (1211468881, 412002143),
+    (880120577, 1523985619),
+    (1727539969, 204042157),
+    (433420127, 1369618019),
+    (1065623057, 77041823),
+    (1582249123, 1835017493),
+]
+_MH_AB_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in enumerate(_MH_AB)
+)
+
 # the shingle→signature→band CTE chain, shared by the LSH pair oracle AND
-# the connected-components oracle below — one SQL text so the two gates
-# can never disagree about what a band bucket is
+# the connected-components / split oracles below — one SQL text so the
+# gates can never disagree about what a band bucket is
 _MH_BAND_CTE = f"""
     toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     sh AS (SELECT DISTINCT doc_id,
                   tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
            FROM toks, unnest(generate_series(1, len(tk) - 2)) g(i)),
-    sig AS (SELECT doc_id, s.seed,
-                   MIN(md5(CAST(s.seed AS varchar) || ':' || sh)) AS sig
-            FROM sh, (SELECT unnest(generate_series(0, {_MH_SEEDS - 1})) AS seed) s
-            GROUP BY doc_id, s.seed),
+    hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(sh), 1, 15))::bigint % {_MH_P} AS h
+           FROM sh),
+    perm(seed, a, b) AS (SELECT * FROM (VALUES {_MH_AB_VALUES})
+                         t(seed, a, b)),
+    sig AS (SELECT doc_id, perm.seed,
+                   MIN((perm.a * h + perm.b) % {_MH_P}) AS sig
+            FROM hh, perm
+            GROUP BY doc_id, perm.seed),
     band AS (SELECT doc_id, seed // {_MH_ROWS_PER_BAND} AS band,
-                    md5(MIN(CASE WHEN seed % 2 = 0 THEN sig END)
-                        || MIN(CASE WHEN seed % 2 = 1 THEN sig END)) AS bh
+                    md5(CAST(MIN(CASE WHEN seed % 2 = 0 THEN sig END)
+                             AS varchar)
+                        || ':' ||
+                        CAST(MIN(CASE WHEN seed % 2 = 1 THEN sig END)
+                             AS varchar)) AS bh
              FROM sig GROUP BY doc_id, seed // {_MH_ROWS_PER_BAND})"""
 
 
 def _mh_band_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bh): MinHash LSH band buckets. The signature builds
-    in ONE groupBy(doc_id) with 8 parallel min aggregates (columns, not
-    exploded seed rows) — map-side partial mins do all the work; band
-    ids/hashes are then pure projections. Shingles are NOT deduped
-    first: MIN is duplicate-insensitive, so the distinct()'s shuffle of
-    the raw shingle stream would buy nothing (the oracle SQL keeps its
+    """(doc_id, band, bh): MinHash LSH band buckets. ONE md5 digest per
+    shingle; the 8 permutations are linear maps (a·h + b) mod p of its
+    60-bit prefix (see _MH_AB) — digesting is the corpus-linear cost,
+    the maps are free. The signature builds in ONE groupBy(doc_id) with
+    8 parallel min aggregates (columns, not exploded seed rows) —
+    map-side partial mins do all the work; band ids/hashes are then
+    pure projections. Shingles are NOT deduped first: MIN is
+    duplicate-insensitive, so the distinct()'s shuffle of the raw
+    shingle stream would buy nothing (the oracle SQL keeps its
     DISTINCT — same mins either way)."""
     sh = _word_shingles(docs, _JACCARD_K, distinct=False)
-    sig = sh.groupBy("doc_id").agg(
+    h = (
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+        % _MH_P
+    )
+    hh = sh.select("doc_id", h.alias("h"))
+    sig = hh.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(str(s)), F.col("sh")))
-            ).alias(f"s{s}")
-            for s in range(_MH_SEEDS)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(
+                f"s{s}"
+            )
+            for s, (a, b) in enumerate(_MH_AB)
         ]
     )
     n_bands = _MH_SEEDS // _MH_ROWS_PER_BAND
@@ -201,7 +240,11 @@ def _mh_band_df(docs: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(b).cast("int").alias("band"),
                 F.md5(
-                    F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}"))
+                    F.concat_ws(
+                        ":",
+                        F.col(f"s{2 * b}").cast("string"),
+                        F.col(f"s{2 * b + 1}").cast("string"),
+                    )
                 ).alias("bh"),
             )
             for b in range(n_bands)
