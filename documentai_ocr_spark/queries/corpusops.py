@@ -1059,15 +1059,17 @@ _OVL_BOILER = (
       FROM decorated
     ),
     win AS (
-      SELECT source, array_to_string(t[i:i+{_OVL_K - 1}], ' ') AS wk
+      SELECT source,
+             ('0x' || substr(md5(array_to_string(t[i:i+{_OVL_K - 1}], ' ')),
+                             1, 15))::bigint AS hk
       FROM tok, LATERAL (
         SELECT unnest(generate_series(1, len(t) - {_OVL_K - 1})) AS i
       ) g
     ),
-    sw AS (SELECT DISTINCT source, wk FROM win)
+    sw AS (SELECT DISTINCT source, hk FROM win)
     SELECT a.source AS src_a, b.source AS src_b,
            CAST(COUNT(*) AS bigint) AS n_shared_windows
-    FROM sw a JOIN sw b ON a.wk = b.wk AND a.source < b.source
+    FROM sw a JOIN sw b ON a.hk = b.hk AND a.source < b.source
     GROUP BY a.source, b.source
     """,
 )
@@ -1078,11 +1080,15 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     set of sources holding it (set size ≤ #sources S, a few dozen —
     never corpus-proportional, however hot the boilerplate window),
     then ordered source pairs expand IN-ROW (≤ S²/2 structs per key)
-    into the final O(S²)-group rollup. The oracle keeps the equivalent
-    self-join formulation as an independent cross-check; the Spark plan
-    is two exchanges (window key, then pair key) and zero joins — the
-    self-join form would scan and aggregate the corpus twice and
-    shuffle the equi-join besides."""
+    into the final O(S²)-group rollup. The window key is the 60-bit
+    md5 prefix as a BIGINT — the only corpus-wide exchange carries
+    8-byte keys, not 8-token strings (~6× narrower; both engines
+    compute the same integers, and a 60-bit collision at 10^12 windows
+    perturbs a count by ±1 identically on both sides). The oracle keeps
+    the equivalent self-join formulation as an independent cross-check;
+    the Spark plan is two exchanges (window key, then pair key) and
+    zero joins — the self-join form would scan and aggregate the corpus
+    twice and shuffle the equi-join besides."""
     k = _OVL_K
     raw = F.when(
         F.col("doc_id") % 7 == 0,
@@ -1099,12 +1105,13 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("t") >= k,
                 F.expr(
                     f"transform(sequence(1, size(t) - {k - 1}),"
-                    f" i -> concat_ws(' ', slice(t, i, {k})))"
+                    f" i -> CAST(conv(substr(md5(concat_ws(' ',"
+                    f" slice(t, i, {k}))), 1, 15), 16, 10) AS bigint))"
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("wk"),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("hk"),
     )
-    per_key = win.groupBy("wk").agg(
+    per_key = win.groupBy("hk").agg(
         F.collect_set("source").alias("ss")
     )
     pairs = per_key.select(
@@ -1136,20 +1143,22 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     win AS (
-      SELECT doc_id, array_to_string(t[i:i+{_OVL_K - 1}], ' ') AS wk
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(t[i:i+{_OVL_K - 1}], ' ')),
+                             1, 15))::bigint AS hk
       FROM tok, LATERAL (
         SELECT unnest(generate_series(1, len(t) - {_OVL_K - 1})) AS i
       ) g
     ),
-    dw AS (SELECT DISTINCT doc_id, wk FROM win),
-    fo AS (SELECT wk, MIN(doc_id) AS first_doc FROM dw GROUP BY wk)
+    dw AS (SELECT DISTINCT doc_id, hk FROM win),
+    fo AS (SELECT hk, MIN(doc_id) AS first_doc FROM dw GROUP BY hk)
     SELECT d.doc_id,
            CAST(COUNT(*) AS bigint) AS n_windows,
            CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
                 AS bigint) AS n_novel,
            ROUND(CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0
                           END) AS double) / COUNT(*), 6) AS novelty
-    FROM dw d JOIN fo f USING (wk)
+    FROM dw d JOIN fo f USING (hk)
     GROUP BY d.doc_id
     """,
 )
@@ -1159,9 +1168,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two aggregations keyed on the window key (distinct, then
     min-doc — AQE reuses the exchange) and one equi-join back, then a
-    per-doc aggregation; window keys become 8-byte xxhash64 at 100 TB.
-    This is the decontamination/substring-dedup shuffle shape — text
-    itself never moves, only window keys and doc ids."""
+    per-doc aggregation. The window key is the 60-bit md5 prefix as a
+    BIGINT from the start — every exchange carries 8-byte keys, never
+    8-token strings, and both engines compute the same integers. The
+    min-doc aggregation (NOT a per-key window) keeps hot boilerplate
+    windows skew-safe: partial mins collapse map-side. This is the
+    decontamination/substring-dedup shuffle shape — text itself never
+    moves, only window keys and doc ids."""
     k = _OVL_K
     toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
     d = spread(load(spark, sf_dir, "documents")).select(
@@ -1174,17 +1187,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size("t") >= k,
                 F.expr(
                     f"transform(sequence(1, size(t) - {k - 1}),"
-                    f" i -> concat_ws(' ', slice(t, i, {k})))"
+                    f" i -> CAST(conv(substr(md5(concat_ws(' ',"
+                    f" slice(t, i, {k}))), 1, 15), 16, 10) AS bigint))"
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("wk"),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("hk"),
     ).distinct()
-    fo = dw.groupBy("wk").agg(F.min("doc_id").alias("first_doc"))
+    fo = dw.groupBy("hk").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
     return (
-        dw.join(fo, "wk")
+        dw.join(fo, "hk")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_windows"),
