@@ -587,14 +587,16 @@ _CONTAM_K = 8  # word 8-grams: long enough that overlap means real leakage
     ),
     sh AS (
       SELECT DISTINCT doc_id, split,
-             array_to_string(tk[i : i + {_CONTAM_K - 1}], ' ') AS sh
+             ('0x' || substr(md5(
+                array_to_string(tk[i : i + {_CONTAM_K - 1}], ' ')), 1, 15))
+               ::bigint AS hk
       FROM (SELECT doc_id, split, string_split(text, ' ') AS tk FROM split),
            unnest(generate_series(1, len(tk) - {_CONTAM_K - 1})) g(i)
     )
     SELECT v.doc_id,
-           CAST(COUNT(DISTINCT v.sh) AS bigint) AS n_shared_shingles
-    FROM sh v JOIN (SELECT DISTINCT sh FROM sh WHERE split = 'train') t
-      ON v.sh = t.sh
+           CAST(COUNT(DISTINCT v.hk) AS bigint) AS n_shared_shingles
+    FROM sh v JOIN (SELECT DISTINCT hk FROM sh WHERE split = 'train') t
+      ON v.hk = t.hk
     WHERE v.split = 'val'
     GROUP BY v.doc_id
     """,
@@ -605,27 +607,37 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline runs before holding out an eval set). The inverse
     direction — scrubbing TRAIN against a tiny external benchmark with
     a broadcast probe — is corpusops.q_decontaminate. The split is
-    the same deterministic md5-mod as q_train_split; the only join is a
-    shingle equi-join (train shingles deduped first), so cost tracks
-    shared-shingle count — never |train|×|val|."""
+    the same deterministic md5-mod as q_train_split — a pure function
+    of doc_id, so it is recomputed on the shingle rows instead of
+    joined back (round 3 removed a needless doc_id self-join here).
+    The only join is the shingle equi-join on the 60-bit md5-prefix
+    BIGINT (8-byte shuffle keys, not 8-token strings; both engines
+    compute the same integers), train keys deduped first, so cost
+    tracks shared-shingle count — never |train|×|val|."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
     ).cast("long") % 10
-    tagged = docs.withColumn(
-        "split", F.when(bucket < 7, F.lit("train")).otherwise(F.lit("val"))
+    split = F.when(bucket < 7, F.lit("train")).otherwise(F.lit("val"))
+    sh = (
+        _word_shingles(docs, _CONTAM_K, distinct=False)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hk"),
+        )
+        .withColumn("split", split)
+        .distinct()
     )
-    sh = _word_shingles(tagged, _CONTAM_K).join(
-        tagged.select("doc_id", "split"), "doc_id"
-    )
-    train_sh = (
-        sh.where(F.col("split") == "train").select("sh").distinct()
+    train_keys = (
+        sh.where(F.col("split") == "train").select("hk").distinct()
     )
     return (
         sh.where(F.col("split") == "val")
-        .join(train_sh, "sh")
+        .join(train_keys, "hk")
         .groupBy("doc_id")
-        .agg(F.countDistinct("sh").cast("long").alias("n_shared_shingles"))
+        .agg(F.countDistinct("hk").cast("long").alias("n_shared_shingles"))
     )
 
 
