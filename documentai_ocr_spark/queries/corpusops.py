@@ -1275,3 +1275,92 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_redundant",
     )
+
+
+# --------------------------------------------------- greedy SFT packing
+# Greedy example packing for SFT: walk each user's turns in (ts,
+# event_id) order and start a new training example whenever adding the
+# next turn would exceed the block budget — no turn is ever split
+# (unlike q_token_packing's concat-and-chop, which cuts documents at
+# block boundaries). The reset makes the running state NON-monotone, so
+# this is not a prefix-sum window: it is the canonical bounded-state
+# custom operator — applyInPandas per conversation, the group size
+# bounded by one user's turn count (the same bound sessionization
+# carries). The oracle expresses the identical recurrence as a DuckDB
+# recursive CTE over row numbers.
+_SFT_BLOCK = 128
+
+
+@_q(
+    "q_sft_pack",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id,
+             1 + event_id % 97 AS tok,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    fill AS (
+      SELECT user_id, event_id, tok, rn,
+             0 AS example_no, tok AS acc
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.tok, t.rn,
+             CASE WHEN f.acc + t.tok > {_SFT_BLOCK}
+                  THEN f.example_no + 1 ELSE f.example_no END,
+             CASE WHEN f.acc + t.tok > {_SFT_BLOCK}
+                  THEN t.tok ELSE f.acc + t.tok END
+      FROM fill f JOIN t ON t.user_id = f.user_id AND t.rn = f.rn + 1
+    )
+    SELECT user_id, event_id, CAST(tok AS bigint) AS tok,
+           CAST(example_no AS bigint) AS example_no
+    FROM fill
+    """,
+)
+def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split example packing per user stream (block budget
+    {B} tokens; a turn larger than the budget gets an example alone).
+
+    Scale: one exchange on user_id into applyInPandas; inside the
+    kernel the only Python-level loop advances once per EMITTED
+    EXAMPLE — each step is a numpy searchsorted on the cumulative-sum
+    array (output-linear with log-step binary searches, never a
+    per-turn Python loop). State is one group in memory, bounded by a
+    single conversation's length.""".format(B=_SFT_BLOCK)
+    import numpy as np
+    import pandas as pd
+
+    ev = spread(
+        load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    ).withColumn(
+        "tok", (1 + F.col("event_id") % 97).cast("long")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        toks = pdf["tok"].to_numpy()
+        n = len(toks)
+        cs = toks.cumsum()
+        ex = np.empty(n, dtype="int64")
+        i, base, cur = 0, 0, 0
+        while i < n:
+            j = int(np.searchsorted(cs, base + _SFT_BLOCK, side="right")) - 1
+            j = max(j, i)  # an oversized turn packs alone
+            ex[i : j + 1] = cur
+            base = int(cs[j])
+            i, cur = j + 1, cur + 1
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "tok": pdf["tok"],
+                "example_no": ex,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        pack,
+        schema="user_id bigint, event_id bigint, tok bigint,"
+        " example_no bigint",
+    )

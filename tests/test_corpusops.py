@@ -347,3 +347,45 @@ def test_hll_cardinality_within_rsd(spark):
     for r in rows:
         rel = abs(r.hll_distinct - r.exact_distinct) / r.exact_distinct
         assert rel <= 0.06, (r.source, r.exact_distinct, r.hll_distinct)
+
+
+def test_sft_pack_greedy_invariants(spark):
+    """Every packed example must (a) respect the block budget unless a
+    single oversized turn sits alone, and (b) be MAXIMAL — the first
+    turn of the next example would not have fit (the greedy property
+    the recursive oracle encodes)."""
+    from documentai_ocr_spark.queries.corpusops import (
+        _SFT_BLOCK,
+        q_sft_pack,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ts_of = {
+        r.event_id: r.ts
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "ts")
+        .collect()
+    }
+    rows = q_sft_pack(spark, sf).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    checked_max = 0
+    for _, rs in by_user.items():
+        # true stream order: (ts, event_id) — the order the kernel packs
+        rs.sort(key=lambda r: (ts_of[r.event_id], r.event_id))
+        sums = {}
+        for r in rs:
+            sums[r.example_no] = sums.get(r.example_no, 0) + r.tok
+        for ex, s in sums.items():
+            n_in_ex = sum(1 for r in rs if r.example_no == ex)
+            assert s <= _SFT_BLOCK or n_in_ex == 1, (ex, s)
+        # maximality: example e's sum + first tok of e+1 must overflow
+        firsts = {}
+        for r in rs:  # rs is stream-ordered, so first-seen = stream-first
+            firsts.setdefault(r.example_no, r.tok)
+        for ex in sorted(sums)[:-1]:
+            assert sums[ex] + firsts[ex + 1] > _SFT_BLOCK
+            checked_max += 1
+    assert checked_max > 50
