@@ -310,3 +310,140 @@ def stream_extract_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------- streaming near-dup
+# The banded-simhash dedup screen at the streaming front door: each
+# incoming document is fingerprinted IN-BATCH (no shuffle), exploded
+# into its 9 pigeonhole band keys, and checked against the state
+# store's bucket exemplars — the streaming analogue of the batch
+# simhash_pairs_banded equi-join, with state instead of a corpus scan.
+_SIMHASH_BITS = 60
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
+
+
+def _tok60(tok: str) -> int:
+    """First 60 bits of md5(token) — the same per-token hash the batch
+    fingerprint uses (dedup._hex60), with a per-worker cache: corpus
+    vocabulary is Zipfian, so the digest cost amortizes across batches
+    (the model-singleton pattern applied to a hash table)."""
+    v = _TOKEN_HASH_CACHE.get(tok)
+    if v is None:
+        import hashlib
+
+        v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        if len(_TOKEN_HASH_CACHE) < _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE[tok] = v
+    return v
+
+
+def simhash60_batch(texts) -> "np.ndarray":  # noqa: F821
+    """Vectorized-in-batch 60-bit simhash, BIT-IDENTICAL to the batch
+    engine's fingerprint (dedup._simhash_df — parity pinned in
+    tests/test_streaming.py): token weights via np.unique, per-bit
+    votes as a U×60 matrix reduction, bit set iff the weighted vote is
+    strictly positive. The only Python-level loop is per DOCUMENT (and
+    per distinct-token digest on cache miss), never per output row."""
+    import numpy as np
+
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = np.array((t or "").split(" "), dtype=object)
+        uniq, w = np.unique(toks, return_counts=True)
+        hv = np.fromiter(
+            (_tok60(x) for x in uniq), dtype=np.int64, count=len(uniq)
+        )
+        bits = (hv[:, None] >> shifts) & 1
+        votes = ((2 * bits - 1) * w[:, None].astype(np.int64)).sum(axis=0)
+        out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+    return out
+
+
+NEARDUP_OUT_SCHEMA = (
+    "doc_id long, seg int, seg_val long, is_hit boolean, "
+    "first_doc long, hamming int"
+)
+NEARDUP_STATE_SCHEMA = "first_doc long, first_simhash long"
+
+
+def stream_neardup(stream: DataFrame) -> DataFrame:
+    """Streaming near-dup candidate screen + in-operator verification.
+
+    Pipeline: per-batch vectorized simhash (narrow — no shuffle) →
+    explode into the 9 pigeonhole band keys (hamming ≤ 8 ⇒ at least
+    one shared band, the same guarantee the batch equi-join carries) →
+    ``applyInPandasWithState`` keyed on (seg, seg_val). State per
+    bucket is ONE exemplar: (first_doc, first_simhash) — two longs.
+    Every row is emitted with ``is_hit`` (bucket already claimed) and
+    the exact ``hamming`` distance to the exemplar, so the consumer's
+    decision rule is deterministic: near-dup ⟺ any hit with
+    hamming ≤ 8 (random 60-bit fingerprints sit near hamming ~30 —
+    an accidental band collision cannot fake a verified dup).
+
+    Scale & honesty: one micro-batch shuffle on the band key; state is
+    O(distinct buckets) × 16 bytes. The exemplar approximation means a
+    doc is verified against its bucket's FIRST claimant only — the
+    overwhelmingly common case for dedup screening; the batch banded
+    join (simhash_pairs_banded) remains the exact path for full-corpus
+    passes, and this screen's fingerprint is bit-identical to it."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .queries.simsearch import simhash_band_segments
+
+    @F.pandas_udf("long")
+    def sh(texts):
+        return pd.Series(simhash60_batch(texts.tolist()))
+
+    fp = stream.select(
+        "doc_id", sh(F.col("text")).alias("simhash")
+    )
+    bands = simhash_band_segments(fp, hamming_max=8)
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover — TTL path
+            state.remove()
+            return
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            first_doc, first_sh = state.get
+        else:
+            j = int(pdf["doc_id"].idxmin())
+            first_doc = int(pdf["doc_id"].min())
+            first_sh = int(pdf["simhash"].iloc[j])
+            state.update((first_doc, first_sh))
+        import numpy as np
+
+        x = pdf["simhash"].to_numpy().astype("int64") ^ first_sh
+        # vectorized popcount: big-endian byte view → unpackbits → sum
+        ham = (
+            np.unpackbits(
+                x.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+            )
+            .sum(axis=1)
+            .astype("int32")
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "seg": pdf["seg"],
+                "seg_val": pdf["seg_val"],
+                "is_hit": pdf["doc_id"] != first_doc,
+                "first_doc": first_doc,
+                "hamming": ham,
+            }
+        )
+
+    return bands.groupBy("seg", "seg_val").applyInPandasWithState(
+        update,
+        outputStructType=NEARDUP_OUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

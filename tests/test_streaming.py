@@ -409,3 +409,80 @@ def test_stream_extract_dedup_end_to_end(spark, tmp_path_factory):
         )).collect()
     }
     assert got == want  # exactly once, byte-equal to batch
+
+
+def test_streaming_simhash_parity_with_batch(spark):
+    """The streaming fingerprint kernel must be BIT-IDENTICAL to the
+    batch engine's simhash (same per-token md5, same vote rule) — the
+    screen and the corpus pass can never disagree about a print."""
+    from documentai_ocr_spark.queries.dedup import _simhash_df
+    from documentai_ocr_spark.streaming import simhash60_batch
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    rows = docs.collect()
+    want = {
+        r.doc_id: r.simhash for r in _simhash_df(docs).collect()
+    }
+    got = simhash60_batch([r.text for r in rows])
+    assert {r.doc_id: int(g) for r, g in zip(rows, got)} == want
+
+
+def test_stream_neardup_screen(spark, tmp_path_factory):
+    """Two micro-batches through the stateful band screen: an exact
+    copy arriving later must hit ALL 9 of its buckets with hamming 0
+    against the original's exemplar; an unrelated doc must produce no
+    VERIFIED hit (an accidental band collision shows hamming ~30,
+    which the ≤8 rule rejects deterministically)."""
+    import time
+
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import stream_neardup
+
+    d = str(tmp_path_factory.mktemp("neardup") / "in")
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    other = "entirely different content about spark physical plans " * 20
+    third = "a third unrelated payload discussing parquet footers " * 20
+    b1 = pd.DataFrame({"doc_id": [1, 2], "text": [base, other]})
+    b2 = pd.DataFrame({"doc_id": [3, 4], "text": [base, third]})
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(d)
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(d)
+
+    ckpt = str(tmp_path_factory.mktemp("neardup") / "ckpt")
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_neardup(src)
+        .writeStream.format("memory")
+        .queryName("neardup_screen")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "neardup drain did not finish"
+    rows = spark.sql("SELECT * FROM neardup_screen").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}
+    assert all(len(v) == 9 for v in by_doc.values())  # 9 bands each
+
+    # the exact copy: every bucket already claimed by doc 1, hamming 0
+    hits3 = [r for r in by_doc[3] if r.is_hit]
+    assert len(hits3) == 9
+    assert all(r.first_doc == 1 and r.hamming == 0 for r in hits3)
+
+    # verified-dup decision rule: hit AND hamming <= 8
+    def verified(doc):
+        return [r for r in by_doc[doc] if r.is_hit and r.hamming <= 8]
+
+    assert verified(3) and not verified(4) and not verified(2)
