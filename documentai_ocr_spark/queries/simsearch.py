@@ -1059,3 +1059,87 @@ def x_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _KNN_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------------ IVF index as a LAYOUT
+# The missing half of IVF at scale: the inverted lists are not a
+# runtime DataFrame — they are a STORAGE layout. Persisting the
+# cluster-assigned corpus partitioned by cluster id turns every probe
+# into a partition-PRUNED scan: a query touching nprobe of K cells
+# opens nprobe directories and never reads the rest of the corpus.
+# This is what an IVF-flat index physically is in any vector store,
+# expressed as a plain partitioned parquet table (Iceberg:
+# PARTITIONED BY (cluster) — identity transform).
+def write_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str
+) -> "np.ndarray":
+    """Cluster the embeddings (same deterministic k-means as x_knn_ivf)
+    and persist (vec_id, emb, nrm) partitioned by cluster id. Returns
+    the centroid matrix — the only thing a prober needs besides the
+    path. One shuffle (partitionBy on write), run once per index
+    build; every subsequent probe is scan-pruned."""
+    e = _emb_double(spark, sf_dir)
+    cents = _ivf_centroids(e, _IVF_K, _IVF_ITERS)
+    data = _assign_clusters(e, cents, 1).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    (
+        data.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    return cents
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    cents: "np.ndarray",
+    queries: DataFrame,
+) -> DataFrame:
+    """Top-k cosine ANN over a persisted IVF layout: assign each query
+    vector its nprobe nearest centroids, scan ONLY those cluster
+    partitions (`cluster IN (...)` reaches the scan as a partition
+    filter — plan-asserted in tests/test_bucketed.py), score within
+    the probed lists, take the per-query top-k.
+
+    Scale: the filter prunes (K - nprobe)/K of the corpus at the FILE
+    level before a byte is read; the surviving scan joins the
+    broadcast query dim on cluster id, exactly x_knn_ivf's shape."""
+    q = (
+        _assign_clusters(queries, cents, _IVF_NPROBE)
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "cluster",
+        )
+    )
+    probed = sorted(
+        {r.cluster for r in q.select("cluster").distinct().collect()}
+    )
+    data = spark.read.parquet(path).where(F.col("cluster").isin(probed))
+    cand = (
+        F.broadcast(q)
+        .join(data, ["cluster"])
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    pairs = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("emb"))
+            / (F.col("qnrm") * F.col("nrm")),
+            3,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

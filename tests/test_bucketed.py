@@ -181,3 +181,44 @@ def test_compact_rejects_in_place(spark, tmp_path):
         compact_small_files(spark, p, p + "/")
     # the input survived untouched
     assert spark.read.parquet(p).count() == 10
+
+
+def test_ivf_index_layout_prunes_partitions(spark, tmp_path):
+    """The persisted IVF layout must turn a probe into a partition-
+    PRUNED scan: the cluster IN (...) filter reaches the scan as a
+    PartitionFilter (files outside the probed cells are never opened),
+    and the probe's results must match the in-memory IVF path's recall
+    contract (>= 0.85 vs brute force — same operating point)."""
+    from documentai_ocr_spark.queries.simsearch import (
+        _IVF_K,
+        _KNN_NQUERIES,
+        _emb_double,
+        probe_ivf_index,
+        q_knn_cosine,
+        write_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(spark, sf, path)
+    # layout: one directory per cluster id
+    import os
+
+    parts = [p for p in os.listdir(path) if p.startswith("cluster=")]
+    assert len(parts) == _IVF_K
+
+    queries = _emb_double(spark, sf).where(f"vec_id < {_KNN_NQUERIES}")
+    res = probe_ivf_index(spark, path, cents, queries)
+
+    # partition pruning is visible in the scan node
+    p = res._sc._jvm.PythonSQLUtils.explainString(
+        res._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "cluster" in m.group(1), p[:1200]
+
+    exact = {(r.query_id, r.neighbor_id) for r in q_knn_cosine(spark, sf).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in res.collect()}
+    assert len(exact & approx) / len(exact) >= 0.85
