@@ -213,14 +213,16 @@ def main() -> None:
         pairs = []
         best = {n_small: 0.0, n_big: 0.0}
         for _ in range(3):
-            tn = one_run(n_small)
-            tb = one_run(n_big)
+            tn = round(one_run(n_small), 1)
+            tb = round(one_run(n_big), 1)
             best[n_small] = max(best[n_small], tn)
             best[n_big] = max(best[n_big], tb)
+            # efficiency from the SAME rounded tps that get published,
+            # so tps_4n / tps_n / (4N/N) reproduces it exactly
             pairs.append(
                 {
-                    "tps_n": round(tn, 1),
-                    "tps_4n": round(tb, 1),
+                    "tps_n": tn,
+                    "tps_4n": tb,
                     "efficiency": round((tb / tn) / (n_big / n_small), 3),
                 }
             )

@@ -103,21 +103,39 @@ def compact_small_files(
 
     In-place compaction (out_path == path) is unsupported and rejected:
     the lazy read would race mode('overwrite') deleting its own input
-    mid-scan and lose the data. Compact to a sibling dir and swap."""
+    mid-scan and lose the data. Compact to a sibling dir and swap. The
+    guard compares HADOOP-QUALIFIED URIs (so `file:///x` and `/x` are
+    the same target) and, for local paths, symlink-resolved realpaths —
+    aliases of one directory cannot slip past it."""
     import math
     import os
 
-    if os.path.abspath(out_path.rstrip("/")) == os.path.abspath(
-        path.rstrip("/")
-    ):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _qualified(p_str: str) -> str:
+        hp = jvm.org.apache.hadoop.fs.Path(p_str)
+        return str(hp.getFileSystem(conf).makeQualified(hp).toUri())
+
+    def _local_real(p_str: str) -> str:
+        # strip a file: scheme so realpath sees the filesystem path
+        for pre in ("file://", "file:"):
+            if p_str.startswith(pre):
+                p_str = p_str[len(pre):] or "/"
+                break
+        return os.path.realpath(p_str)
+
+    same_uri = _qualified(out_path) == _qualified(path)
+    both_local = all(
+        _qualified(x).startswith("file:") for x in (out_path, path)
+    )
+    same_real = both_local and _local_real(out_path) == _local_real(path)
+    if same_uri or same_real:
         raise ValueError(
             "compact_small_files: out_path must differ from path — "
             "overwrite-while-reading would destroy the input; write to "
             "a sibling directory and rename"
         )
-
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
     total = 0

@@ -77,9 +77,9 @@ def _candidate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             # kernel's vectorized LEFT-FOLD score_sum (same accumulation
             # order as the oracle's sum()/len — np.mean's pairwise
             # summation can differ in the last ulp and flip the argmax).
-            # np.round is HALF_EVEN like Python round; the elementwise
-            # parity (incl. exact decimal midpoints) is pinned by
-            # tests/test_fusion.py::test_np_round_matches_python_round.
+            # np.round matches the oracle's round6 spec bit-for-bit —
+            # pinned (incl. exact decimal midpoints) by
+            # tests/test_fusion.py::test_np_round_matches_round6.
             cnt = res["n_spans"].to_numpy()
             ssum = res["score_sum"].to_numpy()
             safe = np.where(cnt == 0, 1, cnt)

@@ -64,7 +64,7 @@ _NGRAM_TOPK = 100
     """,
 )
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide trigram heavy hitters (top-{k} by count, ngram-asc
+    """Corpus-wide trigram heavy hitters (_NGRAM_TOPK by count, ngram-asc
     tiebreak so the cut is deterministic). The n-gram list is the raw
     material for boilerplate detection and contamination screens.
 
@@ -674,6 +674,25 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _token_windows(k: int, hashed: bool = False):
+    """Explode-ready array of the k-token sliding windows of token-array
+    column ``t`` (guarded to empty for short docs — sequence() descends
+    when its bound is < 1). ``hashed=True`` emits each window as its
+    60-bit md5-prefix BIGINT (the 8-byte shuffle-key form; DuckDB
+    reproduces it as ('0x' || substr(md5(w), 1, 15))::bigint). ONE
+    formula for every word-window operator in this module — build and
+    probe sides can never drift apart."""
+    gram = f"concat_ws(' ', slice(t, i, {k}))"
+    if hashed:
+        gram = f"CAST(conv(substr(md5({gram}), 1, 15), 16, 10) AS bigint)"
+    return F.when(
+        F.size("t") >= k,
+        F.expr(f"transform(sequence(1, size(t) - {k - 1}), i -> {gram})"),
+    ).otherwise(F.array().cast("array<bigint>" if hashed else "array<string>"))
+
+
 # ------------------------------------------- benchmark decontamination
 # The eval-set n-gram collision check every pretraining pipeline runs
 # before training (GPT-3 appendix C / PaLM style): a training document
@@ -723,7 +742,7 @@ _EVAL_SENTINEL = (
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-probe decontamination: flag every TRAINING document
-    sharing a {_DECON_K}-token window with any benchmark document, with
+    sharing a _DECON_K-token window with any benchmark document, with
     hit counts. Complements dedup.q_contamination, which runs the same
     n-gram collision check in the opposite direction (which VAL docs
     overlap the train split) with a split-vs-split shingle equi-join;
@@ -747,16 +766,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", toks.alias("t")
     )
     win = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= k,
-                F.expr(
-                    f"transform(sequence(1, size(t) - {k - 1}),"
-                    f" i -> concat_ws(' ', slice(t, i, {k})))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("wk"),
+        "doc_id", F.explode(_token_windows(k)).alias("wk")
     )
     eval_keys = (
         win.where(F.col("doc_id") % 50 == 0).select("wk").distinct()
@@ -1074,7 +1084,7 @@ _OVL_BOILER = (
     """,
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct shared {_OVL_K}-token windows per (source, source) pair.
+    """Distinct shared _OVL_K-token windows per (source, source) pair.
 
     Scale: NO self-join — per window key, ONE aggregation collects the
     set of sources holding it (set size ≤ #sources S, a few dozen —
@@ -1099,17 +1109,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", toks.alias("t")
     )
     win = d.select(
-        "source",
-        F.explode(
-            F.when(
-                F.size("t") >= k,
-                F.expr(
-                    f"transform(sequence(1, size(t) - {k - 1}),"
-                    f" i -> CAST(conv(substr(md5(concat_ws(' ',"
-                    f" slice(t, i, {k}))), 1, 15), 16, 10) AS bigint))"
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("hk"),
+        "source", F.explode(_token_windows(k, hashed=True)).alias("hk")
     )
     per_key = win.groupBy("hk").agg(
         F.collect_set("source").alias("ss")
@@ -1163,7 +1163,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc fraction of distinct {_OVL_K}-token windows whose corpus
+    """Per-doc fraction of distinct _OVL_K-token windows whose corpus
     FIRST occurrence (min doc_id) is this document.
 
     Scale: two aggregations keyed on the window key (distinct, then
@@ -1181,17 +1181,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", toks.alias("t")
     )
     dw = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= k,
-                F.expr(
-                    f"transform(sequence(1, size(t) - {k - 1}),"
-                    f" i -> CAST(conv(substr(md5(concat_ws(' ',"
-                    f" slice(t, i, {k}))), 1, 15), 16, 10) AS bigint))"
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("hk"),
+        "doc_id", F.explode(_token_windows(k, hashed=True)).alias("hk")
     ).distinct()
     fo = dw.groupBy("hk").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
@@ -1320,14 +1310,14 @@ _SFT_BLOCK = 128
 )
 def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy no-split example packing per user stream (block budget
-    {B} tokens; a turn larger than the budget gets an example alone).
+    _SFT_BLOCK tokens; a turn larger than the budget packs alone).
 
     Scale: one exchange on user_id into applyInPandas; inside the
     kernel the only Python-level loop advances once per EMITTED
     EXAMPLE — each step is a numpy searchsorted on the cumulative-sum
     array (output-linear with log-step binary searches, never a
     per-turn Python loop). State is one group in memory, bounded by a
-    single conversation's length.""".format(B=_SFT_BLOCK)
+    single conversation's length."""
     import numpy as np
     import pandas as pd
 

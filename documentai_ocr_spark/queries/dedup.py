@@ -221,11 +221,9 @@ def _mh_band_df(docs: DataFrame) -> DataFrame:
     shingle stream would buy nothing (the oracle SQL keeps its
     DISTINCT — same mins either way)."""
     sh = _word_shingles(docs, _JACCARD_K, distinct=False)
-    h = (
-        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-        % _MH_P
+    hh = sh.select(
+        "doc_id", (_hex60(F.col("sh")) % _MH_P).alias("h")
     )
-    hh = sh.select("doc_id", h.alias("h"))
     sig = hh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(
@@ -621,12 +619,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(bucket < 7, F.lit("train")).otherwise(F.lit("val"))
     sh = (
         _word_shingles(docs, _CONTAM_K, distinct=False)
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hk"),
-        )
+        .select("doc_id", _hex60(F.col("sh")).alias("hk"))
         .withColumn("split", split)
         .distinct()
     )

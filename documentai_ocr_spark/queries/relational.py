@@ -183,16 +183,23 @@ def q_mean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB corpus that is a whole-language sort on a single reducer.
     Identical semantics as a partial-aggregated groupBy (map-side
     combine, O(langs) result rows) broadcast-joined back onto the scan:
-    the fact table never shuffles at all."""
+    the fact table never shuffles at all. The join is NULL-SAFE
+    (eqNullSafe): a window's PARTITION BY groups NULL langs together,
+    so a plain equality join would silently drop untagged rows and
+    diverge from the oracle on any corpus with missing language tags
+    (the driver corpus has none — the gate alone cannot catch it)."""
     docs = load(spark, sf_dir, "documents")
     means = docs.groupBy("lang").agg(
         (
             F.sum("n_chars").cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("m")
-    )
+    ).withColumnRenamed("lang", "m_lang")
     return (
-        docs.join(F.broadcast(means), "lang")
+        docs.join(
+            F.broadcast(means),
+            F.col("lang").eqNullSafe(F.col("m_lang")),
+        )
         .where(F.col("n_chars") >= F.col("m"))
         .select("doc_id", "lang", "n_chars")
     )

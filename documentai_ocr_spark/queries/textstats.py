@@ -529,12 +529,12 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id ranges — a monotone function of the order key, so bucket
     order is a prefix of full (source, doc_id) order; (2) a tiny
     aggregate yields per-(source, bucket) token totals (O(sources ×
-    {nb}) rows) whose per-source exclusive prefix-sum — a window over
-    the TINY dim, ≤{nb} rows per source — is each bucket's starting
-    offset, broadcast back; (3) the running sum runs per (source,
-    bucket), ~1/{nb} of a source per task, plus the bucket offset. At
-    1000 executors raise _PACK_BUCKETS to O(cores); the dim stays
-    tiny.""".format(nb=_PACK_BUCKETS)
+    _PACK_BUCKETS) rows) whose per-source exclusive prefix-sum — a
+    window over the TINY dim, ≤ _PACK_BUCKETS rows per source — is
+    each bucket's starting offset, broadcast back; (3) the running sum
+    runs per (source, bucket), ~1/_PACK_BUCKETS of a source per task,
+    plus the bucket offset. At 1000 executors raise _PACK_BUCKETS to
+    O(cores); the dim stays tiny."""
     docs = spread(
         load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     )
@@ -1057,9 +1057,9 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     count dim gives each bucket's exclusive prefix (rows in earlier
     buckets, all ≤ by construction) and the source totals; (2) within a
     bucket a RANGE-framed count window (frame end = current row ⇒ all
-    peers/ties included) counts rows ≤ x locally, ~1/{nb} of a source
-    per task. Identical output to the single-window form — oracle-gated
-    against DuckDB's cume_dist.""".format(nb=_CALIB_BUCKETS)
+    peers/ties included) counts rows ≤ x locally, ~1/_CALIB_BUCKETS of
+    a source per task. Identical output to the single-window form —
+    oracle-gated against DuckDB's cume_dist."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )

@@ -179,6 +179,16 @@ def test_compact_rejects_in_place(spark, tmp_path):
         compact_small_files(spark, p, p)
     with pytest.raises(ValueError, match="must differ"):
         compact_small_files(spark, p, p + "/")
+    # URI-scheme alias of the same directory must also be caught
+    with pytest.raises(ValueError, match="must differ"):
+        compact_small_files(spark, p, "file://" + p)
+    # symlink alias of the same directory must also be caught
+    import os
+
+    link = str(tmp_path / "tlink")
+    os.symlink(p, link)
+    with pytest.raises(ValueError, match="must differ"):
+        compact_small_files(spark, p, link)
     # the input survived untouched
     assert spark.read.parquet(p).count() == 10
 

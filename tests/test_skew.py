@@ -185,3 +185,30 @@ def test_two_phase_source_windows_under_skew(spark, tmp_path):
     hotp["vb"] = (hotp.n_chars - clo) // cwidth
     cfair = len(hotp) / _CALIB_BUCKETS
     assert hotp.groupby("vb").size().max() <= 3 * cfair
+
+
+def test_mean_filter_keeps_null_lang_group(spark, tmp_path):
+    """PARTITION BY lang groups NULL langs together, so the broadcast-
+    join rewrite must be null-safe: untagged rows get their own group
+    mean and survive the filter — a plain equality join would silently
+    drop them (invisible to the gate: the driver corpus has no NULLs)."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import q_mean_filter
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "lang": ["en", "en", None, None, None, "fr", "fr", None],
+            "n_chars": [10, 20, 5, 15, 25, 7, 9, 35],
+        }
+    )
+    out = str(tmp_path / "nulls")
+    spark.createDataFrame(pdf).write.parquet(f"{out}/documents.parquet")
+    got = {r.doc_id for r in q_mean_filter(spark, out).collect()}
+    exp = set()
+    for lang, grp in pdf.groupby("lang", dropna=False):
+        m = grp.n_chars.mean()
+        exp |= set(grp[grp.n_chars >= m].doc_id)
+    assert got == exp
+    assert any(pd.isna(pdf.lang[d]) for d in got)  # NULL rows present
