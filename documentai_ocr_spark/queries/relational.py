@@ -369,6 +369,105 @@ def q_pairwise_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- tool-sequence mining
+_TOOLSEQ_TOPK = 25
+
+
+@_q(
+    "q_tool_seq3",
+    f"""
+    WITH seq AS (
+      SELECT event_type AS t3,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t2,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS t1
+      FROM events
+    )
+    SELECT t1, t2, t3, CAST(COUNT(*) AS bigint) AS n
+    FROM seq WHERE t1 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY n DESC, t1, t2, t3 LIMIT {_TOOLSEQ_TOPK}
+    """,
+)
+def q_tool_seq3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step action sequences over each user's event stream —
+    the agent-transcript pattern miner (which tool chains dominate; the
+    k=3 extension of q_pairwise_transitions' bigram matrix). Two lag()
+    taps share ONE (user_id)-keyed window pass; counts partial-aggregate
+    map-side (distinct-trigram cardinality ≤ |types|³, tiny) and the
+    top-k is TakeOrderedAndProject — per-partition heaps, never a
+    global sort."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    )
+    return (
+        seq.where(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(_TOOLSEQ_TOPK)
+    )
+
+
+# ------------------------------------------------------- reply latency
+@_q(
+    "q_reply_latency",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS bigint) AS n_gaps,
+           CAST(MIN(gap_ms) AS bigint) AS min_ms,
+           CAST(MAX(gap_ms) AS bigint) AS max_ms,
+           CAST(SUM(gap_ms) AS bigint) AS total_ms,
+           ROUND(CAST(SUM(gap_ms) AS double) / COUNT(*), 3) AS mean_ms
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event latency profile per event type: the time since the
+    user's PREVIOUS event, aggregated by the type of the event that
+    closed the gap — the transcript-analytics view of "how long does
+    each action take to arrive". Exact integer millisecond sums (the
+    mean is one double division at the end), so both engines agree to
+    the hash. One (user_id)-keyed window pass, then a partial-aggregated
+    O(|types|)-group rollup."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    g = ev.withColumn("ms", ms).select(
+        "event_type",
+        (F.col("ms") - F.lag("ms").over(w)).alias("gap_ms"),
+    )
+    return (
+        g.where(F.col("gap_ms").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_ms").cast("long").alias("min_ms"),
+            F.max("gap_ms").cast("long").alias("max_ms"),
+            F.sum("gap_ms").cast("long").alias("total_ms"),
+            F.round(
+                F.sum("gap_ms").cast("double") / F.count(F.lit(1)), 3
+            ).alias("mean_ms"),
+        )
+    )
+
+
 _SESSION_GAP_MS = 30 * 60 * 1000
 
 
