@@ -398,7 +398,10 @@ def stream_neardup(stream: DataFrame) -> DataFrame:
     def sh(texts):
         return pd.Series(simhash60_batch(texts.tolist()))
 
-    fp = stream.select(
+    # null-text rows are dropped, matching the batch fingerprint exactly
+    # (dedup._tok_counts' explode(split(null)) yields no rows there; the
+    # kernel would otherwise fingerprint None as the empty string)
+    fp = stream.where(F.col("text").isNotNull()).select(
         "doc_id", sh(F.col("text")).alias("simhash")
     )
     bands = simhash_band_segments(fp, hamming_max=8)
