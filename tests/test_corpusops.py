@@ -389,3 +389,36 @@ def test_sft_pack_greedy_invariants(spark):
             assert sums[ex] + firsts[ex + 1] > _SFT_BLOCK
             checked_max += 1
     assert checked_max > 50
+
+
+def test_token_windows_helper_contract(spark):
+    """The ONE window-key formula every word-window operator shares:
+    short docs yield empty arrays (never a descending sequence), an
+    exact-k doc yields one window, and the hashed form is precisely the
+    60-bit md5 prefix of the string form."""
+    import hashlib
+
+    from documentai_ocr_spark.queries.corpusops import _token_windows
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b", "c"]), (3, ["a", "b", "c", "d"])],
+        "id int, t array<string>",
+    )
+    out = {
+        r.id: (r.w, r.h)
+        for r in df.select(
+            "id",
+            _token_windows(3).alias("w"),
+            _token_windows(3, hashed=True).alias("h"),
+        ).collect()
+    }
+    assert out[1] == ([], [])
+    assert out[2][0] == ["a b c"]
+    assert out[3][0] == ["a b c", "b c d"]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i in (2, 3):
+        assert out[i][1] == [h60(w) for w in out[i][0]]

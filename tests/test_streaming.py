@@ -486,3 +486,18 @@ def test_stream_neardup_screen(spark, tmp_path_factory):
         return [r for r in by_doc[doc] if r.is_hit and r.hamming <= 8]
 
     assert verified(3) and not verified(4) and not verified(2)
+
+
+def test_streaming_simhash_edge_payloads():
+    """Edge payloads through the streaming fingerprint: an empty text
+    tokenizes to the single empty token (matching Spark's split('')),
+    so its fingerprint IS that token's 60-bit hash (one voter sets
+    exactly its own bits); identical texts hash identically."""
+    import hashlib
+
+    from documentai_ocr_spark.streaming import simhash60_batch
+
+    got = simhash60_batch(["", "x y", "x y"])
+    empty_tok = int(hashlib.md5(b"").hexdigest()[:15], 16)
+    assert int(got[0]) == empty_tok
+    assert int(got[1]) == int(got[2])
