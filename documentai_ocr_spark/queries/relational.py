@@ -2316,3 +2316,163 @@ def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("int").alias("min_k"),
         F.max("k").cast("int").alias("max_k"),
     )
+
+
+# --------------------------------------------- turn supersession (retry)
+# Regenerated / edited turns: an upstream producer re-emits a turn with
+# the same (conv_id, turn_idx) and a later timestamp (the reference
+# re-runs OCR over the same page and overwrites the Redis value,
+# /root/reference/ocrclient/redisdata.py:52-87 set-on-rerun). Latest-
+# wins resolution is the CDC-upsert / compaction primitive every
+# transcript ingest needs before per-turn extraction: exactly one
+# surviving attempt per turn key. The retry set is a deterministic md5
+# coin on (doc_id, turn_idx) so the DuckDB oracle re-derives the whole
+# input arithmetically and checks the window resolution against the
+# closed form.
+_RETRY_MOD = 5
+_RETRY_DELAY_MS = 45_000
+_TS_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z — synth._BASE_TS
+
+
+@_q(
+    "q_turn_supersede",
+    f"""
+    WITH turns AS (
+      SELECT doc_id, g.t,
+             ['user','assistant','tool'][g.t % 3 + 1] AS role,
+             {_TS_BASE_MS} + doc_id * 3600000 + g.t * 60000 AS ms
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+    ),
+    u AS (
+      SELECT doc_id, t, role, ms FROM turns
+      UNION ALL
+      SELECT doc_id, t, role, ms + {_RETRY_DELAY_MS} FROM turns
+      WHERE ('0x' || substr(md5(doc_id || ':' || t || ':retry'), 1, 8))::bigint
+            % {_RETRY_MOD} = 0
+    )
+    SELECT 'conv-' || lpad(doc_id::varchar, 8, '0') AS conv_id,
+           CAST(t AS int) AS turn_idx,
+           role,
+           CAST(COUNT(*) AS bigint) AS n_attempts,
+           CAST(MAX(ms) AS bigint) AS kept_ms
+    FROM u GROUP BY doc_id, t, role
+    """,
+)
+def q_turn_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins turn resolution over a transcript stream with
+    regenerations: union the retry emissions onto the base table, one
+    row_number window per (conv_id, turn_idx) ordered by (ms, attempt)
+    DESC keeps the newest attempt and carries ITS payload columns — the
+    general upsert shape (the oracle's GROUP BY closed form only works
+    because retries share the payload; the engine runs the real window
+    so any payload column rides along). One shuffle on the turn key,
+    partitions are turn-grain (≤ attempts rows each) — nothing groups a
+    conversation, a source, or the corpus."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", F.unix_millis("ts").alias("ms")
+    )
+    doc_int = F.substring("conv_id", 6, 8).cast("bigint")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", doc_int, F.col("turn_idx"), F.lit("retry"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _RETRY_MOD
+    )
+    base = t.withColumn("attempt", F.lit(1))
+    retry = (
+        t.where(coin == 0)
+        .withColumn("ms", F.col("ms") + _RETRY_DELAY_MS)
+        .withColumn("attempt", F.lit(2))
+    )
+    u = base.unionByName(retry)
+    key = Window.partitionBy("conv_id", "turn_idx")
+    latest = key.orderBy(F.desc("ms"), F.desc("attempt"))
+    return (
+        u.withColumn("rn", F.row_number().over(latest))
+        .withColumn("n_attempts", F.count(F.lit(1)).over(key).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "n_attempts",
+            F.col("ms").cast("long").alias("kept_ms"),
+        )
+    )
+
+
+# --------------------------------------------- tool retry-run detection
+# Agent loop detection: consecutive tool turns calling the SAME tool
+# inside one conversation are a retry run (the agent hammering a failing
+# tool) — the islands pattern applied to the tool sequence. Output is
+# the run-length histogram per tool: the dashboard stat that separates
+# "calculator used once per conv" from "browser retried 4x in a row".
+@_q(
+    "q_tool_retry_runs",
+    """
+    WITH tt AS (
+      SELECT doc_id, g.t,
+             ['search','browser','calculator','code_exec']
+               [('0x' || substr(md5(doc_id || ':' || g.t), 1, 8))::bigint
+                % 4 + 1] AS tool
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+      WHERE g.t % 3 = 2
+    ),
+    m AS (
+      SELECT doc_id, t, tool,
+             CASE WHEN lag(tool) OVER (PARTITION BY doc_id ORDER BY t) = tool
+                  THEN 0 ELSE 1 END AS chg
+      FROM tt
+    ),
+    isl AS (
+      SELECT doc_id, tool,
+             SUM(chg) OVER (PARTITION BY doc_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_id, grp, tool, COUNT(*) AS run_len
+      FROM isl GROUP BY doc_id, grp, tool
+    )
+    SELECT tool, CAST(run_len AS int) AS run_len,
+           CAST(COUNT(*) AS bigint) AS n_runs
+    FROM runs GROUP BY tool, run_len
+    """,
+)
+def q_tool_retry_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive same-tool run lengths per conversation: filter to
+    tool turns (shuffle carries only (conv, turn, tool) triples), one
+    conv-keyed window pass serves both the change-flag lag and the
+    island running sum, then two tiny partial-aggregated rollups
+    (islands are conv-grain; the histogram is O(|tools| x max_run)).
+    The DuckDB oracle re-derives the tool turns from the generator's
+    md5 coin (the q_tool_transitions contract) so the gate covers the
+    generator AND the islands decode."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    tools = t.where(F.col("role") == "tool").select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    m = tools.withColumn(
+        "chg",
+        F.when(F.lag("tool").over(w) == F.col("tool"), 0).otherwise(1),
+    )
+    isl = m.withColumn(
+        "grp", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = isl.groupBy("conv_id", "grp", "tool").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("tool", F.col("run_len").cast("int").alias("run_len")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )
