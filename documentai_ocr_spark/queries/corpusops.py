@@ -1354,3 +1354,342 @@ def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id bigint, event_id bigint, tok bigint,"
         " example_no bigint",
     )
+
+
+# ---------------------------------------------------- conversation groups
+def _conv_group(docs: DataFrame, n_docs: int, per_group: int = 8):
+    """Deterministic scale-proportional grouping: doc_id % m with
+    m = max(n_docs // per_group, 1), so the average group holds
+    ``per_group`` docs at ANY corpus size — the window partitioned by g
+    stays entity-bounded exactly like a per-conversation window (the
+    real pipeline keys these ops on conv_id; the fixture derives a
+    conv-shaped key from documents because the oracle must reproduce
+    it). Returns (df-with-g, m); DuckDB mirror is doc_id % m with m from
+    the same floor-division on COUNT(*)."""
+    m = max(n_docs // per_group, 1)
+    return docs.withColumn("g", (F.col("doc_id") % m).cast("long")), m
+
+
+_WORDS_OF = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _tok_col():
+    """Word count of text — identical on both engines (empty string
+    splits to [''] which the filter drops)."""
+    return F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+
+
+# ----------------------------------------------- context-window trimming
+# The pre-training / SFT context-budget primitive: keep the LONGEST
+# SUFFIX of a conversation whose cumulative token count fits the model
+# context (the newest turns survive, history is dropped from the front)
+# — the standard chat-truncation rule. A reverse cumulative-sum window
+# per conversation group decides the cut; windows are entity-bounded
+# (see _conv_group), never source- or corpus-wide.
+_CTX_BUDGET = 256
+
+
+@_q(
+    "q_context_trim",
+    f"""
+    WITH m AS (
+      SELECT greatest(CAST(floor(COUNT(*) / 8.0) AS bigint), 1) AS m
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id % m.m AS g, doc_id,
+             len({_WORDS_OF}) AS tok
+      FROM documents, m
+    ),
+    r AS (
+      SELECT g, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY g ORDER BY doc_id DESC
+                            ROWS UNBOUNDED PRECEDING) AS revcum
+      FROM t
+    )
+    SELECT CAST(g AS bigint) AS g,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(COUNT(*) FILTER (revcum <= {_CTX_BUDGET}) AS bigint)
+             AS kept_docs,
+           CAST(COALESCE(SUM(tok) FILTER (revcum <= {_CTX_BUDGET}), 0)
+                AS bigint) AS kept_tokens,
+           CAST(MIN(doc_id) FILTER (revcum <= {_CTX_BUDGET}) AS bigint)
+             AS first_kept
+    FROM r GROUP BY g
+    """,
+)
+def q_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-suffix token-budget trim per conversation group: one
+    reverse running-sum window ordered by doc_id DESC marks the turns
+    that fit the context budget, one group rollup reports the cut.
+    A turn longer than the whole budget yields kept=0 (first_kept NULL)
+    — the all-dropped edge rides through both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    g, _m = _conv_group(docs, docs.count())
+    t = g.select("g", "doc_id", _tok_col().alias("tok"))
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = F.col("revcum") <= _CTX_BUDGET
+    r = t.withColumn("revcum", F.sum("tok").over(w))
+    return r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("long").alias("kept_docs"),
+        F.coalesce(F.sum(F.when(kept, F.col("tok"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.min(F.when(kept, F.col("doc_id"))).cast("long").alias("first_kept"),
+    )
+
+
+# ------------------------------------------------ self-repetition screen
+# Consecutive-turn token-set Jaccard inside a conversation group — the
+# "model repeating itself" / copy-forward screen SFT curation runs per
+# conversation. Token sets ride the lag window as arrays; similarity is
+# exact integer set sizes with ONE double division per pair (no
+# accumulation-order hazard crosses the gate).
+@_q(
+    "q_self_repetition",
+    f"""
+    WITH m AS (
+      SELECT greatest(CAST(floor(COUNT(*) / 8.0) AS bigint), 1) AS m
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id % m.m AS g, doc_id,
+             list_distinct({_WORDS_OF}) AS w
+      FROM documents, m
+    ),
+    p AS (
+      SELECT g, doc_id,
+             lag(doc_id) OVER (PARTITION BY g ORDER BY doc_id) AS prev_doc,
+             w,
+             lag(w) OVER (PARTITION BY g ORDER BY doc_id) AS pw
+      FROM t
+    )
+    SELECT CAST(g AS bigint) AS g,
+           doc_id, prev_doc,
+           CAST(len(list_intersect(w, pw)) AS int) AS inter,
+           CAST(len(list_distinct(w || pw)) AS int) AS uni,
+           ROUND(CAST(len(list_intersect(w, pw)) AS double)
+                 / len(list_distinct(w || pw)), 6) AS jaccard
+    FROM p
+    WHERE prev_doc IS NOT NULL AND len(list_distinct(w || pw)) > 0
+    """,
+)
+def q_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn Jaccard per conversation group: distinct token
+    arrays flow through ONE entity-bounded lag window (the array payload
+    shuffles once, keyed by group), then intersections/unions are
+    computed in-row — no join, no explode, no per-row Python."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gdf, _m = _conv_group(docs, docs.count())
+    t = gdf.select(
+        "g",
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    w = Window.partitionBy("g").orderBy("doc_id")
+    p = t.select(
+        "g",
+        "doc_id",
+        F.lag("doc_id").over(w).alias("prev_doc"),
+        "w",
+        F.lag("w").over(w).alias("pw"),
+    )
+    inter = F.size(F.array_intersect("w", "pw"))
+    uni = F.size(F.array_union("w", "pw"))
+    return p.where(F.col("prev_doc").isNotNull() & (uni > 0)).select(
+        F.col("g").cast("long").alias("g"),
+        "doc_id",
+        "prev_doc",
+        inter.cast("int").alias("inter"),
+        uni.cast("int").alias("uni"),
+        F.round(inter.cast("double") / uni, 6).alias("jaccard"),
+    )
+
+
+# --------------------------------------------- partition content checksum
+# The lineage/resume parity primitive: an order-independent per-source
+# checksum (XOR of per-row 60-bit md5 prefixes) that two runs — or the
+# engine and the oracle — can compare without sorting or collecting
+# anything. XOR keeps aggregation state at 8 bytes, is map-side
+# combinable, and is insensitive to row order and partitioning, so the
+# SAME number comes out of a 1-task run and a 10k-task run.
+@_q(
+    "q_partition_checksum",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(SUM(n_chars) AS bigint) AS sum_chars,
+           CAST(bit_xor(('0x' || substr(md5(doc_id || ':' || text), 1, 15))
+                        ::bigint) AS bigint) AS checksum
+    FROM documents GROUP BY source
+    """,
+)
+def q_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content checksum for resume verification: one
+    partial-aggregated shuffle of O(|sources|) groups, 8-byte XOR state
+    per group. Pairs with lineage.py's commit log — re-extracting a
+    source after failure must reproduce its checksum exactly."""
+    from .dedup import _hex60
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text", "n_chars"
+    )
+    h = _hex60(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    return (
+        docs.withColumn("h", h)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+    )
+
+
+# -------------------------------------------------- post-dedup token yield
+# The curation KPI: how many training tokens does each source actually
+# contribute AFTER global exact dedup (earliest doc_id keeps)? Total vs
+# unique token sums per source plus the yield ratio — the number a
+# 100-TB ingest reports per shard to decide what is worth crawling.
+@_q(
+    "q_token_yield",
+    f"""
+    WITH decorated AS (
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'mirrored syndicated page variant '
+                       || CAST(doc_id % 5 AS varchar)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    d AS (
+      SELECT source, len({_WORDS_OF}) AS tok,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM decorated
+    )
+    SELECT source,
+           CAST(SUM(tok) AS bigint) AS total_tokens,
+           CAST(COALESCE(SUM(tok) FILTER (rn = 1), 0) AS bigint)
+             AS unique_tokens,
+           ROUND(CAST(COALESCE(SUM(tok) FILTER (rn = 1), 0) AS double)
+                 / SUM(tok), 6) AS yield_ratio
+    FROM d GROUP BY source
+    """,
+)
+def q_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-token yield per source: the exact-dedup earliest-keeper
+    window (16-byte content-hash shuffle, the q_dedup_earliest key) and
+    one O(|sources|) rollup. The fixture corpus has no natural byte-dups
+    (every yield would be 1.0 and the gate would compare a constant), so
+    docs with doc_id%17==0 carry q_dup_inflation's deterministic
+    mirrored-page variants — real dup clusters whose redundant copies
+    the yield must subtract, identically in both engines."""
+    raw = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            F.lit("mirrored syndicated page variant "),
+            (F.col("doc_id") % 5).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", raw.alias("text")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = docs.select(
+        "source",
+        _tok_col().alias("tok"),
+        F.row_number().over(w).alias("rn"),
+    )
+    keep = F.when(F.col("rn") == 1, F.col("tok"))
+    uniq = F.coalesce(F.sum(keep), F.lit(0)).cast("long")
+    return d.groupBy("source").agg(
+        F.sum("tok").cast("long").alias("total_tokens"),
+        uniq.alias("unique_tokens"),
+        F.round(uniq.cast("double") / F.sum("tok"), 6).alias("yield_ratio"),
+    )
+
+
+# ------------------------------------------- boilerplate line frequency
+# CCNet-style cross-document line dedup: a line that appears in many
+# DISTINCT documents is boilerplate (nav bars, footers, injected OCR
+# noise), independent of any phrase list. Runs over the shared synthetic
+# line table (relational._synth_lines / _lines_sql — the same contract
+# the hysteresis and plain-run extractors are gated on), so the injected
+# 'ok' / noise lines are exactly what the frequency rule must rediscover.
+_BOILER_MIN_DOCS = 10
+
+
+@_q(
+    "q_boiler_linefreq",
+    None,  # SQL attached below — it composes relational._lines_sql
+)
+def q_boiler_linefreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line exposure: line-hash -> distinct-doc
+    counts (one 8-byte-key shuffle), the >= {min_docs} frequency rule,
+    then instances rejoin the boiler flags on the SAME hash key (both
+    sides already partitioned by it) and roll up per source. No phrase
+    list anywhere: pure frequency, the rule that still works on a crawl
+    in a language you have no stop-list for."""
+    from .dedup import _hex60
+    from .relational import _synth_lines
+
+    lines = _synth_lines(spark, sf_dir, extra_cols=("source",)).where(
+        F.col("s") != ""
+    )
+    inst = lines.select("source", "doc_id", _hex60(F.col("s")).alias("lh"))
+    nd = inst.groupBy("lh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    boiler = nd.where(F.col("nd") >= _BOILER_MIN_DOCS).select(
+        "lh", F.lit(1).alias("is_boiler")
+    )
+    flagged = inst.join(boiler, "lh", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count("is_boiler").cast("long").alias("boiler_lines"),
+        F.countDistinct(F.when(F.col("is_boiler") == 1, F.col("lh")))
+        .cast("long")
+        .alias("distinct_boiler"),
+        F.round(
+            F.count("is_boiler").cast("double") / F.count(F.lit(1)), 6
+        ).alias("boiler_ratio"),
+    )
+
+
+def _boiler_sql() -> str:
+    from .relational import _lines_sql
+
+    return f"""
+    WITH {_lines_sql(", source")},
+    inst AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5(s), 1, 15))::bigint AS lh
+      FROM lines WHERE s <> ''
+    ),
+    nd AS (SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM inst GROUP BY lh),
+    boiler AS (SELECT lh, 1 AS is_boiler FROM nd
+               WHERE nd >= {_BOILER_MIN_DOCS}),
+    flagged AS (
+      SELECT i.source, i.lh, b.is_boiler
+      FROM inst i LEFT JOIN boiler b ON i.lh = b.lh
+    )
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_lines,
+           CAST(COUNT(is_boiler) AS bigint) AS boiler_lines,
+           CAST(COUNT(DISTINCT CASE WHEN is_boiler = 1 THEN lh END)
+                AS bigint) AS distinct_boiler,
+           ROUND(CAST(COUNT(is_boiler) AS double) / COUNT(*), 6)
+             AS boiler_ratio
+    FROM flagged GROUP BY source
+    """
+
+
+ORACLES["q_boiler_linefreq"] = _boiler_sql()

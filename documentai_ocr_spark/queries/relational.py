@@ -763,16 +763,26 @@ _HYST_NOISE = "*** !!! *** ???"
 _HYST_DENSE_STRIP = "[^0-9A-Za-z一-龥]"
 
 
-_HYST_SQL = f"""
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+def _lines_sql(extra: str = "") -> str:
+    """The synthetic-line CTE (doc_id{extra}, li, s) — the ONE DuckDB
+    rendering of _synth_lines' generator contract, shared by every
+    oracle that consumes the line table (hysteresis, plain runs,
+    boilerplate line frequency). ``extra`` threads additional document
+    columns through (e.g. ``", source"``)."""
+    return f"""tk AS (SELECT doc_id{extra}, string_split(text, ' ') AS tk
+               FROM documents),
     lines AS (
-      SELECT doc_id, i - 1 AS li,
+      SELECT doc_id{extra}, i - 1 AS li,
              CASE WHEN (doc_id + i - 1) % 7 = 5 THEN 'ok'
                   WHEN (doc_id + i - 1) % 4 = 3 THEN '{_HYST_NOISE}'
                   ELSE array_to_string(tk[(i-1)*5 + 1 : (i-1)*5 + 5], ' ')
              END AS s
       FROM tk, unnest(generate_series(1, CAST(ceil(len(tk) / 5.0) AS int))) g(i)
-    ),
+    )"""
+
+
+_HYST_SQL = f"""
+    WITH {_lines_sql()},
     feat AS (
       SELECT doc_id, li, s,
              length(s) >= {_R_MIN_LINE_LEN}
@@ -819,12 +829,17 @@ _HYST_SQL = f"""
     """
 
 
-def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synth_lines(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple = ()
+) -> DataFrame:
     """The shared line table (doc_id, li, s) both engines derive from
     documents: 5-token chunks as lines, with deterministic noise and
     sub-length lines injected by (doc_id + li) mod rules so content runs
-    genuinely open, dip, bridge, and split."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    genuinely open, dip, bridge, and split. ``extra_cols`` threads
+    additional document columns through (mirrors _lines_sql's extra)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", *extra_cols, "text"
+    )
     tk = F.split(F.col("text"), " ")
     nl = F.ceil(F.size(tk) / F.lit(5.0)).cast("int")
     raw = F.transform(
@@ -832,9 +847,10 @@ def _synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(tk, i * 5 + 1, 5), " "),
     )
     return docs.select(
-        "doc_id", F.posexplode(raw).alias("li", "raw")
+        "doc_id", *extra_cols, F.posexplode(raw).alias("li", "raw")
     ).select(
         "doc_id",
+        *extra_cols,
         "li",
         F.when((F.col("doc_id") + F.col("li")) % 7 == 5, F.lit("ok"))
         .when(
@@ -1118,15 +1134,7 @@ def _boiler_alt() -> str:
 @_q(
     "q_extract_plain_runs",
     f"""
-    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    lines AS (
-      SELECT doc_id, i - 1 AS li,
-             CASE WHEN (doc_id + i - 1) % 7 = 5 THEN 'ok'
-                  WHEN (doc_id + i - 1) % 4 = 3 THEN '{_HYST_NOISE}'
-                  ELSE array_to_string(tk[(i-1)*5 + 1 : (i-1)*5 + 5], ' ')
-             END AS s
-      FROM tk, unnest(generate_series(1, CAST(ceil(len(tk) / 5.0) AS int))) g(i)
-    ),
+    WITH {_lines_sql()},
     fl AS (
       SELECT doc_id, li, s FROM lines
       WHERE length(s) >= {_R_MIN_LINE_LEN}

@@ -1,0 +1,116 @@
+"""Curation-operator invariants beyond the DuckDB value gate: context
+trim suffix/budget laws, self-repetition Jaccard bounds, checksum
+order-independence, post-dedup yield, boilerplate line rediscovery."""
+
+import pyspark.sql.functions as F
+
+from documentai_ocr_spark.queries.corpusops import (
+    _CTX_BUDGET,
+    q_boiler_linefreq,
+    q_context_trim,
+    q_partition_checksum,
+    q_self_repetition,
+    q_token_yield,
+)
+from documentai_ocr_spark.queries.dedup import _hex60
+from documentai_ocr_spark.queries.relational import _HYST_NOISE
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_context_trim_budget_and_bite(spark):
+    """kept_tokens never exceeds the budget, kept_docs never exceeds
+    the group, and the trim actually bites on this corpus (some group
+    drops history) while keeping at least the newest turn wherever the
+    newest turn alone fits."""
+    out = q_context_trim(spark, SF).cache()
+    assert out.where(F.col("kept_tokens") > _CTX_BUDGET).count() == 0
+    assert out.where(F.col("kept_docs") > F.col("n_docs")).count() == 0
+    assert out.where(F.col("kept_docs") < F.col("n_docs")).count() > 0
+    assert out.where(F.col("kept_docs") > 0).count() > 0
+    out.unpersist()
+
+
+def test_self_repetition_bounds(spark):
+    """inter <= uni, jaccard in [0,1], and the pair grid is exactly
+    (group size - 1) per group — every adjacent pair scored once."""
+    out = q_self_repetition(spark, SF).cache()
+    assert out.where(F.col("inter") > F.col("uni")).count() == 0
+    assert (
+        out.where((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count()
+        == 0
+    )
+    from documentai_ocr_spark.queries.util import load
+
+    docs = load(spark, SF, "documents")
+    n_docs = docs.count()
+    m = max(n_docs // 8, 1)
+    # every doc has a non-empty token set on this corpus, so each group
+    # of size s contributes exactly s-1 adjacent pairs
+    n_groups = (
+        docs.select((F.col("doc_id") % m).alias("g")).distinct().count()
+    )
+    assert out.count() == n_docs - n_groups
+    out.unpersist()
+
+
+def test_partition_checksum_order_independent(spark):
+    """The XOR checksum must be identical no matter how the input is
+    partitioned or ordered — the property resume verification rests on."""
+    from documentai_ocr_spark.queries.util import load
+
+    out = {
+        r["source"]: r["checksum"]
+        for r in q_partition_checksum(spark, SF).collect()
+    }
+    docs = (
+        load(spark, SF, "documents")
+        .select("source", "doc_id", "text")
+        .repartition(13, "doc_id")
+        .sortWithinPartitions(F.desc("doc_id"))
+    )
+    h = _hex60(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    alt = {
+        r["source"]: r["c"]
+        for r in docs.withColumn("h", h)
+        .groupBy("source")
+        .agg(F.expr("bit_xor(h)").alias("c"))
+        .collect()
+    }
+    assert out == alt
+
+
+def test_token_yield_dedup_bites(spark):
+    """unique <= total everywhere, and the injected mirrored-page
+    clusters make at least one source's yield strictly < 1."""
+    out = q_token_yield(spark, SF).cache()
+    assert out.where(F.col("unique_tokens") > F.col("total_tokens")).count() == 0
+    assert out.where(F.col("yield_ratio") < 1.0).count() > 0
+    out.unpersist()
+
+
+def test_boiler_linefreq_rediscovers_injected_lines(spark):
+    """The frequency rule must rediscover exactly the two injected
+    boilerplate lines ('ok' and the noise line) — no phrase list is
+    consulted anywhere — and flag a sane per-source exposure."""
+    out = q_boiler_linefreq(spark, SF).cache()
+    assert out.where(F.col("distinct_boiler") != 2).count() == 0
+    bad = out.where(
+        (F.col("boiler_ratio") <= 0) | (F.col("boiler_ratio") >= 1)
+    ).count()
+    assert bad == 0
+    # cross-check one flagged hash really is the injected noise line:
+    # per-source boiler_lines equals the count of 'ok'/noise instances
+    from documentai_ocr_spark.queries.relational import _synth_lines
+
+    lines = _synth_lines(spark, SF, extra_cols=("source",))
+    exp = {
+        r["source"]: r["n"]
+        for r in lines.where(F.col("s").isin("ok", _HYST_NOISE))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["source"]: r["boiler_lines"] for r in out.collect()}
+    assert got == exp
+    out.unpersist()
