@@ -1357,16 +1357,28 @@ def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------- conversation groups
-def _conv_group(docs: DataFrame, n_docs: int, per_group: int = 8):
+_CONV_PER_GROUP = 8
+
+# the ONE DuckDB rendering of the group modulus — every oracle that
+# groups by g composes this CTE, so the constant cannot drift between
+# engine and SQL
+_M_CTE = f"""m AS (
+      SELECT greatest(CAST(floor(COUNT(*) / {_CONV_PER_GROUP}.0) AS bigint),
+                      1) AS m
+      FROM documents
+    )"""
+
+
+def _conv_group(docs: DataFrame, n_docs: int):
     """Deterministic scale-proportional grouping: doc_id % m with
-    m = max(n_docs // per_group, 1), so the average group holds
-    ``per_group`` docs at ANY corpus size — the window partitioned by g
-    stays entity-bounded exactly like a per-conversation window (the
+    m = max(n_docs // _CONV_PER_GROUP, 1), so the average group holds
+    _CONV_PER_GROUP docs at ANY corpus size — the window partitioned by
+    g stays entity-bounded exactly like a per-conversation window (the
     real pipeline keys these ops on conv_id; the fixture derives a
     conv-shaped key from documents because the oracle must reproduce
-    it). Returns (df-with-g, m); DuckDB mirror is doc_id % m with m from
-    the same floor-division on COUNT(*)."""
-    m = max(n_docs // per_group, 1)
+    it). Returns (df-with-g, m); the DuckDB mirror is _M_CTE — the one
+    shared rendering, so the divisor cannot drift."""
+    m = max(n_docs // _CONV_PER_GROUP, 1)
     return docs.withColumn("g", (F.col("doc_id") % m).cast("long")), m
 
 
@@ -1392,10 +1404,7 @@ _CTX_BUDGET = 256
 @_q(
     "q_context_trim",
     f"""
-    WITH m AS (
-      SELECT greatest(CAST(floor(COUNT(*) / 8.0) AS bigint), 1) AS m
-      FROM documents
-    ),
+    WITH {_M_CTE},
     t AS (
       SELECT doc_id % m.m AS g, doc_id,
              len({_WORDS_OF}) AS tok
@@ -1453,10 +1462,7 @@ def q_context_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q_self_repetition",
     f"""
-    WITH m AS (
-      SELECT greatest(CAST(floor(COUNT(*) / 8.0) AS bigint), 1) AS m
-      FROM documents
-    ),
+    WITH {_M_CTE},
     t AS (
       SELECT doc_id % m.m AS g, doc_id,
              list_distinct({_WORDS_OF}) AS w
@@ -1526,7 +1532,8 @@ def q_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS bigint) AS n_docs,
            CAST(SUM(n_chars) AS bigint) AS sum_chars,
-           CAST(bit_xor(('0x' || substr(md5(doc_id || ':' || text), 1, 15))
+           CAST(bit_xor(('0x' || substr(md5(doc_id || ':'
+                                        || COALESCE(text, chr(0))), 1, 15))
                         ::bigint) AS bigint) AS checksum
     FROM documents GROUP BY source
     """,
@@ -1541,7 +1548,15 @@ def q_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", "text", "n_chars"
     )
-    h = _hex60(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    # NUL sentinel for NULL text: concat_ws would silently SKIP a null
+    # (hashing 'doc_id' alone) while the oracle's || yields NULL and
+    # bit_xor drops the row — coalescing to chr(0) on BOTH engines keeps
+    # null-text rows in the checksum and distinct from empty text
+    h = _hex60(
+        F.concat_ws(
+            ":", F.col("doc_id"), F.coalesce(F.col("text"), F.lit("\x00"))
+        )
+    )
     return (
         docs.withColumn("h", h)
         .groupBy("source")

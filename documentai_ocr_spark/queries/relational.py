@@ -1723,7 +1723,7 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS grp
       FROM tt
     )
-    SELECT 'conv-' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id,
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
            tool,
            CAST(MIN(t) AS INT) AS first_turn,
            CAST(COUNT(*) AS BIGINT) AS run_len
@@ -2233,7 +2233,7 @@ def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
             % 37 <> 0
     )
-    SELECT 'conv-' || lpad(doc_id::VARCHAR, 8, '0') AS conv_id,
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
            CAST(COUNT(*) AS bigint) AS n_turns,
            CAST(MAX(t) AS int) AS max_idx,
            CAST(MAX(t) + 1 - COUNT(DISTINCT t) AS bigint) AS n_missing,
@@ -2358,7 +2358,7 @@ _TS_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z — synth._BASE_TS
       WHERE ('0x' || substr(md5(doc_id || ':' || t || ':retry'), 1, 8))::bigint
             % {_RETRY_MOD} = 0
     )
-    SELECT 'conv-' || lpad(doc_id::varchar, 8, '0') AS conv_id,
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
            CAST(t AS int) AS turn_idx,
            role,
            CAST(COUNT(*) AS bigint) AS n_attempts,
@@ -2375,13 +2375,18 @@ def q_turn_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
     because retries share the payload; the engine runs the real window
     so any payload column rides along). One shuffle on the turn key,
     partitions are turn-grain (≤ attempts rows each) — nothing groups a
-    conversation, a source, or the corpus."""
+    conversation, a source, or the corpus. The retry branch is an
+    in-row attempt-array explode, NOT a self-union: the expensive
+    transcript-generation stage executes exactly once per run, and the
+    doc id parses back out of conv_id with an open-ended substr so
+    9+-digit doc ids survive the round-trip (the generator's %08d pads
+    but never truncates — printf on the oracle side matches)."""
     from ..synth import transcripts_from_documents
 
     t = transcripts_from_documents(spark, sf_dir).select(
         "conv_id", "turn_idx", "role", F.unix_millis("ts").alias("ms")
     )
-    doc_int = F.substring("conv_id", 6, 8).cast("bigint")
+    doc_int = F.expr("substr(conv_id, 6)").cast("bigint")
     coin = (
         F.conv(
             F.substring(
@@ -2394,13 +2399,22 @@ def q_turn_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % _RETRY_MOD
     )
-    base = t.withColumn("attempt", F.lit(1))
-    retry = (
-        t.where(coin == 0)
-        .withColumn("ms", F.col("ms") + _RETRY_DELAY_MS)
-        .withColumn("attempt", F.lit(2))
+    attempts = F.when(coin == 0, F.array(F.lit(1), F.lit(2))).otherwise(
+        F.array(F.lit(1))
     )
-    u = base.unionByName(retry)
+    u = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ms",
+        F.explode(attempts).alias("attempt"),
+    ).withColumn(
+        "ms",
+        F.col("ms")
+        + F.when(F.col("attempt") == 2, F.lit(_RETRY_DELAY_MS)).otherwise(
+            F.lit(0)
+        ),
+    )
     key = Window.partitionBy("conv_id", "turn_idx")
     latest = key.orderBy(F.desc("ms"), F.desc("attempt"))
     return (

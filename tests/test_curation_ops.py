@@ -5,6 +5,7 @@ order-independence, post-dedup yield, boilerplate line rediscovery."""
 import pyspark.sql.functions as F
 
 from documentai_ocr_spark.queries.corpusops import (
+    _CONV_PER_GROUP,
     _CTX_BUDGET,
     q_boiler_linefreq,
     q_context_trim,
@@ -44,7 +45,7 @@ def test_self_repetition_bounds(spark):
 
     docs = load(spark, SF, "documents")
     n_docs = docs.count()
-    m = max(n_docs // 8, 1)
+    m = max(n_docs // _CONV_PER_GROUP, 1)
     # every doc has a non-empty token set on this corpus, so each group
     # of size s contributes exactly s-1 adjacent pairs
     n_groups = (
@@ -69,7 +70,11 @@ def test_partition_checksum_order_independent(spark):
         .repartition(13, "doc_id")
         .sortWithinPartitions(F.desc("doc_id"))
     )
-    h = _hex60(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    h = _hex60(
+        F.concat_ws(
+            ":", F.col("doc_id"), F.coalesce(F.col("text"), F.lit("\x00"))
+        )
+    )
     alt = {
         r["source"]: r["c"]
         for r in docs.withColumn("h", h)
@@ -78,6 +83,40 @@ def test_partition_checksum_order_independent(spark):
         .collect()
     }
     assert out == alt
+
+
+def test_partition_checksum_null_text_parity(spark, tmp_path):
+    """A NULL-text row must land in the checksum identically on both
+    engines (concat_ws would silently skip the null; the NUL-sentinel
+    coalesce keeps it, distinct from empty text) — pinned on a fixture
+    the sf corpora don't have."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["s"] * 4,
+            "text": ["alpha", None, "", "beta"],
+            "n_chars": [5, 0, 0, 4],
+        }
+    )
+    d = str(tmp_path / "nulls")
+    spark.createDataFrame(pdf).repartition(2).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = q_partition_checksum(spark, d).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    from documentai_ocr_spark.queries import ORACLES
+
+    want = con.sql(ORACLES["q_partition_checksum"]).fetchall()[0]
+    assert got["n_docs"] == want[1] == 4  # the NULL row is counted
+    assert got["checksum"] == want[3]
 
 
 def test_token_yield_dedup_bites(spark):
