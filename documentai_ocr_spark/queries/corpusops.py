@@ -1708,3 +1708,91 @@ def _boiler_sql() -> str:
 
 
 ORACLES["q_boiler_linefreq"] = _boiler_sql()
+
+
+# ----------------------------------------------- shared-prefix analysis
+# Prompt-cache / KV-cache planning: how many conversations share an
+# identical turn PREFIX at each depth? A served fleet prefix-caches the
+# common system prompt + early turns; this measures the hit rate the
+# cache can possibly achieve. Conversations are the doc groups
+# (_conv_group), turn order is doc_id order, and docs with
+# doc_id % 3 == 0 carry a fixed system prompt so cross-conversation
+# sharing genuinely exists (the raw corpus has globally unique texts —
+# every prefix would be unshared and the gate would compare zeros).
+_PREFIX_MAX_DEPTH = 4
+_SYS_PROMPT = "You are a helpful assistant. Follow the instructions."
+
+
+@_q(
+    "q_prefix_share",
+    f"""
+    WITH {_M_CTE},
+    t AS (
+      SELECT doc_id % m.m AS g, doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '{_SYS_PROMPT}'
+                  ELSE text END AS text
+      FROM documents, m
+    ),
+    p AS (
+      SELECT g,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id) AS depth,
+             md5(string_agg(text, chr(31))
+                 OVER (PARTITION BY g ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING)) AS ph
+      FROM t
+    ),
+    c AS (
+      SELECT depth, ph, COUNT(*) AS n
+      FROM p WHERE depth <= {_PREFIX_MAX_DEPTH}
+      GROUP BY depth, ph
+    )
+    SELECT CAST(depth AS int) AS depth,
+           CAST(SUM(n) AS bigint) AS n_convs,
+           CAST(COUNT(*) AS bigint) AS n_prefixes,
+           CAST(COALESCE(SUM(n) FILTER (n >= 2), 0) AS bigint)
+             AS shared_convs,
+           ROUND(CAST(COALESCE(SUM(n) FILTER (n >= 2), 0) AS double)
+                 / SUM(n), 6) AS cacheable_frac
+    FROM c GROUP BY depth
+    """,
+)
+def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache hit-rate table: per depth d ≤ {max_depth}, the
+    number of conversations, distinct depth-d prefixes, conversations
+    whose prefix is shared by ≥2, and the cacheable fraction. The
+    prefix fingerprint is md5 over the US-separated running turn
+    concat — ONE conversation-bounded window (collect_list rides the
+    same sort as row_number), so per-task state is one conversation's
+    text, never a source or the corpus; the rollup is
+    O(depth × distinct prefixes)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    text = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(_SYS_PROMPT)
+    ).otherwise(F.col("text"))
+    gdf, _m = _conv_group(docs.select("doc_id", text.alias("text")),
+                          docs.count())
+    w = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wo = Window.partitionBy("g").orderBy("doc_id")
+    p = gdf.select(
+        "g",
+        F.row_number().over(wo).alias("depth"),
+        F.md5(
+            F.concat_ws("\x1f", F.collect_list("text").over(w))
+        ).alias("ph"),
+    ).where(F.col("depth") <= _PREFIX_MAX_DEPTH)
+    c = p.groupBy("depth", "ph").agg(F.count(F.lit(1)).alias("n"))
+    shared = F.coalesce(
+        F.sum(F.when(F.col("n") >= 2, F.col("n"))), F.lit(0)
+    )
+    return c.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.sum("n").cast("long").alias("n_convs"),
+        F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+        shared.cast("long").alias("shared_convs"),
+        F.round(shared.cast("double") / F.sum("n"), 6).alias(
+            "cacheable_frac"
+        ),
+    )

@@ -2498,3 +2498,181 @@ def q_tool_retry_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("tool", F.col("run_len").cast("int").alias("run_len")).agg(
         F.count(F.lit(1)).cast("long").alias("n_runs")
     )
+
+
+# ------------------------------------------------ role-alternation audit
+# Protocol audit over the DECIMATED stream (q_turn_integrity's md5%37
+# drop rule): the generator's role cycle is perfect, so violations only
+# exist where ingest lost turns — a dropped turn can leave two
+# consecutive surviving turns with the SAME role, and can knock out the
+# leading user turn. This is the detector a transcript pipeline runs
+# right after the integrity audit: integrity counts the holes, this
+# measures what the holes did to the conversation protocol.
+@_q(
+    "q_role_alternation",
+    """
+    WITH turns AS (
+      SELECT doc_id, g.t,
+             ['user','assistant','tool'][g.t % 3 + 1] AS role
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+    ),
+    kept AS (
+      SELECT doc_id, t, role FROM turns
+      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
+            % 37 <> 0
+    ),
+    p AS (
+      SELECT doc_id, t, role,
+             lag(role) OVER (PARTITION BY doc_id ORDER BY t) AS prev_role,
+             row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn
+      FROM kept
+    )
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
+           CAST(COUNT(*) AS bigint) AS n_turns,
+           CAST(COUNT(prev_role) AS bigint) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN role = prev_role THEN 1 END), 0)
+                AS bigint) AS n_same_role,
+           CAST(MAX(CASE WHEN rn = 1 AND role = 'user' THEN 1 ELSE 0 END)
+                AS int) AS starts_user
+    FROM p GROUP BY doc_id
+    """,
+)
+def q_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation role-protocol audit after turn loss: adjacent
+    same-role pairs and the opens-with-user flag, from ONE conv-keyed
+    window pass (lag and row_number share the sort) plus a conv-grain
+    rollup. The decimation coin is q_turn_integrity's, so the two
+    audits describe the same damaged stream."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role"
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.expr("substr(conv_id, 6)")
+                        .cast("long")
+                        .cast("string"),
+                        F.lit("#"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+    )
+    kept = t.where(coin != 0)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = kept.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("rn"),
+    )
+    same = F.when(F.col("role") == F.col("prev_role"), 1)
+    first_user = F.when(
+        (F.col("rn") == 1) & (F.col("role") == "user"), 1
+    ).otherwise(0)
+    return p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.count("prev_role").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(same), F.lit(0)).cast("long").alias("n_same_role"),
+        F.max(first_user).cast("int").alias("starts_user"),
+    )
+
+
+# ------------------------------------------------- conversation profile
+# The per-conversation summary row a transcript warehouse materializes
+# once and serves everywhere: turn counts by role, tool diversity, and
+# wall-clock span — over the SAME decimated stream as the integrity and
+# alternation audits, so the three views reconcile row-for-row.
+@_q(
+    "q_conv_profile",
+    f"""
+    WITH turns AS (
+      SELECT doc_id, g.t,
+             ['user','assistant','tool'][g.t % 3 + 1] AS role,
+             CASE WHEN g.t % 3 = 2 THEN
+               ['search','browser','calculator','code_exec']
+                 [('0x' || substr(md5(doc_id || ':' || g.t), 1, 8))::bigint
+                  % 4 + 1] END AS tool,
+             {_TS_BASE_MS} + doc_id * 3600000 + g.t * 60000 AS ms
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+    ),
+    kept AS (
+      SELECT * FROM turns
+      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
+            % 37 <> 0
+    )
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
+           CAST(COUNT(*) AS bigint) AS n_turns,
+           CAST(COALESCE(SUM(CASE WHEN role = 'user' THEN 1 END), 0)
+                AS bigint) AS n_user,
+           CAST(COALESCE(SUM(CASE WHEN role = 'assistant' THEN 1 END), 0)
+                AS bigint) AS n_assistant,
+           CAST(COALESCE(SUM(CASE WHEN role = 'tool' THEN 1 END), 0)
+                AS bigint) AS n_tool,
+           CAST(COUNT(DISTINCT tool) AS bigint) AS n_distinct_tools,
+           CAST(MAX(ms) - MIN(ms) AS bigint) AS span_ms
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation profile: role mix, tool diversity, duration — one
+    conv-keyed aggregation, shuffle-free on a conv-bucketed table.
+    Decimated by the shared integrity coin so counts genuinely vary
+    (an undamaged fixture would profile every conversation
+    identically and the gate would compare constants)."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.unix_millis("ts").alias("ms"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.expr("substr(conv_id, 6)")
+                        .cast("long")
+                        .cast("string"),
+                        F.lit("#"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+    )
+    kept = t.where(coin != 0)
+
+    def _role_n(r: str):
+        return (
+            F.coalesce(
+                F.sum(F.when(F.col("role") == r, 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"n_{r}")
+        )
+
+    return kept.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        _role_n("user"),
+        _role_n("assistant"),
+        _role_n("tool"),
+        F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
+        (F.max("ms") - F.min("ms")).cast("long").alias("span_ms"),
+    )

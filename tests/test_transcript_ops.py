@@ -75,3 +75,69 @@ def test_retry_runs_partition_tool_turns(spark):
     # otherwise the gate is comparing a degenerate all-ones table
     assert out.where(F.col("run_len") >= 2).count() > 0
     out.unpersist()
+
+
+def test_role_alternation_reconciles_with_integrity(spark):
+    """The alternation audit and the integrity audit describe the SAME
+    decimated stream: per-conversation turn counts must agree, pairs are
+    turns-1, and the damage is real — some conversation has a same-role
+    adjacency and some conversation lost its opening user turn."""
+    from documentai_ocr_spark.queries.relational import (
+        q_role_alternation,
+        q_turn_integrity,
+    )
+
+    alt = q_role_alternation(spark, SF).cache()
+    integ = {
+        r["conv_id"]: r["n_turns"]
+        for r in q_turn_integrity(spark, SF).collect()
+    }
+    got = {r["conv_id"]: r["n_turns"] for r in alt.collect()}
+    assert got == integ
+    assert alt.where(F.col("n_pairs") != F.col("n_turns") - 1).count() == 0
+    assert alt.where(F.col("n_same_role") > 0).count() > 0
+    assert alt.where(F.col("starts_user") == 0).count() > 0
+    alt.unpersist()
+
+
+def test_conv_profile_role_partition(spark):
+    """Role counts partition the turn count; tool diversity is bounded
+    by tool-turn count and the 4-tool universe; the span is exactly the
+    kept-turn index range in minutes (decimation shrinks it from the
+    full 11-minute window for some conversations)."""
+    from documentai_ocr_spark.queries.relational import q_conv_profile
+
+    out = q_conv_profile(spark, SF).cache()
+    assert (
+        out.where(
+            F.col("n_user") + F.col("n_assistant") + F.col("n_tool")
+            != F.col("n_turns")
+        ).count()
+        == 0
+    )
+    assert out.where(
+        (F.col("n_distinct_tools") > F.col("n_tool"))
+        | (F.col("n_distinct_tools") > 4)
+    ).count() == 0
+    assert out.where(F.col("span_ms") < 11 * 60000).count() > 0
+    assert out.where(F.col("span_ms") > 11 * 60000).count() == 0
+    out.unpersist()
+
+
+def test_prefix_share_monotone_and_nonvacuous(spark):
+    """Sharing can only shrink with depth (a shared depth-d prefix
+    implies a shared depth-(d-1) prefix), participating conversations
+    shrink with depth (shorter groups fall out), and the injected
+    system prompt makes depth-1 sharing real."""
+    from documentai_ocr_spark.queries.corpusops import q_prefix_share
+
+    rows = {
+        r["depth"]: r
+        for r in q_prefix_share(spark, SF).collect()
+    }
+    assert rows[1]["shared_convs"] > 0 and rows[1]["cacheable_frac"] > 0
+    for d in range(2, max(rows) + 1):
+        assert rows[d]["n_convs"] <= rows[d - 1]["n_convs"]
+        assert rows[d]["shared_convs"] <= rows[d - 1]["shared_convs"]
+    for r in rows.values():
+        assert r["n_prefixes"] <= r["n_convs"]
