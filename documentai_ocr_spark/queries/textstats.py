@@ -178,39 +178,47 @@ _WINNOW_W = 4   # winnowing window (rows)
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting by winnowing (Schleimer et al.): word
     4-gram rolling hashes → per-window minimum → distinct selected
-    fingerprints. The window min is per-document (partitioned — no global
-    sort); the k-gram hash is the rolling-hash analogue over words."""
+    fingerprints. The sliding min is DOC-bounded, so the whole
+    computation stays in-row: one transform builds the gram-hash array,
+    a second takes each window's array_min over a slice (tail windows
+    clamp, matching ROWS ... FOLLOWING), and the three outputs read the
+    mins array — ZERO shuffle, no explode, no window sort (the previous
+    form exploded every gram string and sorted a per-doc window: the
+    same answer at ~10× the cost)."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    idx = F.when(
-        n >= _WINNOW_K, F.sequence(F.lit(1), n - (_WINNOW_K - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(_WINNOW_K)]
+    gram_h = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + j) for j in range(_WINNOW_K)],
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
     )
-    kg = docs.select(
+    hs = F.transform(F.sequence(F.lit(1), n - (_WINNOW_K - 1)), gram_h)
+    with_hs = docs.where(n >= _WINNOW_K).select("doc_id", hs.alias("hs"))
+    L = F.size(F.col("hs"))
+    mins = F.transform(
+        F.sequence(F.lit(1), L),
+        lambda j: F.array_min(
+            F.slice(F.col("hs"), j, F.least(F.lit(_WINNOW_W), L - j + 1))
+        ),
+    )
+    wm = with_hs.select("doc_id", mins.alias("mins"))
+    return wm.select(
         "doc_id",
-        F.explode(
-            F.transform(idx, lambda i: F.struct(i.alias("i"), gram(i).alias("g")))
-        ).alias("x"),
-    ).select(
-        "doc_id",
-        F.col("x.i").alias("i"),
-        F.conv(F.substring(F.md5(F.col("x.g")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(0, _WINNOW_W - 1)
-    )
-    wm = kg.select("doc_id", F.min("h").over(w).alias("mh"))
-    return wm.groupBy("doc_id").agg(
-        F.countDistinct("mh").cast("long").alias("n_fp"),
-        F.min("mh").cast("long").alias("min_fp"),
-        F.max("mh").cast("long").alias("max_fp"),
+        F.size(F.array_distinct("mins")).cast("long").alias("n_fp"),
+        F.array_min("mins").cast("long").alias("min_fp"),
+        F.array_max("mins").cast("long").alias("max_fp"),
     )
 
 
