@@ -438,3 +438,168 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("r"), 6).alias("dsir_weight"),
         )
     )
+
+
+# ------------------------------------------------- distribution drift
+# PSI between two crawl halves: did the length distribution of a source
+# shift between snapshots? The monitor a continuous-ingest pipeline
+# alarms on before retraining. Halves are doc_id parity (the
+# deterministic stand-in for consecutive snapshots), bins are integer
+# bit-lengths of n_chars (exact on both engines — no quantile sketch in
+# the gate path), and each bin's PSI term is a single expression over
+# exact integer counts, so no cross-row float accumulation ever happens:
+# the per-source total is the trivial client-side sum of its ≤ ~15 rows.
+@_q(
+    "q_score_drift",
+    """
+    WITH b AS (
+      SELECT source, doc_id % 2 AS half,
+             CAST(length(bin(n_chars)) AS int) AS bin
+      FROM documents
+    ),
+    c AS (
+      SELECT source, bin,
+             COUNT(*) FILTER (half = 0) AS ca,
+             COUNT(*) FILTER (half = 1) AS cb
+      FROM b GROUP BY source, bin
+    ),
+    d AS (
+      SELECT source,
+             SUM(ca) AS ta, SUM(cb) AS tb,
+             COUNT(*) AS nb
+      FROM c GROUP BY source
+    )
+    SELECT c.source, c.bin,
+           CAST(c.ca AS bigint) AS ca, CAST(c.cb AS bigint) AS cb,
+           ROUND((c.ca + 0.5) / (d.ta + 0.5 * d.nb), 6) AS pa,
+           ROUND((c.cb + 0.5) / (d.tb + 0.5 * d.nb), 6) AS pb,
+           ROUND(((c.ca + 0.5) / (d.ta + 0.5 * d.nb)
+                  - (c.cb + 0.5) / (d.tb + 0.5 * d.nb))
+                 * ln(((c.ca + 0.5) / (d.ta + 0.5 * d.nb))
+                      / ((c.cb + 0.5) / (d.tb + 0.5 * d.nb))), 6)
+             AS psi_term
+    FROM c JOIN d USING (source)
+    """,
+)
+def q_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, bin) PSI contributions between the two snapshot
+    halves, Laplace-smoothed over the source's observed bin universe.
+    One (source, bin) partial-agg shuffle builds the count grid; the
+    per-source totals are an O(|sources|) dim broadcast back onto it.
+    Every published double derives from exact integers in one
+    expression — the fold-order hazard of summing PSI across bins is
+    left to the reader of the ≤15-row result, not the engines."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    b = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.length(F.bin("n_chars")).cast("int").alias("bin"),
+    )
+    c = b.groupBy("source", "bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("cb"),
+    )
+    d = c.groupBy("source").agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    j = c.join(F.broadcast(d), "source")
+    pa = (F.col("ca") + 0.5) / (F.col("ta") + 0.5 * F.col("nb"))
+    pb = (F.col("cb") + 0.5) / (F.col("tb") + 0.5 * F.col("nb"))
+    return j.select(
+        "source",
+        "bin",
+        F.col("ca").cast("long").alias("ca"),
+        F.col("cb").cast("long").alias("cb"),
+        F.round(pa, 6).alias("pa"),
+        F.round(pb, 6).alias("pb"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
+# ------------------------------------------------ embedding hygiene audit
+# The pre-index gate an ANN build runs first: null vectors, wrong
+# dimensionality, exact-zero norms, out-of-range norms — per label, with
+# order-insensitive norm extremes (MIN/MAX only: no cross-row float sum
+# enters the gate). The fixture corpus is clean, so deterministic faults
+# are injected in-query (the q_token_yield convention): vec_id%97 → NULL
+# vector, %89 → all-zero, %83 → truncated to 32 dims.
+_EMB_DIM = 64
+
+
+@_q(
+    "q_embed_audit",
+    f"""
+    WITH v AS (
+      SELECT label,
+             CASE WHEN vec_id % 97 = 0 THEN NULL
+                  WHEN vec_id % 89 = 0
+                    THEN list_transform(embedding, x -> 0.0::FLOAT)
+                  WHEN vec_id % 83 = 0 THEN embedding[1:32]
+                  ELSE embedding END AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT label, e,
+             CASE WHEN e IS NOT NULL THEN
+               sqrt(list_reduce(
+                 list_transform(e, x -> CAST(x AS double) * CAST(x AS double)),
+                 (a, b) -> a + b)) END AS nrm
+      FROM v
+    )
+    SELECT label,
+           CAST(COUNT(*) AS bigint) AS n_vecs,
+           CAST(COUNT(*) FILTER (e IS NULL) AS bigint) AS n_null,
+           CAST(COUNT(*) FILTER (e IS NOT NULL AND len(e) <> {_EMB_DIM})
+                AS bigint) AS n_bad_dim,
+           CAST(COUNT(*) FILTER (nrm = 0.0) AS bigint) AS n_zero,
+           ROUND(MIN(CASE WHEN nrm > 0 THEN nrm END), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene per label: null / wrong-dim / zero-norm counts
+    and the nonzero-norm range. Norms are in-row left folds (seeded 0.0
+    == DuckDB's seedless reduce since 0.0+x is exact), extremes are
+    MIN/MAX so no float crosses rows order-sensitively; one
+    O(|labels|) partial-agg shuffle."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    e = (
+        F.when(F.col("vec_id") % 97 == 0, F.lit(None))
+        .when(
+            F.col("vec_id") % 89 == 0,
+            F.transform("embedding", lambda x: F.lit(0.0).cast("float")),
+        )
+        .when(F.col("vec_id") % 83 == 0, F.slice("embedding", 1, 32))
+        .otherwise(F.col("embedding"))
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("e"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = emb.select("label", e.alias("e")).withColumn(
+        "nrm", F.when(F.col("e").isNotNull(), nrm)
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count(F.when(F.col("e").isNull(), 1)).cast("long").alias("n_null"),
+        F.count(
+            F.when(
+                F.col("e").isNotNull() & (F.size("e") != _EMB_DIM), 1
+            )
+        )
+        .cast("long")
+        .alias("n_bad_dim"),
+        F.count(F.when(F.col("nrm") == 0.0, 1)).cast("long").alias("n_zero"),
+        F.round(F.min(F.when(F.col("nrm") > 0, F.col("nrm"))), 6).alias(
+            "min_norm"
+        ),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

@@ -199,3 +199,38 @@ def test_weighted_sample_matches_python_spec(spark):
     assert [r.doc_id for r in got] == [d for _, d in want]
     for r, (k, _) in zip(got, want):
         assert r.race_key == round(k, 9)
+
+
+def test_score_drift_psi_terms_nonneg_and_counts_reconcile(spark):
+    """Every PSI contribution is ≥0 by construction ((pa-pb) and
+    ln(pa/pb) share sign), the bin grid's counts reconcile with the raw
+    halves, and the fixture actually drifts somewhere."""
+    from documentai_ocr_spark.queries.relevance import q_score_drift
+    from documentai_ocr_spark.queries.util import load
+
+    out = q_score_drift(spark, SF).cache()
+    assert out.where(F.col("psi_term") < 0).count() == 0
+    assert out.where(F.col("psi_term") > 0).count() > 0
+    tot = out.agg(F.sum("ca"), F.sum("cb")).collect()[0]
+    docs = load(spark, SF, "documents")
+    assert tot[0] == docs.where(F.col("doc_id") % 2 == 0).count()
+    assert tot[1] == docs.where(F.col("doc_id") % 2 == 1).count()
+    out.unpersist()
+
+
+def test_embed_audit_detects_each_injected_fault(spark):
+    """The audit must see every injected fault class (nulls, zero
+    vectors, truncated dims) and report a sane nonzero-norm range."""
+    from documentai_ocr_spark.queries.relevance import q_embed_audit
+
+    out = q_embed_audit(spark, SF).cache()
+    agg = out.agg(
+        F.sum("n_null"), F.sum("n_bad_dim"), F.sum("n_zero"),
+        F.sum("n_vecs"),
+    ).collect()[0]
+    assert agg[0] > 0 and agg[1] > 0 and agg[2] > 0
+    assert agg[0] + agg[1] + agg[2] < agg[3]
+    assert out.where(
+        (F.col("min_norm") <= 0) | (F.col("min_norm") > F.col("max_norm"))
+    ).count() == 0
+    out.unpersist()
