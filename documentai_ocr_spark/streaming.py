@@ -450,3 +450,73 @@ def stream_neardup(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------- streaming upsert
+SUPERSEDE_STATE_SCHEMA = (
+    "kept_ms long, kept_attempt int, kept_text string, n_attempts long"
+)
+SUPERSEDE_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, kept_ms long, kept_attempt int, "
+    "kept_text string, n_attempts long"
+)
+
+
+def stream_supersede(stream: DataFrame) -> DataFrame:
+    """Streaming latest-wins turn upsert — the streaming twin of
+    q_turn_supersede (queries/relational.py): a regenerated/edited turn
+    arriving in ANY later micro-batch replaces its predecessor, a stale
+    attempt arriving late does NOT. State per (conv_id, turn_idx) is the
+    winning attempt's (ms, attempt, payload) plus an attempt counter;
+    each batch emits the key's current winner (Update mode), so a
+    downstream MERGE sink materializes the resolved transcript.
+
+    The keep rule is the batch query's exact ordering — (ms, attempt)
+    lexicographic max — which is ORDER-INDEPENDENT across deliveries:
+    any arrival interleaving converges to the same state (the property
+    the cross-batch test pins).
+
+    Scale: state is one turn's payload per turn key (the finest key in
+    the table — no conversation or source ever groups); each micro-batch
+    shuffles once on the turn key.
+
+    Expected input columns: conv_id, turn_idx, ms (long), attempt (int),
+    text."""
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            kept_ms, kept_attempt, kept_text, n_attempts = state.get
+        else:
+            kept_ms, kept_attempt, kept_text, n_attempts = -1, -1, None, 0
+        for pdf in pdfs:
+            n_attempts += len(pdf)
+            for ms, att, txt in zip(
+                pdf["ms"], pdf["attempt"], pdf["text"]
+            ):
+                if (int(ms), int(att)) > (kept_ms, kept_attempt):
+                    kept_ms, kept_attempt = int(ms), int(att)
+                    kept_text = None if txt is None else str(txt)
+        state.update((kept_ms, kept_attempt, kept_text, n_attempts))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turn_idx": [key[1]],
+                "kept_ms": [kept_ms],
+                "kept_attempt": [kept_attempt],
+                "kept_text": [kept_text],
+                "n_attempts": [n_attempts],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("conv_id", "turn_idx").applyInPandasWithState(
+        update,
+        outputStructType=SUPERSEDE_OUT_SCHEMA,
+        stateStructType=SUPERSEDE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -501,3 +501,90 @@ def test_streaming_simhash_edge_payloads():
     empty_tok = int(hashlib.md5(b"").hexdigest()[:15], 16)
     assert int(got[0]) == empty_tok
     assert int(got[1]) == int(got[2])
+
+
+def test_stream_supersede_latest_wins_any_order(spark, tmp_path_factory):
+    """Cross-batch latest-wins upsert: retries in later batches
+    supersede, stale late arrivals do not, and the final state equals
+    the batch (ms, attempt)-max regardless of delivery interleaving —
+    the keep rule is order-independent, so micro-batch file order
+    cannot change the answer."""
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import stream_supersede
+
+    base = tmp_path_factory.mktemp("stream")
+    d = str(base / "in")
+    ckpt = str(base / "ckpt")
+
+    # attempt grid over 6 turn keys, spread over 3 files:
+    #   originals (attempt 1), fresh retries (higher ms, attempt 2)
+    #   for turns 0/2/4, STALE attempts (lower ms, attempt 0) for 1/3
+    orig = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 6,
+            "turn_idx": list(range(6)),
+            "ms": [1000 + t for t in range(6)],
+            "attempt": [1] * 6,
+            "text": [f"orig-{t}" for t in range(6)],
+        }
+    )
+    retry = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [0, 2, 4],
+            "ms": [9000, 9002, 9004],
+            "attempt": [2] * 3,
+            "text": ["retry-0", "retry-2", "retry-4"],
+        }
+    )
+    stale = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 2,
+            "turn_idx": [1, 3],
+            "ms": [10, 30],
+            "attempt": [0] * 2,
+            "text": ["stale-1", "stale-3"],
+        }
+    )
+    schema = (
+        "conv_id string, turn_idx int, ms long, attempt int, text string"
+    )
+    for i, pdf in enumerate([orig, retry, stale]):
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_supersede(src)
+        .writeStream.format("memory")
+        .queryName("supersede")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "supersede drain did not finish"
+    final = {}
+    for r in spark.sql("SELECT * FROM supersede").collect():
+        final[(r.conv_id, r.turn_idx)] = (
+            r.kept_ms,
+            r.kept_attempt,
+            r.kept_text,
+            r.n_attempts,
+        )
+    # batch truth: (ms, attempt)-lexicographic max per key
+    want = {
+        ("c", 0): (9000, 2, "retry-0", 2),
+        ("c", 1): (1001, 1, "orig-1", 2),
+        ("c", 2): (9002, 2, "retry-2", 2),
+        ("c", 3): (1003, 1, "orig-3", 2),
+        ("c", 4): (9004, 2, "retry-4", 2),
+        ("c", 5): (1005, 1, "orig-5", 1),
+    }
+    assert final == want
