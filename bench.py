@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     #   overhead (~1.5 s each) — the number measures the scheduler floor,
     #   not per-row work; the scale behavior (O(log n) rounds, one
     #   shuffle per round) is pinned by tests/test_components.py
+    "q_turn_supersede",         # transcript upsert: generation + turn-key window
+    "q_prefix_share",           # prompt-cache planning (conv-bounded window)
 ]
 
 _SF_TAG = SF_DIR.strip("/").replace("/", "_")
