@@ -2676,3 +2676,137 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
         (F.max("ms") - F.min("ms")).cast("long").alias("span_ms"),
     )
+
+
+# ----------------------------------------------------- SFT admission gate
+# The conversation-level admission decision an SFT-curation run makes
+# AFTER the per-audit views: one scan, one conv-keyed window pass and
+# one conv-grain rollup serve ALL the structural rules at once (the
+# Deequ-fusion discipline of q_dq_checks applied to transcripts) —
+# completeness (no lost turn indices), protocol (no same-role
+# adjacency), opening (first surviving turn is the user), volume
+# (enough turns survived). Runs over the decimated stream, so every
+# rule genuinely fires somewhere.
+_SFT_MIN_TURNS = 11
+
+
+@_q(
+    "q_sft_gate",
+    f"""
+    WITH turns AS (
+      SELECT doc_id, g.t,
+             ['user','assistant','tool'][g.t % 3 + 1] AS role
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+    ),
+    kept AS (
+      SELECT doc_id, t, role FROM turns
+      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
+            % 37 <> 0
+    ),
+    p AS (
+      SELECT doc_id, t, role,
+             lag(role) OVER (PARTITION BY doc_id ORDER BY t) AS prev_role,
+             row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn
+      FROM kept
+    ),
+    a AS (
+      SELECT doc_id,
+             COUNT(*) AS n_turns,
+             MAX(t) + 1 - COUNT(DISTINCT t) AS n_missing,
+             COALESCE(SUM(CASE WHEN role = prev_role THEN 1 END), 0)
+               AS n_same_role,
+             MAX(CASE WHEN rn = 1 AND role = 'user' THEN 1 ELSE 0 END)
+               AS starts_user
+      FROM p GROUP BY doc_id
+    )
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
+           CAST(n_turns AS bigint) AS n_turns,
+           CAST(CASE WHEN n_missing = 0 THEN 1 ELSE 0 END AS int)
+             AS ok_complete,
+           CAST(CASE WHEN n_same_role = 0 THEN 1 ELSE 0 END AS int)
+             AS ok_protocol,
+           CAST(starts_user AS int) AS ok_opening,
+           CAST(CASE WHEN n_turns >= {_SFT_MIN_TURNS} THEN 1 ELSE 0 END
+                AS int) AS ok_volume,
+           CAST(CASE WHEN n_missing = 0 AND n_same_role = 0
+                      AND starts_user = 1 AND n_turns >= {_SFT_MIN_TURNS}
+                     THEN 1 ELSE 0 END AS int) AS admitted
+    FROM a
+    """,
+)
+def q_sft_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused conversation admission gate: all four structural rules
+    (completeness, protocol, opening, volume) decided from ONE window
+    pass + ONE conv-grain aggregation — the audits q_turn_integrity and
+    q_role_alternation publish separately fold into a single scan when
+    only the decision is needed. Rules are conjunctive; each ok_* flag
+    is published so the reject reasons are queryable."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role"
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.expr("substr(conv_id, 6)")
+                        .cast("long")
+                        .cast("string"),
+                        F.lit("#"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+    )
+    kept = t.where(coin != 0)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = kept.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a = p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max("turn_idx") + 1 - F.countDistinct("turn_idx")).alias(
+            "n_missing"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("role") == F.col("prev_role"), 1)),
+            F.lit(0),
+        ).alias("n_same_role"),
+        F.max(
+            F.when(
+                (F.col("rn") == 1) & (F.col("role") == "user"), 1
+            ).otherwise(0)
+        ).alias("starts_user"),
+    )
+    ok_complete = (F.col("n_missing") == 0).cast("int")
+    ok_protocol = (F.col("n_same_role") == 0).cast("int")
+    ok_opening = F.col("starts_user").cast("int")
+    ok_volume = (F.col("n_turns") >= _SFT_MIN_TURNS).cast("int")
+    return a.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        ok_complete.alias("ok_complete"),
+        ok_protocol.alias("ok_protocol"),
+        ok_opening.alias("ok_opening"),
+        ok_volume.alias("ok_volume"),
+        (
+            ok_complete.cast("boolean")
+            & ok_protocol.cast("boolean")
+            & ok_opening.cast("boolean")
+            & ok_volume.cast("boolean")
+        )
+        .cast("int")
+        .alias("admitted"),
+    )

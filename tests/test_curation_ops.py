@@ -153,3 +153,71 @@ def test_boiler_linefreq_rediscovers_injected_lines(spark):
     got = {r["source"]: r["boiler_lines"] for r in out.collect()}
     assert got == exp
     out.unpersist()
+
+
+def test_winnow_inrow_kernel_matches_python_spec(spark):
+    """The in-row winnow rewrite (gram-hash transform + clamped-slice
+    mins) against a pure-Python re-derivation of the Schleimer spec on
+    hostile token lists: short docs, empty tokens (consecutive spaces),
+    unicode, all-identical grams, exactly-K words."""
+    import hashlib
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.textstats import (
+        _WINNOW_K,
+        _WINNOW_W,
+        q_winnow_fingerprint,
+    )
+
+    def spec(text):
+        words = text.split(" ")
+        if len(words) < _WINNOW_K:
+            return None
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(words[i : i + _WINNOW_K]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(words) - _WINNOW_K + 1)
+        ]
+        mins = [
+            min(hs[j : j + _WINNOW_W]) for j in range(len(hs))
+        ]
+        return (len(set(mins)), min(mins), max(mins))
+
+    texts = [
+        "a b c",                     # < K words -> excluded
+        "a b c d",                   # exactly K
+        "a  b  c  d  e",             # empty tokens between doubles
+        "x x x x x x x x x x",       # all-identical grams
+        "文 档 提 取 引 擎 按 行",    # unicode
+        "one two three four five six seven eight nine ten",
+        "",                          # empty text -> [''] -> excluded
+    ] + [
+        " ".join(
+            f"w{(i * 7 + j * 13) % 23}" for j in range(5 + (i % 17))
+        )
+        for i in range(25)
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts,
+         "source": ["s"] * len(texts), "lang": ["en"] * len(texts),
+         "n_chars": [len(t) for t in texts]}
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = {
+            r["doc_id"]: (r["n_fp"], r["min_fp"], r["max_fp"])
+            for r in q_winnow_fingerprint(spark, d).collect()
+        }
+    want = {
+        i: spec(t) for i, t in enumerate(texts) if spec(t) is not None
+    }
+    assert got == want

@@ -141,3 +141,28 @@ def test_prefix_share_monotone_and_nonvacuous(spark):
         assert rows[d]["shared_convs"] <= rows[d - 1]["shared_convs"]
     for r in rows.values():
         assert r["n_prefixes"] <= r["n_convs"]
+
+
+def test_sft_gate_flags_conjunction_and_each_rule_fires(spark):
+    """admitted must equal the conjunction of the four published flags,
+    every individual rule must reject at least one conversation on the
+    decimated fixture, and the gate must be neither vacuous nor total."""
+    from documentai_ocr_spark.queries.relational import q_sft_gate
+
+    out = q_sft_gate(spark, SF).cache()
+    n = out.count()
+    bad = out.where(
+        F.col("admitted")
+        != (
+            F.col("ok_complete").cast("boolean")
+            & F.col("ok_protocol").cast("boolean")
+            & F.col("ok_opening").cast("boolean")
+            & F.col("ok_volume").cast("boolean")
+        ).cast("int")
+    ).count()
+    assert bad == 0
+    for flag in ("ok_complete", "ok_protocol", "ok_opening", "ok_volume"):
+        assert out.where(F.col(flag) == 0).count() > 0, flag
+    adm = out.where(F.col("admitted") == 1).count()
+    assert 0 < adm < n
+    out.unpersist()
