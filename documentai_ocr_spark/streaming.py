@@ -520,3 +520,66 @@ def stream_supersede(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------ streaming context trim
+TRIM_STATE_SCHEMA = "idxs array<int>, toks array<int>, total long"
+TRIM_OUT_SCHEMA = (
+    "conv_id string, kept_docs long, kept_tokens long, first_kept int"
+)
+
+
+def stream_context_trim(stream: DataFrame, budget: int = 256) -> DataFrame:
+    """Streaming longest-suffix context trim — the serving-side twin of
+    q_context_trim (queries/corpusops.py): as turns arrive, keep the
+    longest suffix whose token total fits the budget, dropping history
+    from the front. Incremental-greedy equals the batch rule because
+    suffix sums only grow extending backwards: append, then pop the
+    front while over budget (a single turn larger than the whole budget
+    pops itself — kept=0, the batch edge case).
+
+    State per conversation is BOUNDED BY THE BUDGET (at most
+    budget+1 turn entries, two int arrays + a long), not by the
+    conversation length — the property that lets a serving fleet hold
+    every open conversation's window in memory.
+
+    Expected input columns: conv_id, turn_idx (int), tok (int)."""
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            idxs, toks, total = state.get
+            idxs, toks = list(idxs), list(toks)
+        else:
+            idxs, toks, total = [], [], 0
+        for pdf in pdfs:
+            for ti, tk in sorted(
+                zip(pdf["turn_idx"], pdf["tok"]),
+            ):
+                idxs.append(int(ti))
+                toks.append(int(tk))
+                total += int(tk)
+                while total > budget and idxs:
+                    total -= toks.pop(0)
+                    idxs.pop(0)
+        state.update((idxs, toks, total))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "kept_docs": [len(idxs)],
+                "kept_tokens": [total],
+                "first_kept": [idxs[0] if idxs else None],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=TRIM_OUT_SCHEMA,
+        stateStructType=TRIM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

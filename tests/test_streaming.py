@@ -588,3 +588,66 @@ def test_stream_supersede_latest_wins_any_order(spark, tmp_path_factory):
         ("c", 5): (1005, 1, "orig-5", 1),
     }
     assert final == want
+
+
+def test_stream_context_trim_equals_batch_suffix_rule(spark, tmp_path_factory):
+    """Incremental-greedy trim across micro-batches must equal the
+    batch longest-suffix rule over the whole history, including the
+    oversized-turn edge (a turn bigger than the budget empties the
+    window) — and state stays budget-bounded by construction."""
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import stream_context_trim
+
+    base = tmp_path_factory.mktemp("stream")
+    d, ckpt = str(base / "in"), str(base / "ckpt")
+    budget = 100
+
+    rows = [
+        # conv A: steady growth, history must drop from the front
+        *[("A", t, 30) for t in range(6)],          # 180 total
+        # conv B: an oversized turn mid-stream, then recovery
+        ("B", 0, 40), ("B", 1, 500), ("B", 2, 20), ("B", 3, 30),
+        # conv C: fits entirely
+        ("C", 0, 10), ("C", 1, 20),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "tok"])
+    schema = "conv_id string, turn_idx int, tok int"
+    # shuffle row order across 3 files — arrival order within a conv is
+    # restored by the in-batch sort + turn_idx monotonicity per file
+    for chunk in (pdf.iloc[:5], pdf.iloc[5:9], pdf.iloc[9:]):
+        spark.createDataFrame(chunk, schema=schema).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_context_trim(src, budget=budget)
+        .writeStream.format("memory")
+        .queryName("ctx_trim")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "trim drain did not finish"
+    final = {}
+    for r in spark.sql("SELECT * FROM ctx_trim").collect():
+        final[r.conv_id] = (r.kept_docs, r.kept_tokens, r.first_kept)
+
+    def batch_suffix(toks):
+        total, kept = 0, []
+        for ti, tk in reversed(sorted(toks)):
+            if total + tk > budget:
+                break
+            total += tk
+            kept.append(ti)
+        return (len(kept), total, min(kept) if kept else None)
+
+    for conv in ("A", "B", "C"):
+        toks = [(t, k) for c, t, k in rows if c == conv]
+        assert final[conv] == batch_suffix(toks), conv
