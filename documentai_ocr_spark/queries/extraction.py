@@ -223,3 +223,137 @@ def x_extract_ab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text_b").alias("len_b"),
         )
     )
+
+
+@_q("x_transcript_curate")
+def x_transcript_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSCRIPT-warehouse lifecycle in one lineage — the agent-data
+    twin of x_corpus_curate: (1) latest-wins retry resolution
+    (q_turn_supersede's attempt explode + turn-key window), (2) ingest
+    loss (q_turn_integrity's md5%37 decimation), (3) the fused
+    structural admission gate (q_sft_gate's four rules), (4) per-turn
+    extraction of ONLY admitted conversations, (5) per-conversation
+    training yield (turns, spans, extracted chars). Every stage is the
+    already-gated operator, composed; rows-only BY INPUT (the turn
+    payloads are Python-synthesized).
+
+    Scale shape: one turn-key shuffle resolves retries, one conv-key
+    window serves the whole gate, the extraction stage is narrow, and
+    REJECTED conversations never reach the Python boundary — the gate
+    prunes before the expensive stage."""
+    from .relational import _RETRY_DELAY_MS, _RETRY_MOD, _SFT_MIN_TURNS
+
+    t = transcripts_from_documents(spark, sf_dir)
+    doc_int = F.expr("substr(conv_id, 6)").cast("bigint")
+
+    # (1) retries + latest-wins resolution (payload rides the window)
+    retry_coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", doc_int, F.col("turn_idx"), F.lit("retry")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _RETRY_MOD
+    )
+    attempts = F.when(
+        retry_coin == 0, F.array(F.lit(1), F.lit(2))
+    ).otherwise(F.array(F.lit(1)))
+    u = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_millis("ts").alias("ms"),
+        F.explode(attempts).alias("attempt"),
+    ).withColumn(
+        "ms",
+        F.col("ms")
+        + F.when(F.col("attempt") == 2, F.lit(_RETRY_DELAY_MS)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("attempt") == 2,
+            F.concat(F.lit("regenerated: "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    key = Window.partitionBy("conv_id", "turn_idx")
+    resolved = (
+        u.withColumn(
+            "rn",
+            F.row_number().over(
+                key.orderBy(F.desc("ms"), F.desc("attempt"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn", "ms", "attempt")
+    )
+
+    # (2) ingest loss — the shared integrity coin
+    loss_coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        doc_int.cast("string"),
+                        F.lit("#"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+    )
+    kept = resolved.where(loss_coin != 0)
+
+    # (3) fused structural gate (q_sft_gate's rules, one window pass)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = kept.withColumn("prev_role", F.lag("role").over(w)).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    gate = p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max("turn_idx") + 1 - F.countDistinct("turn_idx")).alias(
+            "n_missing"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("role") == F.col("prev_role"), 1)),
+            F.lit(0),
+        ).alias("n_same_role"),
+        F.max(
+            F.when(
+                (F.col("rnk") == 1) & (F.col("role") == "user"), 1
+            ).otherwise(0)
+        ).alias("starts_user"),
+    )
+    admitted = gate.where(
+        (F.col("n_missing") == 0)
+        & (F.col("n_same_role") == 0)
+        & (F.col("starts_user") == 1)
+        & (F.col("n_turns") >= _SFT_MIN_TURNS)
+    ).select("conv_id")
+
+    # (4) extract only what survived the gate; (5) training yield
+    ext = extract_turns(
+        kept.join(F.broadcast(admitted), "conv_id").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+    )
+    return ext.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.sum(F.length("text")).cast("long").alias("extracted_chars"),
+    )

@@ -2810,3 +2810,54 @@ def q_sft_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("admitted"),
     )
+
+
+# ----------------------------------------------------------- tool pivot
+# The wide dashboard matrix: one row per conversation, one column per
+# tool — Spark's relational pivot (groupBy().pivot(values=...)) with the
+# value universe DECLARED, so no extra distinct-scan plans the columns
+# and the schema is stable at any corpus size (an undeclared pivot on
+# 100 TB first runs a distinct over the pivot column).
+_PIVOT_TOOLS = ("search", "browser", "calculator", "code_exec")
+
+
+@_q(
+    "q_tool_pivot",
+    f"""
+    WITH tt AS (
+      SELECT doc_id, g.t,
+             ['search','browser','calculator','code_exec']
+               [('0x' || substr(md5(doc_id || ':' || g.t), 1, 8))::bigint
+                % 4 + 1] AS tool
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+      WHERE g.t % 3 = 2
+    )
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
+           {", ".join(
+               f"CAST(COALESCE(SUM(CASE WHEN tool = '{p}' THEN 1 END), 0)"
+               f" AS bigint) AS n_{p}" for p in _PIVOT_TOOLS
+           )}
+    FROM tt GROUP BY doc_id
+    """,
+)
+def q_tool_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation tool-usage matrix via the declared-values pivot:
+    one conv-keyed partial-agg shuffle, schema fixed at plan time. The
+    oracle is the equivalent conditional aggregation — the rewrite
+    Catalyst itself applies to a pivot."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    tools = t.where(F.col("role") == "tool").select("conv_id", "tool")
+    wide = (
+        tools.groupBy("conv_id")
+        .pivot("tool", list(_PIVOT_TOOLS))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "conv_id",
+        *[
+            F.coalesce(F.col(p), F.lit(0)).cast("long").alias(f"n_{p}")
+            for p in _PIVOT_TOOLS
+        ],
+    )

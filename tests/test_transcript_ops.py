@@ -166,3 +166,57 @@ def test_sft_gate_flags_conjunction_and_each_rule_fires(spark):
     adm = out.where(F.col("admitted") == 1).count()
     assert 0 < adm < n
     out.unpersist()
+
+
+def test_transcript_curate_composition(spark):
+    """The lifecycle composition must (a) emit exactly the q_sft_gate
+    admitted set — the gate stage is the same rules over the same
+    damaged stream — and (b) show real extraction yield on every
+    admitted conversation (spans and chars positive: admitted ≥ 11-turn
+    conversations always contain extractable payloads)."""
+    from documentai_ocr_spark.queries.extraction import (
+        x_transcript_curate,
+    )
+    from documentai_ocr_spark.queries.relational import q_sft_gate
+
+    out = x_transcript_curate(spark, SF).cache()
+    got = {r["conv_id"] for r in out.select("conv_id").collect()}
+    want = {
+        r["conv_id"]
+        for r in q_sft_gate(spark, SF)
+        .where(F.col("admitted") == 1)
+        .collect()
+    }
+    assert got == want and got
+    assert out.where(F.col("total_spans") <= 0).count() == 0
+    assert out.where(F.col("extracted_chars") <= 0).count() == 0
+    out.unpersist()
+
+
+def test_tool_pivot_counts_reconcile(spark):
+    """The pivot matrix row-sums must equal the conversation's tool-turn
+    count, and column totals must match the flat groupBy."""
+    from documentai_ocr_spark.queries.relational import (
+        _PIVOT_TOOLS,
+        q_tool_pivot,
+    )
+
+    out = q_tool_pivot(spark, SF).cache()
+    t = transcripts_from_documents(spark, SF)
+    flat = {
+        r["tool"]: r["n"]
+        for r in t.where(F.col("role") == "tool")
+        .groupBy("tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cols = {
+        p: out.agg(F.sum(f"n_{p}")).collect()[0][0] for p in _PIVOT_TOOLS
+    }
+    assert cols == flat
+    n_tool_turns = t.where(F.col("role") == "tool").count()
+    total = out.select(
+        sum(F.col(f"n_{p}") for p in _PIVOT_TOOLS).alias("s")
+    ).agg(F.sum("s")).collect()[0][0]
+    assert total == n_tool_turns
+    out.unpersist()
