@@ -1771,19 +1771,28 @@ def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     gdf, _m = _conv_group(docs.select("doc_id", text.alias("text")),
                           docs.count())
+    # rank FIRST, then run the concat window over only the surviving
+    # ≤ max_depth rows: per-row window state is capped at max_depth
+    # turns instead of buffering (and md5-ing) the whole conversation
+    # prefix at every row of an arbitrarily long conversation — the
+    # running-concat over the filtered frame equals window-then-filter
+    # because a depth-d prefix only reads rows of depth ≤ d
+    wo = Window.partitionBy("g").orderBy("doc_id")
+    head = gdf.select(
+        "g", "doc_id", "text", F.row_number().over(wo).alias("depth")
+    ).where(F.col("depth") <= _PREFIX_MAX_DEPTH)
     w = (
         Window.partitionBy("g")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wo = Window.partitionBy("g").orderBy("doc_id")
-    p = gdf.select(
+    p = head.select(
         "g",
-        F.row_number().over(wo).alias("depth"),
+        "depth",
         F.md5(
             F.concat_ws("\x1f", F.collect_list("text").over(w))
         ).alias("ph"),
-    ).where(F.col("depth") <= _PREFIX_MAX_DEPTH)
+    )
     c = p.groupBy("depth", "ph").agg(F.count(F.lit(1)).alias("n"))
     shared = F.coalesce(
         F.sum(F.when(F.col("n") >= 2, F.col("n"))), F.lit(0)

@@ -238,10 +238,20 @@ def x_transcript_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are Python-synthesized).
 
     Scale shape: one turn-key shuffle resolves retries, one conv-key
-    window serves the whole gate, the extraction stage is narrow, and
-    REJECTED conversations never reach the Python boundary — the gate
-    prunes before the expensive stage."""
-    from .relational import _RETRY_DELAY_MS, _RETRY_MOD, _SFT_MIN_TURNS
+    window serves the whole gate (via relational._gate_stats — the SAME
+    builder q_sft_gate runs, so the two cannot drift), the admitted set
+    prunes via a LEFT SEMI join (conversation-grain — corpus-sized, so
+    never forced broadcast; AQE picks the strategy), the extraction
+    stage is narrow, and REJECTED conversations never reach the Python
+    boundary."""
+    from .relational import (
+        _RETRY_DELAY_MS,
+        _RETRY_MOD,
+        _SFT_MIN_TURNS,
+        _TURNS_PER_CONV,
+        _gate_stats,
+        _loss_coin,
+    )
 
     t = transcripts_from_documents(spark, sf_dir)
     doc_int = F.expr("substr(conv_id, 6)").cast("bigint")
@@ -299,48 +309,13 @@ def x_transcript_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # (2) ingest loss — the shared integrity coin
-    loss_coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        doc_int.cast("string"),
-                        F.lit("#"),
-                        F.col("turn_idx").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 37
-    )
-    kept = resolved.where(loss_coin != 0)
+    kept = resolved.where(_loss_coin() != 0)
 
-    # (3) fused structural gate (q_sft_gate's rules, one window pass)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    p = kept.withColumn("prev_role", F.lag("role").over(w)).withColumn(
-        "rnk", F.row_number().over(w)
-    )
-    gate = p.groupBy("conv_id").agg(
-        F.count(F.lit(1)).alias("n_turns"),
-        (F.max("turn_idx") + 1 - F.countDistinct("turn_idx")).alias(
-            "n_missing"
-        ),
-        F.coalesce(
-            F.sum(F.when(F.col("role") == F.col("prev_role"), 1)),
-            F.lit(0),
-        ).alias("n_same_role"),
-        F.max(
-            F.when(
-                (F.col("rnk") == 1) & (F.col("role") == "user"), 1
-            ).otherwise(0)
-        ).alias("starts_user"),
-    )
+    # (3) fused structural gate — the shared q_sft_gate builder
+    gate = _gate_stats(kept)
     admitted = gate.where(
         (F.col("n_missing") == 0)
+        & (F.col("max_idx") == _TURNS_PER_CONV - 1)
         & (F.col("n_same_role") == 0)
         & (F.col("starts_user") == 1)
         & (F.col("n_turns") >= _SFT_MIN_TURNS)
@@ -348,8 +323,8 @@ def x_transcript_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # (4) extract only what survived the gate; (5) training yield
     ext = extract_turns(
-        kept.join(F.broadcast(admitted), "conv_id").select(
-            "conv_id", "turn_idx", "role", "text"
+        kept.select("conv_id", "turn_idx", "role", "text").join(
+            admitted, "conv_id", "leftsemi"
         )
     )
     return ext.groupBy("conv_id").agg(

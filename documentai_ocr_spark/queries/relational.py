@@ -2221,17 +2221,87 @@ def q_ols_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines decimate deterministically first (md5 coin drops ~1/37
 # of turns) — the audit has real holes to find and the gate compares
 # real counts.
+_LOSS_MOD = 37
+_TURNS_PER_CONV = 12  # synth.transcripts_from_documents default
+
+# the ONE DuckDB rendering of the ingest-loss decimation coin — every
+# oracle that damages the stream composes this WHERE clause, so the
+# coin cannot drift between the audits it is shared by (the
+# _conv_group/_M_CTE discipline)
+_KEPT_WHERE = (
+    "('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint"
+    f" % {_LOSS_MOD} <> 0"
+)
+
+
+def _loss_coin():
+    """Spark rendering of the shared decimation coin over
+    (conv_id, turn_idx) — the engine-side twin of _KEPT_WHERE. Every
+    audit that simulates ingest loss filters on ``_loss_coin() != 0``
+    so they all describe the SAME damaged stream."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.expr("substr(conv_id, 6)")
+                        .cast("long")
+                        .cast("string"),
+                        F.lit("#"),
+                        F.col("turn_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _LOSS_MOD
+    )
+
+
+def _gate_stats(kept: DataFrame) -> DataFrame:
+    """The fused structural-audit rollup shared by q_sft_gate and
+    x_transcript_curate: (n_turns, max_idx, interior holes, same-role
+    adjacencies, opens-with-user) from ONE conv-keyed window pass +
+    ONE conv-grain aggregation. Expects (conv_id, turn_idx, role)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = kept.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(w).alias("prev_role"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return p.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_idx"),
+        (F.max("turn_idx") + 1 - F.countDistinct("turn_idx")).alias(
+            "n_missing"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("role") == F.col("prev_role"), 1)),
+            F.lit(0),
+        ).alias("n_same_role"),
+        F.max(
+            F.when(
+                (F.col("rn") == 1) & (F.col("role") == "user"), 1
+            ).otherwise(0)
+        ).alias("starts_user"),
+    )
+
+
 @_q(
     "q_turn_integrity",
-    """
+    f"""
     WITH turns AS (
       SELECT doc_id, g.t
       FROM documents, unnest(generate_series(0, 11)) g(t)
     ),
     kept AS (
       SELECT doc_id, t FROM turns
-      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
-            % 37 <> 0
+      WHERE {_KEPT_WHERE}
     )
     SELECT printf('conv-%08d', doc_id) AS conv_id,
            CAST(COUNT(*) AS bigint) AS n_turns,
@@ -2255,27 +2325,7 @@ def q_turn_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_documents(spark, sf_dir).select(
         "conv_id", "turn_idx"
     )
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.substring("conv_id", 6, 20)
-                        .cast("long")
-                        .cast("string"),
-                        F.lit("#"),
-                        F.col("turn_idx").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 37
-    )
-    kept = t.where(coin != 0)
+    kept = t.where(_loss_coin() != 0)
     return kept.groupBy("conv_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
         F.max("turn_idx").cast("int").alias("max_idx"),
@@ -2510,7 +2560,7 @@ def q_tool_retry_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measures what the holes did to the conversation protocol.
 @_q(
     "q_role_alternation",
-    """
+    f"""
     WITH turns AS (
       SELECT doc_id, g.t,
              ['user','assistant','tool'][g.t % 3 + 1] AS role
@@ -2518,8 +2568,7 @@ def q_tool_retry_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kept AS (
       SELECT doc_id, t, role FROM turns
-      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
-            % 37 <> 0
+      WHERE {_KEPT_WHERE}
     ),
     p AS (
       SELECT doc_id, t, role,
@@ -2548,27 +2597,7 @@ def q_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_documents(spark, sf_dir).select(
         "conv_id", "turn_idx", "role"
     )
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.expr("substr(conv_id, 6)")
-                        .cast("long")
-                        .cast("string"),
-                        F.lit("#"),
-                        F.col("turn_idx").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 37
-    )
-    kept = t.where(coin != 0)
+    kept = t.where(_loss_coin() != 0)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     p = kept.select(
         "conv_id",
@@ -2609,8 +2638,7 @@ def q_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kept AS (
       SELECT * FROM turns
-      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
-            % 37 <> 0
+      WHERE {_KEPT_WHERE}
     )
     SELECT printf('conv-%08d', doc_id) AS conv_id,
            CAST(COUNT(*) AS bigint) AS n_turns,
@@ -2637,27 +2665,7 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", "tool",
         F.unix_millis("ts").alias("ms"),
     )
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.expr("substr(conv_id, 6)")
-                        .cast("long")
-                        .cast("string"),
-                        F.lit("#"),
-                        F.col("turn_idx").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 37
-    )
-    kept = t.where(coin != 0)
+    kept = t.where(_loss_coin() != 0)
 
     def _role_n(r: str):
         return (
@@ -2700,8 +2708,7 @@ _SFT_MIN_TURNS = 11
     ),
     kept AS (
       SELECT doc_id, t, role FROM turns
-      WHERE ('0x' || substr(md5(doc_id || '#' || t), 1, 8))::bigint
-            % 37 <> 0
+      WHERE {_KEPT_WHERE}
     ),
     p AS (
       SELECT doc_id, t, role,
@@ -2712,6 +2719,7 @@ _SFT_MIN_TURNS = 11
     a AS (
       SELECT doc_id,
              COUNT(*) AS n_turns,
+             MAX(t) AS max_idx,
              MAX(t) + 1 - COUNT(DISTINCT t) AS n_missing,
              COALESCE(SUM(CASE WHEN role = prev_role THEN 1 END), 0)
                AS n_same_role,
@@ -2721,14 +2729,17 @@ _SFT_MIN_TURNS = 11
     )
     SELECT printf('conv-%08d', doc_id) AS conv_id,
            CAST(n_turns AS bigint) AS n_turns,
-           CAST(CASE WHEN n_missing = 0 THEN 1 ELSE 0 END AS int)
-             AS ok_complete,
+           CAST(CASE WHEN n_missing = 0
+                      AND max_idx = {_TURNS_PER_CONV - 1}
+                     THEN 1 ELSE 0 END AS int) AS ok_complete,
            CAST(CASE WHEN n_same_role = 0 THEN 1 ELSE 0 END AS int)
              AS ok_protocol,
            CAST(starts_user AS int) AS ok_opening,
            CAST(CASE WHEN n_turns >= {_SFT_MIN_TURNS} THEN 1 ELSE 0 END
                 AS int) AS ok_volume,
-           CAST(CASE WHEN n_missing = 0 AND n_same_role = 0
+           CAST(CASE WHEN n_missing = 0
+                      AND max_idx = {_TURNS_PER_CONV - 1}
+                      AND n_same_role = 0
                       AND starts_user = 1 AND n_turns >= {_SFT_MIN_TURNS}
                      THEN 1 ELSE 0 END AS int) AS admitted
     FROM a
@@ -2737,60 +2748,23 @@ _SFT_MIN_TURNS = 11
 def q_sft_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused conversation admission gate: all four structural rules
     (completeness, protocol, opening, volume) decided from ONE window
-    pass + ONE conv-grain aggregation — the audits q_turn_integrity and
-    q_role_alternation publish separately fold into a single scan when
-    only the decision is needed. Rules are conjunctive; each ok_* flag
-    is published so the reject reasons are queryable."""
+    pass + ONE conv-grain aggregation (_gate_stats — shared with the
+    x_transcript_curate lifecycle so the two can never drift). Rules
+    are conjunctive; each ok_* flag is published so the reject reasons
+    are queryable. Completeness checks interior holes AND trailing
+    truncation against the expected grid (max_idx == expected-1):
+    losing the LAST turn is the same defect as losing a middle one."""
     from ..synth import transcripts_from_documents
 
     t = transcripts_from_documents(spark, sf_dir).select(
         "conv_id", "turn_idx", "role"
     )
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.expr("substr(conv_id, 6)")
-                        .cast("long")
-                        .cast("string"),
-                        F.lit("#"),
-                        F.col("turn_idx").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 37
-    )
-    kept = t.where(coin != 0)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    p = kept.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        F.lag("role").over(w).alias("prev_role"),
-        F.row_number().over(w).alias("rn"),
-    )
-    a = p.groupBy("conv_id").agg(
-        F.count(F.lit(1)).alias("n_turns"),
-        (F.max("turn_idx") + 1 - F.countDistinct("turn_idx")).alias(
-            "n_missing"
-        ),
-        F.coalesce(
-            F.sum(F.when(F.col("role") == F.col("prev_role"), 1)),
-            F.lit(0),
-        ).alias("n_same_role"),
-        F.max(
-            F.when(
-                (F.col("rn") == 1) & (F.col("role") == "user"), 1
-            ).otherwise(0)
-        ).alias("starts_user"),
-    )
-    ok_complete = (F.col("n_missing") == 0).cast("int")
+    kept = t.where(_loss_coin() != 0)
+    a = _gate_stats(kept)
+    ok_complete = (
+        (F.col("n_missing") == 0)
+        & (F.col("max_idx") == _TURNS_PER_CONV - 1)
+    ).cast("int")
     ok_protocol = (F.col("n_same_role") == 0).cast("int")
     ok_opening = F.col("starts_user").cast("int")
     ok_volume = (F.col("n_turns") >= _SFT_MIN_TURNS).cast("int")

@@ -523,7 +523,9 @@ def stream_supersede(stream: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------ streaming context trim
-TRIM_STATE_SCHEMA = "idxs array<int>, toks array<int>, total long"
+TRIM_STATE_SCHEMA = (
+    "idxs array<int>, toks array<int>, total long, floor int"
+)
 TRIM_OUT_SCHEMA = (
     "conv_id string, kept_docs long, kept_tokens long, first_kept int"
 )
@@ -531,40 +533,51 @@ TRIM_OUT_SCHEMA = (
 
 def stream_context_trim(stream: DataFrame, budget: int = 256) -> DataFrame:
     """Streaming longest-suffix context trim — the serving-side twin of
-    q_context_trim (queries/corpusops.py): as turns arrive, keep the
-    longest suffix whose token total fits the budget, dropping history
-    from the front. Incremental-greedy equals the batch rule because
-    suffix sums only grow extending backwards: append, then pop the
-    front while over budget (a single turn larger than the whole budget
-    pops itself — kept=0, the batch edge case).
+    q_context_trim (queries/corpusops.py): keep the longest (by turn
+    order) suffix whose token total fits the budget, dropping history
+    from the front. ORDER-INDEPENDENT like stream_supersede: arrivals
+    insert in turn order, and a ``floor`` (the highest turn index ever
+    popped) rejects stragglers that can no longer matter — when a turn
+    f is popped, the set of already-seen turns newer than f exceeded
+    the budget, and later arrivals only ADD to any suffix containing f,
+    so no suffix reaching back to f can ever fit again; turns above the
+    floor are all retained, so the state is exactly the full delivered
+    set restricted to > floor and the greedy front-pop equals the batch
+    rule on the full set, whatever the interleaving (a single turn
+    larger than the whole budget pops itself — kept=0, the batch edge).
 
-    State per conversation is BOUNDED BY THE BUDGET (at most
-    budget+1 turn entries, two int arrays + a long), not by the
-    conversation length — the property that lets a serving fleet hold
-    every open conversation's window in memory.
+    State per conversation is BOUNDED BY THE BUDGET (at most budget+1
+    turn entries), not by conversation length — the property that lets
+    a serving fleet hold every open conversation's window in memory.
 
-    Expected input columns: conv_id, turn_idx (int), tok (int)."""
+    Expected input columns: conv_id, turn_idx (int), tok (int) — turn
+    keys unique (resolve retries with stream_supersede upstream)."""
     import pandas as pd  # noqa: F401 (worker-side import)
 
     def update(key, pdfs, state):
+        import bisect
+
         import pandas as pd
 
         if state.exists:
-            idxs, toks, total = state.get
+            idxs, toks, total, floor = state.get
             idxs, toks = list(idxs), list(toks)
         else:
-            idxs, toks, total = [], [], 0
+            idxs, toks, total, floor = [], [], 0, -1
         for pdf in pdfs:
-            for ti, tk in sorted(
-                zip(pdf["turn_idx"], pdf["tok"]),
-            ):
-                idxs.append(int(ti))
-                toks.append(int(tk))
-                total += int(tk)
+            for ti, tk in sorted(zip(pdf["turn_idx"], pdf["tok"])):
+                ti, tk = int(ti), int(tk)
+                if ti <= floor:
+                    continue  # provably outside every feasible suffix
+                pos = bisect.bisect_left(idxs, ti)
+                idxs.insert(pos, ti)
+                toks.insert(pos, tk)
+                total += tk
                 while total > budget and idxs:
+                    floor = max(floor, idxs[0])
                     total -= toks.pop(0)
                     idxs.pop(0)
-        state.update((idxs, toks, total))
+        state.update((idxs, toks, total, floor))
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],

@@ -603,19 +603,30 @@ def test_stream_context_trim_equals_batch_suffix_rule(spark, tmp_path_factory):
     d, ckpt = str(base / "in"), str(base / "ckpt")
     budget = 100
 
+    # (batch, conv, turn, tok) — deliveries deliberately OUT OF ORDER:
+    # D's turn 0 arrives after turns 1-2 forced a pop (the floor rule
+    # must reject it: no suffix reaching back to 0 can fit again), E's
+    # turn 0 arrives late but nothing was popped (it must be admitted
+    # into the window)
     rows = [
         # conv A: steady growth, history must drop from the front
-        *[("A", t, 30) for t in range(6)],          # 180 total
+        *[(t // 3, "A", t, 30) for t in range(6)],   # 180 total
         # conv B: an oversized turn mid-stream, then recovery
-        ("B", 0, 40), ("B", 1, 500), ("B", 2, 20), ("B", 3, 30),
+        (0, "B", 0, 40), (0, "B", 1, 500), (1, "B", 2, 20),
+        (1, "B", 3, 30),
         # conv C: fits entirely
-        ("C", 0, 10), ("C", 1, 20),
+        (0, "C", 0, 10), (1, "C", 1, 20),
+        # conv D: 1(60)+2(60) pop 1 in batch 0; late 0(10) in batch 2
+        (0, "D", 1, 60), (0, "D", 2, 60), (2, "D", 0, 10),
+        # conv E: late 0 with no pop in between — must be admitted
+        (0, "E", 1, 20), (2, "E", 0, 10),
     ]
-    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "tok"])
+    pdf = pd.DataFrame(
+        rows, columns=["batch", "conv_id", "turn_idx", "tok"]
+    )
     schema = "conv_id string, turn_idx int, tok int"
-    # shuffle row order across 3 files — arrival order within a conv is
-    # restored by the in-batch sort + turn_idx monotonicity per file
-    for chunk in (pdf.iloc[:5], pdf.iloc[5:9], pdf.iloc[9:]):
+    for b in (0, 1, 2):
+        chunk = pdf[pdf["batch"] == b].drop(columns=["batch"])
         spark.createDataFrame(chunk, schema=schema).coalesce(
             1
         ).write.mode("append").parquet(d)
@@ -648,6 +659,6 @@ def test_stream_context_trim_equals_batch_suffix_rule(spark, tmp_path_factory):
             kept.append(ti)
         return (len(kept), total, min(kept) if kept else None)
 
-    for conv in ("A", "B", "C"):
-        toks = [(t, k) for c, t, k in rows if c == conv]
+    for conv in ("A", "B", "C", "D", "E"):
+        toks = [(t, k) for _b, c, t, k in rows if c == conv]
         assert final[conv] == batch_suffix(toks), conv
