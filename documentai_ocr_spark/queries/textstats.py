@@ -62,7 +62,18 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     → per-(doc, lang) counts → argmax (ties broken by lang, docs with no
     hits → 'unk'). The rule table broadcast is the reference's
     small-lookup-dict pattern (/root/reference/ocrclient/render2image.py:15-35)."""
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _langid_pred(spark, sf_dir)
+
+
+def _langid_pred(spark: SparkSession, sf_dir: str, cols=("doc_id",)):
+    """The ONE engine rendering of the stopword-vote predictor: tokens ⋈
+    broadcast stopword rule table → per-(doc, lang) counts → argmax
+    (ties broken by lang, no hits → 'unk'). ``cols`` threads extra
+    document columns through (e.g. the declared lang for evaluation).
+    Returns (*cols, pred_lang, best_cnt)."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select(*cols, "text")
+    )
     sw = spark.createDataFrame(_STOPWORDS, "w string, lang string")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
@@ -73,13 +84,19 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("lang"))
-    best = sc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    best = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("lang").alias("_rule_lang"), "cnt"
+        )  # renamed: a caller may thread the DECLARED lang through cols
+    )
     return (
-        docs.select("doc_id")
+        docs.select(*cols)
         .join(best, "doc_id", "left")
         .select(
-            "doc_id",
-            F.coalesce("lang", F.lit("unk")).alias("pred_lang"),
+            *cols,
+            F.coalesce("_rule_lang", F.lit("unk")).alias("pred_lang"),
             F.coalesce("cnt", F.lit(0)).cast("long").alias("best_cnt"),
         )
     )
@@ -1110,4 +1127,93 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pct_rank"),
         )
+    )
+
+
+# --------------------------------------------------- classifier evaluation
+# Per-class precision / recall / F1 of the stopword-vote language ID
+# against the corpus's declared labels — the model-evaluation rollup a
+# curation pipeline runs after swapping any classifier. The confusion
+# table is an O(classes²) dim; every metric is exact integer counts
+# with ONE rounded division (F1 uses the 2·tp/(support+predicted)
+# identity so no rounded intermediate feeds another division). The
+# fixture confuses for real: zh has no stopword rows, so zh documents
+# land on latin classes or 'unk'.
+@_q(
+    "q_langid_eval",
+    f"""
+    WITH sw AS (SELECT * FROM (VALUES {_SW_VALUES}) t(w, lang)),
+    tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents),
+    sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS bigint) AS cnt
+           FROM tok JOIN sw USING (w) GROUP BY doc_id, lang),
+    best AS (SELECT doc_id, lang, cnt,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY cnt DESC, lang ASC) AS rn
+             FROM sc),
+    pred AS (
+      SELECT d.doc_id, d.lang, coalesce(b.lang, 'unk') AS pred_lang
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    ),
+    conf AS (SELECT lang, pred_lang, COUNT(*) AS n
+             FROM pred GROUP BY lang, pred_lang),
+    decl AS (SELECT lang AS cls, SUM(n) AS support,
+                    COALESCE(SUM(n) FILTER (pred_lang = lang), 0) AS tp
+             FROM conf GROUP BY lang),
+    prd AS (SELECT pred_lang AS cls, SUM(n) AS predicted
+            FROM conf GROUP BY pred_lang)
+    SELECT COALESCE(d.cls, p.cls) AS cls,
+           CAST(COALESCE(d.support, 0) AS bigint) AS support,
+           CAST(COALESCE(p.predicted, 0) AS bigint) AS predicted,
+           CAST(COALESCE(d.tp, 0) AS bigint) AS tp,
+           ROUND(CAST(COALESCE(d.tp, 0) AS double)
+                 / NULLIF(p.predicted, 0), 6) AS precision,
+           ROUND(CAST(COALESCE(d.tp, 0) AS double)
+                 / NULLIF(d.support, 0), 6) AS recall,
+           ROUND(2.0 * COALESCE(d.tp, 0)
+                 / NULLIF(COALESCE(d.support, 0)
+                          + COALESCE(p.predicted, 0), 0), 6) AS f1
+    FROM decl d FULL OUTER JOIN prd p ON d.cls = p.cls
+    """,
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier scorecard per class: support, predicted, tp,
+    precision, recall, F1. Runs the SAME predictor as q_lang_id
+    (_langid_pred with the declared label threaded through), rolls the
+    per-doc pairs into the classes² confusion dim, then two tiny
+    rollups full-outer-join on the class key — classes present only in
+    predictions ('unk') get NULL recall, classes never predicted get
+    NULL precision."""
+    pred = _langid_pred(spark, sf_dir, cols=("doc_id", "lang"))
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    decl = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("support"),
+        F.coalesce(
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), F.col("n"))),
+            F.lit(0),
+        ).alias("tp"),
+    )
+    prd = conf.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    j = decl.join(prd, "cls", "full_outer")
+    support = F.coalesce("support", F.lit(0))
+    predicted = F.coalesce("predicted", F.lit(0))
+    tp = F.coalesce("tp", F.lit(0))
+    return j.select(
+        "cls",
+        support.cast("long").alias("support"),
+        predicted.cast("long").alias("predicted"),
+        tp.cast("long").alias("tp"),
+        F.round(
+            tp.cast("double") / F.nullif(F.col("predicted"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            tp.cast("double") / F.nullif(F.col("support"), F.lit(0)), 6
+        ).alias("recall"),
+        F.round(
+            F.lit(2.0) * tp / F.nullif(support + predicted, F.lit(0)), 6
+        ).alias("f1"),
     )

@@ -234,3 +234,33 @@ def test_embed_audit_detects_each_injected_fault(spark):
         (F.col("min_norm") <= 0) | (F.col("min_norm") > F.col("max_norm"))
     ).count() == 0
     out.unpersist()
+
+
+def test_langid_eval_confusion_laws(spark):
+    """Scorecard laws: supports and predictions both partition the
+    corpus, tp never exceeds either side, zh is structurally
+    unreachable (no zh stopword rows → tp=0, predicted=0) while 'unk'
+    is prediction-only (support=0, recall NULL) — the two asymmetric
+    classes the full-outer join must both surface."""
+    from documentai_ocr_spark.queries.textstats import q_langid_eval
+    from documentai_ocr_spark.queries.util import load
+
+    out = q_langid_eval(spark, SF).cache()
+    n_docs = load(spark, SF, "documents").count()
+    agg = out.agg(
+        F.sum("support"), F.sum("predicted"), F.sum("tp")
+    ).collect()[0]
+    assert agg[0] == n_docs and agg[1] == n_docs
+    assert agg[2] <= n_docs
+    assert out.where(
+        (F.col("tp") > F.col("support")) | (F.col("tp") > F.col("predicted"))
+    ).count() == 0
+    rows = {r["cls"]: r for r in out.collect()}
+    assert rows["zh"]["tp"] == 0 and rows["zh"]["predicted"] == 0
+    assert rows["zh"]["precision"] is None
+    assert rows["unk"]["support"] == 0 and rows["unk"]["recall"] is None
+    # the classifier is genuinely right somewhere
+    assert any(
+        r["tp"] > 0 for r in rows.values()
+    )
+    out.unpersist()
