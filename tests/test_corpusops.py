@@ -422,3 +422,47 @@ def test_token_windows_helper_contract(spark):
 
     for i in (2, 3):
         assert out[i][1] == [h60(w) for w in out[i][0]]
+
+
+def test_cms_merge_law_across_snapshots(spark):
+    """The incremental-ingest contract: building the sketch on two
+    snapshot halves and adding cell-wise must equal the sketch built on
+    the full corpus — the property that lets a 100-TB ingest maintain
+    ONE frequency sketch by merging per-batch sketches without ever
+    re-scanning history."""
+    from documentai_ocr_spark.queries.corpusops import cms_build
+    from documentai_ocr_spark.queries.util import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    tok = lambda df: df.select(  # noqa: E731
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+    full = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_build(tok(docs), "tok").collect()
+    }
+    a = cms_build(tok(docs.where(F.col("doc_id") % 2 == 0)), "tok")
+    b = cms_build(tok(docs.where(F.col("doc_id") % 2 == 1)), "tok")
+    merged = {
+        (r["d"], r["bucket"]): r["s"]
+        for r in a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    assert merged == full
+
+
+def test_bloom_merge_law_across_snapshots(spark):
+    """Bloom merge = bitwise OR of the half sketches == the full-corpus
+    sketch (same membership answers with no rebuild)."""
+    from documentai_ocr_spark.queries.corpusops import bloom_build
+    from documentai_ocr_spark.queries.util import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    col = F.md5("text").alias("h")
+    full = bloom_build(docs.select(col), "h")
+    a = bloom_build(docs.where(F.col("doc_id") % 2 == 0).select(col), "h")
+    b = bloom_build(docs.where(F.col("doc_id") % 2 == 1).select(col), "h")
+    assert [x | y for x, y in zip(a, b)] == full
