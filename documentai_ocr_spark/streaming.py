@@ -596,3 +596,47 @@ def stream_context_trim(stream: DataFrame, budget: int = 256) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------------------------------------- streaming sketch maintainer
+def stream_cms_maintain(spark: SparkSession, output_dir: str):
+    """Exactly-once streaming frequency-sketch maintenance — the
+    merge-law tests (tests/test_corpusops.py) made operational: each
+    micro-batch builds its OWN count-min sketch (fixed depth×width
+    cells regardless of batch size) and writes it under its batch_id
+    partition with dynamic overwrite, so a retried batch replaces
+    itself instead of double-counting; the CURRENT corpus sketch is the
+    cell-wise sum over batch partitions (cms_read_current), exact by
+    the merge law. No history is ever re-scanned: per-batch work is one
+    batch-sized groupBy + a ≤ depth×width-row write.
+
+    Returns the foreachBatch sink (expects a text column named
+    ``text``)."""
+    from .queries.corpusops import cms_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tok = batch_df.select(
+            F.explode(F.split("text", " ")).alias("tok")
+        ).where(F.col("tok") != "")
+        (
+            cms_build(tok, "tok")
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{output_dir}/cms")
+        )
+
+    return sink
+
+
+def cms_read_current(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The corpus-wide sketch as of now: cell-wise sum of the per-batch
+    sketches (≤ depth×width rows per batch — the scan is
+    O(batches·cells), never O(corpus))."""
+    return (
+        spark.read.parquet(f"{output_dir}/cms")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

@@ -662,3 +662,68 @@ def test_stream_context_trim_equals_batch_suffix_rule(spark, tmp_path_factory):
     for conv in ("A", "B", "C", "D", "E"):
         toks = [(t, k) for _b, c, t, k in rows if c == conv]
         assert final[conv] == batch_suffix(toks), conv
+
+
+def test_stream_cms_maintain_exactly_once_and_merge_exact(
+    spark, input_dir, tmp_path_factory
+):
+    """The streaming sketch maintainer: after the drain, the cell-wise
+    sum over batch partitions must equal the batch-built full-corpus
+    sketch EXACTLY (the merge law, end to end), and replaying a batch's
+    sink call (retry after write, before checkpoint commit) must not
+    change a single cell — dynamic partition overwrite makes the
+    maintenance idempotent."""
+    from documentai_ocr_spark.queries.corpusops import cms_build
+    from documentai_ocr_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        cms_read_current,
+        extract_stream_writer,
+        stream_cms_maintain,
+    )
+
+    base = tmp_path_factory.mktemp("stream")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    sink = stream_cms_maintain(spark, out)
+    q = (
+        extract_stream_writer(src, sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "sketch drain did not finish"
+
+    def cells(df):
+        return {(r["d"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    got = cells(cms_read_current(spark, out))
+    full = spark.read.parquet(input_dir)
+    tok = full.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    want = cells(cms_build(tok, "tok"))
+    assert got == want
+
+    # replay one batch: re-invoke the sink with the same batch_id on a
+    # subset of the input — the partition overwrites itself
+    sink(full.limit(37), 0)
+    sink(full.limit(37), 0)
+    after = cells(cms_read_current(spark, out))
+    del got, want
+    # batch 0's partition now holds the replayed subset exactly once;
+    # re-deriving the expected total proves no double-count happened
+    batches = spark.read.parquet(f"{out}/cms")
+    per_batch0 = cells(
+        batches.where(F.col("batch_id") == 0).groupBy("d", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        )
+    )
+    tok37 = full.limit(37).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    assert per_batch0 == cells(cms_build(tok37, "tok"))
+    assert after  # current view still readable and summed
