@@ -1143,3 +1143,90 @@ def probe_ivf_index(
         .where(F.col("rank") <= _KNN_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ------------------------------------------- two-stage retrieve + rerank
+# The standard production vector-search shape: a CHEAP first pass over
+# the compressed index (IVF coarse pruning + int8-decoded scores) keeps
+# a candidate shortlist per query, then ONLY the shortlist's
+# full-precision vectors are fetched and scored exactly. Quantization
+# error can reorder neighbors inside the shortlist but rarely pushes a
+# true neighbor out of a 5×-deeper pool — so the rerank recovers most
+# of what SQ8-only loses, while the expensive exact math touches
+# |queries| × _RERANK_C rows instead of the corpus.
+_RERANK_C = 25  # shortlist depth (5× the final k)
+
+
+@_q("x_ann_rerank")
+def x_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1: x_knn_ivf_sq8's probe (decoded-int8 scores) keeps the
+    top _RERANK_C per query. Stage 2: the shortlist joins back to the
+    full-precision vectors by vec_id (the point-lookup fetch of a real
+    vector store) and exact cosine reranks to top-_KNN_K. Recall ≥ the
+    SQ8-only path is pinned in tests/test_simsearch.py."""
+    e = _emb_double(spark, sf_dir)
+    data_dec = _decode_sq8(e)
+    cents = _ivf_centroids(data_dec, _IVF_K, _IVF_ITERS)
+    data = _assign_clusters(data_dec, cents, 1).withColumn(
+        "nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    )
+    q = (
+        _assign_clusters(
+            e.where(F.col("vec_id") < _KNN_NQUERIES), cents, _IVF_NPROBE
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+            "cluster",
+        )
+    )
+    cheap = (
+        F.broadcast(q)
+        .join(data, ["cluster"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qemb",
+            "qnrm",
+            "vec_id",
+            (
+                _dot(F.col("qemb"), F.col("emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("q_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("q_sim"), F.asc("vec_id")
+    )
+    shortlist = (
+        cheap.withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= _RERANK_C)
+        .select("query_id", "qemb", "qnrm", "vec_id")
+    )
+    # the fetch: shortlist (|queries| × C rows — broadcastable at any
+    # corpus size) joins the full-precision table by primary key
+    full = e.select(
+        "vec_id",
+        F.col("emb").alias("femb"),
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("fnrm"),
+    )
+    exact = F.broadcast(shortlist).join(full, "vec_id")
+    pairs = exact.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qemb"), F.col("femb"))
+            / (F.col("qnrm") * F.col("fnrm")),
+            3,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -289,3 +289,35 @@ def test_ivf_sq8_recall_vs_exact(spark):
         len(exact[q] & approx[q]) / _KNN_K for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.7, sum(recalls) / len(recalls)
+
+
+def test_ann_rerank_recovers_sq8_loss(spark):
+    """Two-stage retrieval must (a) clear the SQ8-only recall gate and
+    (b) never do WORSE than SQ8-only on the same probe — the exact
+    rerank can only fix orderings inside the shortlist, and with a
+    5×-deep shortlist the true neighbors are in it."""
+    from documentai_ocr_spark.queries import QUERIES
+    from documentai_ocr_spark.queries.simsearch import (
+        _KNN_K,
+        x_ann_rerank,
+        x_knn_ivf_sq8,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in QUERIES["q_knn_cosine"](spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert set(got) == set(exact)
+        return sum(
+            len(exact[q] & got[q]) / _KNN_K for q in exact
+        ) / len(exact)
+
+    r_sq8 = recall(x_knn_ivf_sq8(spark, sf))
+    r_rr = recall(x_ann_rerank(spark, sf))
+    assert r_rr >= 0.7
+    assert r_rr >= r_sq8, (r_rr, r_sq8)
