@@ -1805,3 +1805,76 @@ def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cacheable_frac"
         ),
     )
+
+
+# ------------------------------------------------- mirror attribution
+# Who copies whom: for every exact-dup cluster, the earliest copy's
+# source is the originator and every other member's source is a
+# mirror — rolled into a (canonical_source, mirror_source) matrix with
+# doc and token volumes. q_source_overlap answers "how much window
+# material do two sources share"; this answers the DIRECTED question a
+# crawl-dedup policy acts on ("always keep wikipedia's copy, drop the
+# scraper's"). Same injected mirrored-page clusters as q_token_yield,
+# so real multi-source clusters exist in the gate.
+@_q(
+    "q_mirror_attribution",
+    f"""
+    WITH decorated AS (
+      SELECT source, doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'mirrored syndicated page variant '
+                       || CAST(doc_id % 5 AS varchar)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    d AS (
+      SELECT source, doc_id, len({_WORDS_OF}) AS tok,
+             md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM decorated
+    ),
+    canon AS (SELECT h, source AS canonical_source FROM d WHERE rn = 1)
+    SELECT c.canonical_source, d.source AS mirror_source,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(SUM(d.tok) AS bigint) AS redundant_tokens
+    FROM d JOIN canon c USING (h)
+    WHERE d.rn > 1
+    GROUP BY c.canonical_source, d.source
+    """,
+)
+def q_mirror_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed syndication matrix: one content-hash window elects the
+    earliest copy per cluster (the q_dedup_earliest key), the cluster's
+    canonical source joins back on the SAME 16-byte hash key (both
+    sides already partitioned by it), redundant members roll up into
+    the sources² matrix."""
+    raw = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            F.lit("mirrored syndicated page variant "),
+            (F.col("doc_id") % 5).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", raw.alias("text")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    d = docs.select(
+        "source",
+        "doc_id",
+        _tok_col().alias("tok"),
+        F.md5("text").alias("h"),
+    ).withColumn("rn", F.row_number().over(w))
+    canon = d.where(F.col("rn") == 1).select(
+        "h", F.col("source").alias("canonical_source")
+    )
+    return (
+        d.where(F.col("rn") > 1)
+        .join(canon, "h")
+        .groupBy("canonical_source", F.col("source").alias("mirror_source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("redundant_tokens"),
+        )
+    )

@@ -2835,3 +2835,48 @@ def q_tool_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in _PIVOT_TOOLS
         ],
     )
+
+
+# ------------------------------------------------------ turn renumbering
+# The repair step between loss and packing: models expect contiguous
+# turn indices, so surviving turns renumber to 0..n-1 in order, with
+# the old index published for lineage. One conv-keyed window; pairs
+# with q_turn_integrity (which counts what this repairs).
+@_q(
+    "q_turn_renumber",
+    f"""
+    WITH turns AS (
+      SELECT doc_id, g.t,
+             ['user','assistant','tool'][g.t % 3 + 1] AS role
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+    ),
+    kept AS (
+      SELECT doc_id, t, role FROM turns
+      WHERE {_KEPT_WHERE}
+    )
+    SELECT printf('conv-%08d', doc_id) AS conv_id,
+           CAST(t AS int) AS old_idx,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY t) - 1
+                AS int) AS new_idx,
+           role
+    FROM kept
+    """,
+)
+def q_turn_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous renumbering of the surviving turns (0..n-1 per
+    conversation, original order preserved, old index kept for
+    lineage): one row_number over the shared conv window — the same
+    shuffle every other audit on this stream already pays."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role"
+    )
+    kept = t.where(_loss_coin() != 0)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return kept.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("old_idx"),
+        (F.row_number().over(w) - 1).cast("int").alias("new_idx"),
+        "role",
+    )

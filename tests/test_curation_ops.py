@@ -221,3 +221,21 @@ def test_winnow_inrow_kernel_matches_python_spec(spark):
         i: spec(t) for i, t in enumerate(texts) if spec(t) is not None
     }
     assert got == want
+
+
+def test_mirror_attribution_reconciles_with_token_yield(spark):
+    """Attribution's redundant tokens must equal exactly the tokens
+    q_token_yield subtracts (total - unique), corpus-wide — the two
+    views of the same dedup decision."""
+    from documentai_ocr_spark.queries.corpusops import (
+        q_mirror_attribution,
+        q_token_yield,
+    )
+
+    att = q_mirror_attribution(spark, SF)
+    yld = q_token_yield(spark, SF)
+    red = att.agg(F.sum("redundant_tokens")).collect()[0][0]
+    diff = yld.agg(
+        F.sum(F.col("total_tokens") - F.col("unique_tokens"))
+    ).collect()[0][0]
+    assert red == diff and red > 0

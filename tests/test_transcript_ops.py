@@ -2,6 +2,7 @@
 for turn supersession (latest-wins upsert) and tool retry-run islands."""
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from documentai_ocr_spark.queries.relational import (
     _RETRY_DELAY_MS,
@@ -219,4 +220,32 @@ def test_tool_pivot_counts_reconcile(spark):
         sum(F.col(f"n_{p}") for p in _PIVOT_TOOLS).alias("s")
     ).agg(F.sum("s")).collect()[0][0]
     assert total == n_tool_turns
+    out.unpersist()
+
+
+def test_turn_renumber_contiguous_and_order_preserving(spark):
+    """new_idx is exactly 0..n-1 per conversation, and the old→new map
+    is monotone (order preserved) — the contract packing relies on."""
+    from documentai_ocr_spark.queries.relational import q_turn_renumber
+
+    out = q_turn_renumber(spark, SF).cache()
+    per = out.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("new_idx").alias("lo"),
+        F.max("new_idx").alias("hi"),
+        F.countDistinct("new_idx").alias("nd"),
+    )
+    assert per.where(
+        (F.col("lo") != 0)
+        | (F.col("hi") != F.col("n") - 1)
+        | (F.col("nd") != F.col("n"))
+    ).count() == 0
+    w = Window.partitionBy("conv_id").orderBy("old_idx")
+    mono = out.withColumn("prev_new", F.lag("new_idx").over(w))
+    assert mono.where(
+        F.col("prev_new").isNotNull()
+        & (F.col("new_idx") != F.col("prev_new") + 1)
+    ).count() == 0
+    # it actually renumbers: decimation made some old_idx != new_idx
+    assert out.where(F.col("old_idx") != F.col("new_idx")).count() > 0
     out.unpersist()
