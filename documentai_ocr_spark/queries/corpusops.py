@@ -1202,6 +1202,29 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- duplicate-inflation profile
 # The cluster-size histogram of exact dedup: for each duplicate-cluster
+
+# the ONE definition of the injected mirrored-page decoration (the
+# corpus has no natural byte-dups; docs with doc_id%17==0 become one of
+# 5 shared variants) — q_dup_inflation, q_token_yield and
+# q_mirror_attribution all consume the SAME rule through these two
+# renderings, so the fixture cannot drift between them
+_MIRROR_SQL = """CASE WHEN doc_id % 17 = 0
+                  THEN 'mirrored syndicated page variant '
+                       || CAST(doc_id % 5 AS varchar)
+                  ELSE text END"""
+
+
+def _mirrored_text():
+    """Spark rendering of _MIRROR_SQL."""
+    return F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            F.lit("mirrored syndicated page variant "),
+            (F.col("doc_id") % 5).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+
+
 # size s, how many clusters, how many docs they hold, and how many are
 # redundant ((s-1) per cluster) — the one-table answer to "how inflated
 # is this corpus and where does the redundancy sit" that sizes the
@@ -1209,12 +1232,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash as q_dedup_exact (shared semantics, one definition of 'same').
 @_q(
     "q_dup_inflation",
-    """
+    f"""
     WITH decorated AS (
-      SELECT CASE WHEN doc_id % 17 = 0
-                  THEN 'mirrored syndicated page variant '
-                       || CAST(doc_id % 5 AS varchar)
-                  ELSE text END AS text
+      SELECT {_MIRROR_SQL} AS text
       FROM documents
     ),
     c AS (
@@ -1241,13 +1261,7 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_exact's plan); the second aggregates cluster sizes — its
     key cardinality is the number of DISTINCT cluster sizes, O(100)
     on any real corpus, fully map-side combined."""
-    raw = F.when(
-        F.col("doc_id") % 17 == 0,
-        F.concat(
-            F.lit("mirrored syndicated page variant "),
-            (F.col("doc_id") % 5).cast("string"),
-        ),
-    ).otherwise(F.col("text"))
+    raw = _mirrored_text()
     docs = spread(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     ).select(raw.alias("text"))
@@ -1578,10 +1592,7 @@ def q_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH decorated AS (
       SELECT source, doc_id,
-             CASE WHEN doc_id % 17 = 0
-                  THEN 'mirrored syndicated page variant '
-                       || CAST(doc_id % 5 AS varchar)
-                  ELSE text END AS text
+             {_MIRROR_SQL} AS text
       FROM documents
     ),
     d AS (
@@ -1607,13 +1618,7 @@ def q_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with doc_id%17==0 carry q_dup_inflation's deterministic
     mirrored-page variants — real dup clusters whose redundant copies
     the yield must subtract, identically in both engines."""
-    raw = F.when(
-        F.col("doc_id") % 17 == 0,
-        F.concat(
-            F.lit("mirrored syndicated page variant "),
-            (F.col("doc_id") % 5).cast("string"),
-        ),
-    ).otherwise(F.col("text"))
+    raw = _mirrored_text()
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", raw.alias("text")
     )
@@ -1821,10 +1826,7 @@ def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH decorated AS (
       SELECT source, doc_id,
-             CASE WHEN doc_id % 17 = 0
-                  THEN 'mirrored syndicated page variant '
-                       || CAST(doc_id % 5 AS varchar)
-                  ELSE text END AS text
+             {_MIRROR_SQL} AS text
       FROM documents
     ),
     d AS (
@@ -1849,13 +1851,7 @@ def q_mirror_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical source joins back on the SAME 16-byte hash key (both
     sides already partitioned by it), redundant members roll up into
     the sources² matrix."""
-    raw = F.when(
-        F.col("doc_id") % 17 == 0,
-        F.concat(
-            F.lit("mirrored syndicated page variant "),
-            (F.col("doc_id") % 5).cast("string"),
-        ),
-    ).otherwise(F.col("text"))
+    raw = _mirrored_text()
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", raw.alias("text")
     )
