@@ -140,3 +140,44 @@ def test_type_malformed_boxes_dropped_not_fatal():
         assert res["text"][i] == o["text"]
         assert [dict(s) for s in res["spans"][i]] == o["spans"]
         assert "a" in res["text"][i]  # the good box always survives
+
+
+def test_hostile_probes_through_spark_boundary(spark):
+    """The six canonical hostile payloads (unclosed HTML, corrupt
+    pdfish JSON, a 100 KB single block, a script tag, control chars
+    incl. NUL, empty text) must extract without raising AND match the
+    pure-Python oracle byte-for-byte through the REAL Spark boundary
+    (Arrow serialization of the exact spans included)."""
+    import pandas as pd
+
+    from documentai_ocr_spark.extract import extract_turns
+    from documentai_ocr_spark.oracle import extract_turn
+
+    hostile = [
+        "<div><p>unclosed html <b>bold",
+        '{"lines": [corrupt json',
+        "x" * 100_000,
+        "<script>alert(1)</script> hi",
+        "ctrl\x01chars\x02here\x00end",
+        "",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(hostile),
+            "turn_idx": range(len(hostile)),
+            "role": ["user"] * len(hostile),
+            "text": hostile,
+        }
+    )
+    out = sorted(
+        extract_turns(spark.createDataFrame(pdf)).collect(),
+        key=lambda r: r["turn_idx"],
+    )
+    assert len(out) == len(hostile)
+    for r, h in zip(out, hostile):
+        o = extract_turn(h)
+        assert r["payload_kind"] == o["payload_kind"]
+        assert r["text"] == o["text"]
+        assert [
+            (s["beg"], s["end"]) for s in (x.asDict() for x in r["spans"])
+        ] == [(s["beg"], s["end"]) for s in o["spans"]]
