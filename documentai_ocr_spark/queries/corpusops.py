@@ -1874,3 +1874,249 @@ def q_mirror_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("long").alias("redundant_tokens"),
         )
     )
+
+
+# ------------------------------------------------------- template turns
+# Templated-reply detection: served agents emit canned responses
+# ("I cannot help with that", tool-error apologies) that repeat
+# verbatim across MANY conversations; a curation pipeline finds them
+# by normalized-text support counting and either caps or drops them
+# (they dominate gradient signal exactly like boilerplate lines —
+# q_boiler_linefreq at line grain, this at turn grain, with the extra
+# requirement that support is counted in DISTINCT conversations so one
+# chatty conversation cannot promote its own refrain to a template).
+# The fixture injects three canned turns on the doc_id % 11 == 0 rows;
+# every other text is globally unique, so the detector's output is
+# exactly the injected set — the gate checks counts, not just shape.
+_TEMPLATES = [
+    "I am sorry, I cannot help with that request.",
+    "The tool call failed. Please try again later.",
+    "Here is the summary you asked for.",
+]
+_TEMPLATE_MOD = 11
+_TEMPLATE_MIN_CONVS = 3
+_TEMPLATE_CASES = " ".join(
+    f"WHEN {i} THEN '{t}'" for i, t in enumerate(_TEMPLATES)
+)
+
+
+@_q(
+    "q_template_turns",
+    f"""
+    WITH {_M_CTE},
+    t AS (
+      SELECT doc_id % m.m AS g,
+             CASE WHEN doc_id % {_TEMPLATE_MOD} = 0
+                  THEN CASE (doc_id // {_TEMPLATE_MOD}) % {len(_TEMPLATES)}
+                       {_TEMPLATE_CASES} END
+                  ELSE text END AS text
+      FROM documents, m
+    ),
+    n AS (
+      SELECT g, md5(lower(trim(regexp_replace(text, '[ ]+', ' ', 'g'))))
+               AS th
+      FROM t
+    )
+    SELECT th,
+           CAST(COUNT(*) AS bigint) AS n_uses,
+           CAST(COUNT(DISTINCT g) AS bigint) AS n_convs
+    FROM n GROUP BY th
+    HAVING COUNT(DISTINCT g) >= {_TEMPLATE_MIN_CONVS}
+    """,
+)
+def q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn templates: normalized-text hashes used in >=
+    {_TEMPLATE_MIN_CONVS} distinct conversations, with total uses and
+    conversation support.
+
+    Scale — one corpus pass: normalize-and-hash is a pure expression,
+    the (th, g) support count partial-aggregates map-side (a template
+    used 10^6 times in one conversation contributes ONE (th, g) row to
+    the exchange), and the final rollup is over distinct (th, g) pairs
+    — bounded by templates x conversations they appear in, never raw
+    uses. The HAVING prunes the unique-text long tail (n_convs = 1)
+    before any driver contact; output is O(#templates)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gdf, _m = _conv_group(docs, docs.count())
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in _TEMPLATES]),
+        (
+            F.expr(f"doc_id div {_TEMPLATE_MOD}") % len(_TEMPLATES)
+        ).cast("int")
+        + 1,
+    )
+    text = F.when(F.col("doc_id") % _TEMPLATE_MOD == 0, tmpl).otherwise(
+        F.col("text")
+    )
+    th = F.md5(
+        F.lower(F.trim(F.regexp_replace(text, "[ ]+", " ")))
+    )
+    pairs = gdf.select("g", th.alias("th"))
+    per_conv = pairs.groupBy("th", "g").agg(
+        F.count(F.lit(1)).alias("uses_in_g")
+    )
+    return (
+        per_conv.groupBy("th")
+        .agg(
+            F.sum("uses_in_g").cast("long").alias("n_uses"),
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+        )
+        .where(F.col("n_convs") >= _TEMPLATE_MIN_CONVS)
+    )
+
+
+# -------------------------------------------------- prefix supersession
+# Session-resume dedup: when an agent session is checkpointed and
+# resumed, the log often contains BOTH the truncated first attempt and
+# the full continued conversation — the short one is an exact turn
+# PREFIX of the long one and training on both double-counts the shared
+# turns. The detector fingerprints every running turn prefix and joins
+# short sessions' full-stream fingerprints against longer sessions'
+# prefix fingerprints at the same depth: a hit means every turn
+# matched, in order. The fixture derives two sessions per conversation
+# group (the full stream and a 2-4 turn head); on g % 5 == 0 groups
+# the head's last turn is edited so it is NOT a prefix — the detector
+# must clear those.
+_PSUP_EDIT_MOD = 5
+
+
+@_q(
+    "q_prefix_supersede",
+    f"""
+    WITH {_M_CTE},
+    t AS (
+      SELECT doc_id % m.m AS g, doc_id, text,
+             row_number() OVER (PARTITION BY doc_id % m.m
+                                ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id % m.m) AS n_g,
+             2 + (doc_id % m.m) % 3 AS dep
+      FROM documents, m
+    ),
+    turns AS (
+      SELECT printf('s-%08d-%s', g, k.kind) AS sess_id, g, rn,
+             CASE WHEN k.kind = 'part' AND g % {_PSUP_EDIT_MOD} = 0
+                       AND rn = least(dep, n_g)
+                  THEN text || ' [edited]' ELSE text END AS text
+      FROM t, (SELECT unnest(['full', 'part']) AS kind) k
+      WHERE k.kind = 'full' OR rn <= dep
+    ),
+    pref AS (
+      SELECT sess_id, rn AS depth,
+             md5(string_agg(text, chr(31))
+                 OVER (PARTITION BY sess_id ORDER BY rn
+                       ROWS UNBOUNDED PRECEDING)) AS ph,
+             COUNT(*) OVER (PARTITION BY sess_id) AS n_turns
+      FROM turns
+    ),
+    sess AS (
+      SELECT sess_id, CAST(n_turns AS bigint) AS n_turns, ph AS full_ph
+      FROM pref WHERE depth = n_turns
+    ),
+    hits AS (
+      SELECT s.sess_id, MIN(p.sess_id) AS superseded_by
+      FROM sess s JOIN pref p
+        ON s.full_ph = p.ph AND s.n_turns = p.depth
+       AND p.n_turns > s.n_turns
+      GROUP BY s.sess_id
+    )
+    SELECT s.sess_id, s.n_turns,
+           h.superseded_by IS NOT NULL AS is_superseded,
+           h.superseded_by
+    FROM sess s LEFT JOIN hits h ON s.sess_id = h.sess_id
+    """,
+)
+def q_prefix_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark sessions whose full turn stream is an exact prefix of a
+    strictly longer session (superseded_by = the lexicographically
+    first such container, NULL when none).
+
+    Scale — fingerprints, never text comparison: the running md5 over
+    the US-separated turn concat is one conversation-bounded window
+    (the q_prefix_share kernel, here at all depths — per-task state is
+    one session); the supersession test is an EQUI-join on (depth,
+    fingerprint) whose bucket sizes are the number of sessions sharing
+    a prefix — AQE's skew split handles a viral shared prompt. The
+    session fan-out is an in-row explode (full/part membership), so
+    the expensive scan runs once. No pairwise text shipping anywhere;
+    a depth-capped variant (q_prefix_share's <= max_depth head) bounds
+    window state if conversations are unbounded."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    gdf, _m = _conv_group(docs, docs.count())
+    wg = Window.partitionBy("g").orderBy("doc_id")
+    wgall = Window.partitionBy("g")
+    t = gdf.select(
+        "g",
+        "doc_id",
+        "text",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wgall).alias("n_g"),
+        (2 + F.col("g") % 3).alias("dep"),
+    )
+    turns = (
+        t.select(
+            "g",
+            "rn",
+            "text",
+            "dep",
+            "n_g",
+            F.explode(
+                F.when(
+                    F.col("rn") <= F.col("dep"),
+                    F.array(F.lit("full"), F.lit("part")),
+                ).otherwise(F.array(F.lit("full")))
+            ).alias("kind"),
+        )
+        .select(
+            F.format_string("s-%08d-%s", F.col("g"), F.col("kind")).alias(
+                "sess_id"
+            ),
+            "rn",
+            F.when(
+                (F.col("kind") == "part")
+                & (F.col("g") % _PSUP_EDIT_MOD == 0)
+                & (F.col("rn") == F.least("dep", "n_g")),
+                F.concat(F.col("text"), F.lit(" [edited]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    wrun = (
+        Window.partitionBy("sess_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wsess = Window.partitionBy("sess_id")
+    pref = turns.select(
+        "sess_id",
+        F.col("rn").alias("depth"),
+        F.md5(F.concat_ws("\x1f", F.collect_list("text").over(wrun))).alias(
+            "ph"
+        ),
+        F.count(F.lit(1)).over(wsess).alias("n_turns"),
+    )
+    sess = pref.where(F.col("depth") == F.col("n_turns")).select(
+        "sess_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("ph").alias("full_ph"),
+    )
+    hits = (
+        sess.alias("s")
+        .join(
+            pref.alias("p"),
+            (F.col("s.full_ph") == F.col("p.ph"))
+            & (F.col("s.n_turns") == F.col("p.depth"))
+            & (F.col("p.n_turns") > F.col("s.n_turns")),
+        )
+        .groupBy(F.col("s.sess_id").alias("sess_id"))
+        .agg(F.min("p.sess_id").alias("superseded_by"))
+    )
+    return (
+        sess.join(hits, "sess_id", "left")
+        .select(
+            "sess_id",
+            "n_turns",
+            F.col("superseded_by").isNotNull().alias("is_superseded"),
+            "superseded_by",
+        )
+    )

@@ -2880,3 +2880,106 @@ def q_turn_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).cast("int").alias("new_idx"),
         "role",
     )
+
+
+# ------------------------------------------------------ preference pairs
+# RLHF / DPO pair mining: each prompt (document) has k candidate
+# responses scored by a reward model; the pair builder keeps
+# (chosen, rejected) = (argmax, argmin) when the reward margin clears a
+# threshold — low-margin prompts carry no learning signal and are
+# dropped. The candidate set is the ×4 engine family from the
+# reference's self-consistency vote (/root/reference/font/rec.py:41-87
+# runs k replicas per crop and compares them; here the replicas carry
+# scores and the comparison is an argmax instead of an equality vote).
+# Scores are a deterministic md5 coin per (doc_id, engine) — integer
+# millis so both engines derive the identical double at the end.
+_PREF_ENGINES = ["beam", "greedy", "nucleus", "sampled"]
+_PREF_MARGIN_MILLI = 200  # keep pairs with margin >= 0.200
+_PREF_ENGINE_ROWS = ", ".join(f"('{e}')" for e in _PREF_ENGINES)
+
+
+@_q(
+    "q_preference_pairs",
+    f"""
+    WITH eng(engine) AS (SELECT * FROM (VALUES {_PREF_ENGINE_ROWS}) t(e)),
+    cand AS (
+      SELECT d.doc_id, e.engine,
+             ('0x' || substr(md5(d.doc_id || '@' || e.engine), 1, 8))::bigint
+               % 1000 AS si
+      FROM documents d, eng e
+    ),
+    best AS (
+      SELECT doc_id, engine, si,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY si DESC, engine DESC) AS rb,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY si ASC, engine ASC) AS rw
+      FROM cand
+    )
+    SELECT b.doc_id,
+           b.engine AS chosen_engine,
+           w.engine AS rejected_engine,
+           ROUND(b.si / 1000.0, 3) AS chosen_score,
+           ROUND(w.si / 1000.0, 3) AS rejected_score,
+           ROUND((b.si - w.si) / 1000.0, 3) AS margin
+    FROM best b JOIN best w ON b.doc_id = w.doc_id
+    WHERE b.rb = 1 AND w.rw = 1
+      AND b.si - w.si >= {_PREF_MARGIN_MILLI}
+    """,
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chosen, rejected) preference pairs per prompt with a reward
+    margin >= 0.2; ties break toward the lexicographically LAST engine
+    for chosen and FIRST for rejected (one rule, both engines).
+
+    Scale — ZERO shuffle: the candidate set is an in-row array of
+    (score, engine) structs and argmax/argmin are array_max/array_min
+    (Spark struct ordering = lexicographic on fields, exactly the
+    oracle's ORDER BY si, engine) — the whole operator is a projection
+    over the scan. The oracle spells the same rule as two row_number
+    windows because DuckDB's max_by leaves ties unspecified; the margin
+    filter compares INTEGER milli-scores, and the three doubles are
+    derived once from those integers, so cross-engine float drift is
+    impossible."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    def _si(engine: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("@" + engine),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    cand = F.array(
+        *[
+            F.struct(_si(e).alias("si"), F.lit(e).alias("engine"))
+            for e in _PREF_ENGINES
+        ]
+    )
+    d = docs.select(
+        "doc_id",
+        F.array_max(cand).alias("b"),
+        F.array_min(cand).alias("w"),
+    )
+    return d.where(
+        F.col("b.si") - F.col("w.si") >= _PREF_MARGIN_MILLI
+    ).select(
+        "doc_id",
+        F.col("b.engine").alias("chosen_engine"),
+        F.col("w.engine").alias("rejected_engine"),
+        F.round(F.col("b.si") / 1000.0, 3).alias("chosen_score"),
+        F.round(F.col("w.si") / 1000.0, 3).alias("rejected_score"),
+        F.round((F.col("b.si") - F.col("w.si")) / 1000.0, 3).alias("margin"),
+    )

@@ -603,3 +603,141 @@ def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+# -------------------------------------------------- mixture waterfilling
+# Data-mixing allocation: given a training token budget B and
+# per-source priority weights, give every source alloc = min(avail,
+# lambda * weight) with ONE water level lambda chosen so the
+# allocations sum to B — the standard waterfilling solution to
+# "sample proportionally to weight, but a source cannot yield more
+# than it has". q_domain_mix computes the *proportions*; this computes
+# the realizable token grants. The closed form: sort sources by
+# avail/weight ascending; walking that order, the first position j
+# where the remaining budget spread over the remaining weights no
+# longer exceeds j's own ratio is the pivot — everything before it is
+# capped at avail, everything from it on gets its weight's share of
+# what is left. All pivot tests and grants are INTEGER arithmetic
+# ((B - prefix_avail) * w // suffix_weight), so the two engines agree
+# bit-for-bit; the only doubles are the published level/ratio columns.
+_MIX_BUDGET_FRAC_NUM, _MIX_BUDGET_FRAC_DEN = 1, 2  # B = total // 2
+
+
+@_q(
+    "q_mixture_alloc",
+    f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    c AS (SELECT source, CAST(COUNT(*) AS bigint) AS avail
+          FROM tok WHERE t <> '' GROUP BY source),
+    d AS (SELECT source, avail,
+                 1 + ('0x' || substr(md5(source), 1, 4))::bigint % 3
+                   AS w
+          FROM c),
+    s AS (SELECT source, avail, w,
+                 SUM(avail) OVER () * {_MIX_BUDGET_FRAC_NUM}
+                   // {_MIX_BUDGET_FRAC_DEN} AS b,
+                 row_number() OVER (ORDER BY CAST(avail AS double) / w,
+                                    source) AS pos,
+                 COALESCE(SUM(avail) OVER (ORDER BY CAST(avail AS double) / w,
+                                           source ROWS BETWEEN UNBOUNDED
+                                           PRECEDING AND 1 PRECEDING), 0)
+                   AS a_prev,
+                 SUM(w) OVER (ORDER BY CAST(avail AS double) / w, source
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED
+                              FOLLOWING) AS w_from
+          FROM d),
+    p AS (SELECT *,
+                 MIN(CASE WHEN (b - a_prev) * w <= avail * w_from
+                          THEN pos END) OVER () AS pv
+          FROM s),
+    lvl AS (SELECT *,
+                   MAX(CASE WHEN pos = pv THEN b - a_prev END)
+                     OVER () AS lnum,
+                   MAX(CASE WHEN pos = pv THEN w_from END)
+                     OVER () AS lden
+            FROM p)
+    SELECT source, avail AS avail_tokens, CAST(w AS int) AS weight,
+           CAST(CASE WHEN pv IS NULL OR pos < pv THEN avail
+                     ELSE lnum * w // lden END AS bigint) AS alloc_tokens,
+           (pv IS NULL OR pos < pv) AS capped
+    FROM lvl
+    """,
+)
+def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilled token grants per source for a budget of half the
+    corpus: capped sources contribute everything they have, uncapped
+    sources split the remainder in proportion to their md5-coin
+    priority weight (1..3), grant = (B - prefix_avail) * w //
+    suffix_weight at the pivot.
+
+    Scale — the corpus collapses map-side to ONE row per source; every
+    window (sort, prefix/suffix sums, pivot broadcast) runs on that
+    O(sources) frame, the same post-agg tiny-dim pattern as
+    q_domain_mix. Pivot selection cross-multiplies integers instead of
+    comparing the float level to the float ratio, so engine agreement
+    is structural, not numeric luck."""
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("avail"))
+    )
+    d = c.withColumn(
+        "w",
+        1
+        + F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long")
+        % 3,
+    )
+    wall = Window.partitionBy()
+    order = [
+        (F.col("avail").cast("double") / F.col("w")).asc(),
+        F.col("source").asc(),
+    ]
+    wprev = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wfrom = Window.orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    s = d.select(
+        "source",
+        "avail",
+        "w",
+        F.expr(
+            f"{_MIX_BUDGET_FRAC_NUM} * "
+            f"(sum(avail) OVER ()) div {_MIX_BUDGET_FRAC_DEN}"
+        ).alias("b"),
+        F.row_number().over(Window.orderBy(*order)).alias("pos"),
+        F.coalesce(F.sum("avail").over(wprev), F.lit(0)).alias("a_prev"),
+        F.sum("w").over(wfrom).alias("w_from"),
+    )
+    qual = (F.col("b") - F.col("a_prev")) * F.col("w") <= F.col(
+        "avail"
+    ) * F.col("w_from")
+    p = s.withColumn(
+        "pivot", F.min(F.when(qual, F.col("pos"))).over(wall)
+    )
+    lvl = p.withColumn(
+        "lnum",
+        F.max(
+            F.when(F.col("pos") == F.col("pivot"), F.col("b") - F.col("a_prev"))
+        ).over(wall),
+    ).withColumn(
+        "lden",
+        F.max(
+            F.when(F.col("pos") == F.col("pivot"), F.col("w_from"))
+        ).over(wall),
+    )
+    is_capped = F.col("pivot").isNull() | (F.col("pos") < F.col("pivot"))
+    return lvl.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.col("w").cast("int").alias("weight"),
+        F.when(is_capped, F.col("avail"))
+        .otherwise(F.expr("lnum * w div lden"))
+        .cast("long")
+        .alias("alloc_tokens"),
+        is_capped.alias("capped"),
+    )

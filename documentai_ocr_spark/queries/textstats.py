@@ -1217,3 +1217,104 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * tp / F.nullif(support + predicted, F.lit(0)), 6
         ).alias("f1"),
     )
+
+
+# ------------------------------------------------------- threshold sweep
+# Curation planning: before committing to a quality threshold, a
+# pipeline sweeps the whole grid and reads the yield curve — docs and
+# tokens retained at every candidate cutoff — so the budget trade-off
+# is decided from ONE corpus pass, not one pass per candidate. The
+# score is the alpha ratio (shared rule with q_quality_score); the
+# grid is 20 cutoffs at 0.05 spacing.
+_YIELD_GRID = 20  # thresholds b/20 for b in 0..19
+
+
+@_q(
+    "q_threshold_yield",
+    f"""
+    WITH scored AS (
+      SELECT least(CAST(floor(
+               ROUND(CAST(length(text)
+                 - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                 AS double) / length(text), 6) * {_YIELD_GRID})
+               AS bigint), {_YIELD_GRID - 1}) AS b,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE length(text) > 0
+    ),
+    hist AS (
+      SELECT b, CAST(COUNT(*) AS bigint) AS n_docs,
+             CAST(SUM(n_tok) AS bigint) AS n_toks
+      FROM scored GROUP BY b
+    ),
+    grid AS (
+      SELECT g.b, COALESCE(h.n_docs, 0) AS n_docs,
+             COALESCE(h.n_toks, 0) AS n_toks
+      FROM (SELECT unnest(generate_series(0, {_YIELD_GRID - 1})) AS b) g
+      LEFT JOIN hist h ON g.b = h.b
+    )
+    SELECT ROUND(b / {_YIELD_GRID}.0, 6) AS threshold,
+           CAST(SUM(n_docs) OVER (ORDER BY b DESC
+                ROWS UNBOUNDED PRECEDING) AS bigint) AS docs_retained,
+           CAST(SUM(n_toks) OVER (ORDER BY b DESC
+                ROWS UNBOUNDED PRECEDING) AS bigint) AS tokens_retained,
+           ROUND(CAST(SUM(n_toks) OVER (ORDER BY b DESC
+                        ROWS UNBOUNDED PRECEDING) AS double)
+                 / nullif(SUM(n_toks) OVER (), 0), 6) AS token_frac
+    FROM grid
+    """,
+)
+def q_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yield curve of the alpha-ratio quality score: for each cutoff
+    b/20, how many documents and tokens survive `score >= cutoff`.
+
+    Scale — one corpus pass: the score and its grid bucket are pure
+    expressions on the scan, the histogram is a partial-aggregated
+    groupBy collapsing to <= 20 rows map-side, and the suffix
+    cumulative (retention is a >=-threshold, so it accumulates from
+    the TOP bucket down) runs on that fixed 20-row frame — the same
+    post-agg tiny-dim window as q_group_range. The grid left-join
+    keeps empty buckets so the curve always has all 20 rows. The
+    bucket is floor(round6(score) * 20) on both engines — identical
+    doubles, identical floor."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    n = F.length("text")
+    alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    score = F.round(alpha.cast("double") / n, 6)
+    b = F.least(
+        F.floor(score * _YIELD_GRID).cast("long"),
+        F.lit(_YIELD_GRID - 1).cast("long"),
+    )
+    hist = (
+        docs.where(n > 0)
+        .select(
+            b.alias("b"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_toks"),
+        )
+    )
+    grid = docs.sparkSession.range(_YIELD_GRID).select(
+        F.col("id").alias("b")
+    )
+    full = grid.join(hist, "b", "left").select(
+        "b",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+    )
+    wsuf = Window.orderBy(F.desc("b")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return full.select(
+        F.round(F.col("b") / float(_YIELD_GRID), 6).alias("threshold"),
+        F.sum("n_docs").over(wsuf).cast("long").alias("docs_retained"),
+        F.sum("n_toks").over(wsuf).cast("long").alias("tokens_retained"),
+        F.round(
+            F.sum("n_toks").over(wsuf).cast("double")
+            / F.nullif(F.sum("n_toks").over(wall), F.lit(0)),
+            6,
+        ).alias("token_frac"),
+    )

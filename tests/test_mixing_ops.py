@@ -1,0 +1,169 @@
+"""Invariants for the mixing / pair-mining / supersession operators
+beyond the DuckDB value gate: preference-pair margin & tie laws,
+waterfilling budget feasibility, threshold-yield monotonicity,
+template rediscovery, and prefix-supersession's constructed truth
+table (which groups must / must not be superseded)."""
+
+import pyspark.sql.functions as F
+
+from documentai_ocr_spark.queries.corpusops import (
+    _CONV_PER_GROUP,
+    _PSUP_EDIT_MOD,
+    _TEMPLATE_MIN_CONVS,
+    _TEMPLATES,
+    q_prefix_supersede,
+    q_template_turns,
+)
+from documentai_ocr_spark.queries.relational import (
+    _PREF_MARGIN_MILLI,
+    q_preference_pairs,
+)
+from documentai_ocr_spark.queries.relevance import q_mixture_alloc
+from documentai_ocr_spark.queries.textstats import q_threshold_yield
+from documentai_ocr_spark.queries.util import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_preference_pairs_margin_and_distinct_engines(spark):
+    """Every kept pair clears the margin, chosen != rejected, and the
+    margin is exactly chosen - rejected (integer-milli law)."""
+    out = q_preference_pairs(spark, SF).cache()
+    assert out.count() > 0
+    assert (
+        out.where(
+            F.col("margin") < _PREF_MARGIN_MILLI / 1000.0
+        ).count()
+        == 0
+    )
+    assert (
+        out.where(F.col("chosen_engine") == F.col("rejected_engine")).count()
+        == 0
+    )
+    assert (
+        out.where(
+            F.abs(
+                F.col("margin")
+                - (F.col("chosen_score") - F.col("rejected_score"))
+            )
+            > 1e-9
+        ).count()
+        == 0
+    )
+    out.unpersist()
+
+
+def test_preference_pairs_matches_python_spec(spark):
+    """Re-derive chosen/rejected for a sample of doc_ids with pure
+    Python md5 and the documented tie rule; the engine must agree."""
+    import hashlib
+
+    out = {
+        r.doc_id: r
+        for r in q_preference_pairs(spark, SF).limit(50).collect()
+    }
+    engines = ["beam", "greedy", "nucleus", "sampled"]
+    for doc_id, row in out.items():
+        cand = [
+            (
+                int(
+                    hashlib.md5(f"{doc_id}@{e}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 1000,
+                e,
+            )
+            for e in engines
+        ]
+        b = max(cand)
+        w = min(cand)
+        assert b[0] - w[0] >= _PREF_MARGIN_MILLI
+        assert (row.chosen_engine, row.rejected_engine) == (b[1], w[1])
+        assert abs(row.margin - (b[0] - w[0]) / 1000.0) < 1e-12
+
+
+def test_mixture_alloc_budget_feasibility(spark):
+    """Grants are feasible (0 <= alloc <= avail, capped means
+    alloc == avail) and the total hits the budget up to the per-source
+    floor slack; when nothing is capped-short the sum never exceeds
+    B."""
+    rows = q_mixture_alloc(spark, SF).collect()
+    assert rows
+    total = sum(r.avail_tokens for r in rows)
+    budget = total // 2
+    got = sum(r.alloc_tokens for r in rows)
+    for r in rows:
+        assert 0 <= r.alloc_tokens <= r.avail_tokens
+        if r.capped:
+            assert r.alloc_tokens == r.avail_tokens
+    n_uncapped = sum(1 for r in rows if not r.capped)
+    if n_uncapped:
+        # floors lose < 1 token per uncapped source
+        assert budget - n_uncapped < got <= budget
+    else:
+        assert got == total  # budget >= corpus: everything granted
+
+
+def test_threshold_yield_monotone_and_anchored(spark):
+    """Retention is non-increasing in the threshold, the 0-threshold
+    row retains every non-empty doc, and token_frac is retained /
+    total at every row."""
+    rows = sorted(
+        q_threshold_yield(spark, SF).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 20 and rows[0].threshold == 0.0
+    docs = load(spark, SF, "documents")
+    n_nonempty = docs.where(F.length("text") > 0).count()
+    assert rows[0].docs_retained == n_nonempty
+    for a, b in zip(rows, rows[1:]):
+        assert b.docs_retained <= a.docs_retained
+        assert b.tokens_retained <= a.tokens_retained
+    tot = rows[0].tokens_retained
+    for r in rows:
+        assert abs(r.token_frac - round(r.tokens_retained / tot, 6)) < 1e-9
+
+
+def test_template_turns_rediscovers_injected_set(spark):
+    """The detector finds EXACTLY the injected canned turns: one row
+    per template, each with conversation support >= the gate."""
+    import hashlib
+
+    rows = q_template_turns(spark, SF).collect()
+    want = {
+        hashlib.md5(
+            " ".join(t.lower().split()).encode()
+        ).hexdigest()
+        for t in _TEMPLATES
+    }
+    assert {r.th for r in rows} == want
+    for r in rows:
+        assert r.n_convs >= _TEMPLATE_MIN_CONVS
+        assert r.n_uses >= r.n_convs
+
+
+def test_prefix_supersede_constructed_truth_table(spark):
+    """The fixture's ground truth: a part-session is superseded by its
+    full session exactly when it is strictly shorter and NOT edited
+    (g % _PSUP_EDIT_MOD != 0); full sessions are never superseded."""
+    rows = q_prefix_supersede(spark, SF).collect()
+    n_docs = load(spark, SF, "documents").count()
+    m = max(n_docs // _CONV_PER_GROUP, 1)
+    by_id = {r.sess_id: r for r in rows}
+    assert len(rows) == 2 * m
+    checked_pos = checked_neg = 0
+    for g in range(m):
+        full = by_id[f"s-{g:08d}-full"]
+        part = by_id[f"s-{g:08d}-part"]
+        assert not full.is_superseded and full.superseded_by is None
+        strictly_shorter = part.n_turns < full.n_turns
+        edited = g % _PSUP_EDIT_MOD == 0
+        if strictly_shorter and not edited:
+            assert part.is_superseded
+            assert part.superseded_by == full.sess_id
+            checked_pos += 1
+        else:
+            assert not part.is_superseded
+            checked_neg += (1 if edited and strictly_shorter else 0)
+    # the fixture must exercise BOTH branches for the test to mean much
+    assert checked_pos > 0 and checked_neg > 0

@@ -102,6 +102,17 @@ BOUNDED_OK = {
         "global normalization over the per-source token-total frame — "
         "O(sources) rows post-aggregation",
     ),
+    "q_mixture_alloc": (
+        "EMPTY-WINDOW",
+        "waterfilling sort / prefix-suffix sums / pivot broadcast all "
+        "run on the per-source token-total frame — O(sources) rows "
+        "post-aggregation",
+    ),
+    "q_threshold_yield": (
+        "EMPTY-WINDOW",
+        "suffix-cumulative retention over the fixed 20-row "
+        "threshold-grid frame post-aggregation",
+    ),
 }
 
 
