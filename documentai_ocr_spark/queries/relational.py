@@ -2897,17 +2897,45 @@ _PREF_ENGINES = ["beam", "greedy", "nucleus", "sampled"]
 _PREF_MARGIN_MILLI = 200  # keep pairs with margin >= 0.200
 _PREF_ENGINE_ROWS = ", ".join(f"('{e}')" for e in _PREF_ENGINES)
 
-
-@_q(
-    "q_preference_pairs",
-    f"""
-    WITH eng(engine) AS (SELECT * FROM (VALUES {_PREF_ENGINE_ROWS}) t(e)),
+# ONE rendering of the per-(doc, engine) reward coin (DuckDB CTE pair +
+# Spark expression) — preference pairs and the win-rate matrix must
+# score candidates identically (the _KEPT_WHERE no-drift discipline)
+_PREF_CAND_CTE = f"""eng(engine) AS (
+      SELECT * FROM (VALUES {_PREF_ENGINE_ROWS}) t(e)),
     cand AS (
       SELECT d.doc_id, e.engine,
              ('0x' || substr(md5(d.doc_id || '@' || e.engine), 1, 8))::bigint
                % 1000 AS si
       FROM documents d, eng e
-    ),
+    )"""
+
+
+def _pref_si(engine: str):
+    """Spark rendering of the reward coin for one engine — the integer
+    milli-score twin of _PREF_CAND_CTE's si column."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("@" + engine),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+
+
+@_q(
+    "q_preference_pairs",
+    f"""
+    WITH {_PREF_CAND_CTE},
     best AS (
       SELECT doc_id, engine, si,
              row_number() OVER (PARTITION BY doc_id
@@ -2942,29 +2970,9 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived once from those integers, so cross-engine float drift is
     impossible."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
-
-    def _si(engine: str):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("doc_id").cast("string"),
-                            F.lit("@" + engine),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000
-        )
-
     cand = F.array(
         *[
-            F.struct(_si(e).alias("si"), F.lit(e).alias("engine"))
+            F.struct(_pref_si(e).alias("si"), F.lit(e).alias("engine"))
             for e in _PREF_ENGINES
         ]
     )
@@ -2982,4 +2990,69 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b.si") / 1000.0, 3).alias("chosen_score"),
         F.round(F.col("w.si") / 1000.0, 3).alias("rejected_score"),
         F.round((F.col("b.si") - F.col("w.si")) / 1000.0, 3).alias("margin"),
+    )
+
+
+# ------------------------------------------------------- engine win rate
+# The eval rollup over the same candidate scores: a pairwise win-rate
+# matrix between decode engines ("how often does beam beat nucleus?")
+# — the model-comparison table an RLHF/eval pipeline publishes next to
+# the preference pairs it mined. Strict wins only; ties are reported,
+# not split.
+@_q(
+    "q_engine_winrate",
+    f"""
+    WITH {_PREF_CAND_CTE}
+    SELECT a.engine AS engine_a, b.engine AS engine_b,
+           CAST(COUNT(*) FILTER (a.si > b.si) AS bigint) AS n_wins,
+           CAST(COUNT(*) FILTER (a.si = b.si) AS bigint) AS n_ties,
+           CAST(COUNT(*) AS bigint) AS n_prompts,
+           ROUND(CAST(COUNT(*) FILTER (a.si > b.si) AS double)
+                 / COUNT(*), 6) AS win_rate
+    FROM cand a JOIN cand b
+      ON a.doc_id = b.doc_id AND a.engine < b.engine
+    GROUP BY a.engine, b.engine
+    """,
+)
+def q_engine_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise engine comparison over every prompt: for each unordered
+    engine pair (a < b), strict wins for a, ties, total prompts, and
+    a's win rate.
+
+    Scale — the per-prompt comparison is IN-ROW: all four scores are
+    computed in one projection and the 6 unordered pairs explode from
+    an inline array, so the only exchange is the final
+    partial-aggregated groupBy collapsing to exactly 6 rows map-side
+    (the oracle spells it as a self-join; the engine never joins). The
+    tie column keeps the matrix honest — win_rate + loss_rate + tie
+    rate sums to 1 per pair."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"))
+    pairs = []
+    for i, a in enumerate(_PREF_ENGINES):
+        for b in _PREF_ENGINES[i + 1 :]:
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("engine_a"),
+                    F.lit(b).alias("engine_b"),
+                    _pref_si(a).alias("sa"),
+                    _pref_si(b).alias("sb"),
+                )
+            )
+    e = docs.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+    return (
+        e.groupBy("engine_a", "engine_b")
+        .agg(
+            F.count_if(F.col("sa") > F.col("sb"))
+            .cast("long")
+            .alias("n_wins"),
+            F.count_if(F.col("sa") == F.col("sb"))
+            .cast("long")
+            .alias("n_ties"),
+            F.count(F.lit(1)).cast("long").alias("n_prompts"),
+            F.round(
+                F.count_if(F.col("sa") > F.col("sb")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("win_rate"),
+        )
     )

@@ -1318,3 +1318,159 @@ def q_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_frac"),
     )
+
+
+# ------------------------------------------------ BPE merge candidates
+# Vocabulary induction, round one: BPE training's first merge is the
+# corpus-wide most frequent ADJACENT symbol pair inside words. This
+# computes the top candidates from one pass — the exchange carries
+# DISTINCT words (the word-frequency dim), never the raw token stream,
+# because a word occurring 10^9 times contributes its pairs once with
+# weight 10^9.
+_BPE_TOPK = 20
+
+
+@_q(
+    "q_bpe_merge_candidates",
+    f"""
+    WITH w AS (
+      SELECT t AS word, CAST(COUNT(*) AS bigint) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY t
+    ),
+    p AS (
+      SELECT substr(word, i, 2) AS pair, freq
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(1, length(word) - 1)) AS i
+      ) g
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS bigint) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BPE_TOPK} adjacent character pairs by corpus frequency —
+    the first-round BPE merge table.
+
+    Scale — two partial-aggregated exchanges and a top-k: raw tokens
+    collapse to the distinct-word frequency dim map-side; the in-row
+    pair explode (a transform over an index sequence, zero Python)
+    multiplies each distinct word by its length, not its count; the
+    pair rollup collapses to O(alphabet²) rows map-side; and the
+    ordered limit is a TakeOrderedAndProject, never a global sort.
+    Ties break on the pair string so the cut is total-ordered."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = wf.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPK)
+    )
+
+
+# --------------------------------------------------- rare-token density
+# Tail-vocabulary upsampling selector: documents dense in rare tokens
+# carry the long-tail knowledge a proportional sampler under-trains
+# on; curation pipelines upweight them (the inverse of the template /
+# boilerplate downweights). Rarity is RELATIVE — a type is rare when
+# its corpus count is at most 1/_RARE_DIV of the mean type count — so
+# the rule is scale-invariant (an absolute cutoff silently selects
+# nothing at 10x the corpus and everything at 1/10th).
+_RARE_DIV = 10
+
+
+@_q(
+    "q_rare_token_docs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, t
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    v AS (SELECT t, CAST(COUNT(*) AS bigint) AS cnt FROM tk GROUP BY t),
+    s AS (SELECT CAST(SUM(cnt) AS bigint) AS total,
+                 CAST(COUNT(*) AS bigint) AS n_types FROM v),
+    r AS (SELECT t FROM v, s
+          WHERE cnt * n_types * {_RARE_DIV} <= total),
+    d AS (SELECT doc_id, CAST(COUNT(*) AS bigint) AS n_toks
+          FROM tk GROUP BY doc_id),
+    x AS (
+      SELECT tk.doc_id,
+             CAST(COUNT(*) AS bigint) AS n_rare,
+             CAST(COUNT(DISTINCT tk.t) AS bigint) AS n_distinct_rare
+      FROM tk JOIN r ON tk.t = r.t
+      GROUP BY tk.doc_id
+    )
+    SELECT d.doc_id, d.n_toks, x.n_rare, x.n_distinct_rare,
+           ROUND(CAST(x.n_rare AS double) / d.n_toks, 6) AS rare_ratio
+    FROM d JOIN x ON d.doc_id = x.doc_id
+    """,
+)
+def q_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-token density: total tokens, rare-token hits
+    (corpus count <= mean type count / {_RARE_DIV}), distinct rare
+    types, and the rare ratio — only documents with at least one rare
+    token appear.
+
+    Scale — the rarity test is an integer cross-multiplication against
+    a ONE-ROW broadcast corpus-stats dim (total tokens, type count) —
+    the scalar-broadcast pattern of q_unigram_logprob, no float drift,
+    no vocab-wide window. The vocabulary dim is NOT broadcast (the
+    tail is most of the vocabulary by type count at web scale): the
+    token stream joins the pruned rare set on the token key, and AQE
+    picks broadcast only when that set genuinely fits. Both rollups
+    partial-aggregate map-side; output is doc-grain."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tk = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).where(F.col("t") != "")
+    v = tk.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = v.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    rare = (
+        v.crossJoin(F.broadcast(stats))
+        .where(
+            F.col("cnt") * F.col("n_types") * _RARE_DIV <= F.col("total")
+        )
+        .select("t")
+    )
+    d = tk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    x = (
+        tk.join(rare, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rare"),
+            F.countDistinct("t").cast("long").alias("n_distinct_rare"),
+        )
+    )
+    return d.join(x, "doc_id").select(
+        "doc_id",
+        "n_toks",
+        "n_rare",
+        "n_distinct_rare",
+        F.round(F.col("n_rare").cast("double") / F.col("n_toks"), 6).alias(
+            "rare_ratio"
+        ),
+    )

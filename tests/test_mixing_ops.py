@@ -167,3 +167,73 @@ def test_prefix_supersede_constructed_truth_table(spark):
             checked_neg += (1 if edited and strictly_shorter else 0)
     # the fixture must exercise BOTH branches for the test to mean much
     assert checked_pos > 0 and checked_neg > 0
+
+
+def test_engine_winrate_accounting(spark):
+    """6 unordered pairs, wins + ties <= prompts, win_rate = wins /
+    prompts, and every pair saw every prompt."""
+    from documentai_ocr_spark.queries.relational import q_engine_winrate
+
+    rows = q_engine_winrate(spark, SF).collect()
+    assert len(rows) == 6
+    n_prompts = {r.n_prompts for r in rows}
+    assert len(n_prompts) == 1  # every pair scored every prompt
+    for r in rows:
+        assert r.engine_a < r.engine_b
+        assert 0 <= r.n_wins + r.n_ties <= r.n_prompts
+        assert abs(r.win_rate - round(r.n_wins / r.n_prompts, 6)) < 1e-9
+
+
+def test_bpe_merge_candidates_against_python(spark):
+    """The top pair table equals a pure-Python recount on the same
+    corpus (weighted by word frequency, char-grain pairs)."""
+    from collections import Counter
+
+    from documentai_ocr_spark.queries.textstats import (
+        _BPE_TOPK,
+        q_bpe_merge_candidates,
+    )
+
+    got = [(r.pair, r.n) for r in q_bpe_merge_candidates(spark, SF).collect()]
+    texts = [
+        r.text for r in load(spark, SF, "documents").select("text").collect()
+    ]
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    pc = Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += f
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOPK]
+    assert got == want
+
+
+def test_rare_token_docs_rule_and_bounds(spark):
+    """Rarity is the documented relative rule; every emitted doc has
+    n_rare >= 1 and ratios in (0, 1]."""
+    from collections import Counter
+
+    from documentai_ocr_spark.queries.textstats import (
+        _RARE_DIV,
+        q_rare_token_docs,
+    )
+
+    rows = q_rare_token_docs(spark, SF).collect()
+    assert rows  # the fixture corpus has a rare tail
+    texts = [
+        (r.doc_id, r.text)
+        for r in load(spark, SF, "documents").collect()
+    ]
+    vocab = Counter(w for _, t in texts for w in t.split(" ") if w)
+    total = sum(vocab.values())
+    rare = {w for w, c in vocab.items() if c * len(vocab) * _RARE_DIV <= total}
+    want = {}
+    for doc_id, t in texts:
+        toks = [w for w in t.split(" ") if w]
+        n_rare = sum(1 for w in toks if w in rare)
+        if n_rare:
+            want[doc_id] = (len(toks), n_rare)
+    got = {r.doc_id: (r.n_toks, r.n_rare) for r in rows}
+    assert got == want
+    for r in rows:
+        assert 0 < r.rare_ratio <= 1
+        assert r.n_distinct_rare <= r.n_rare

@@ -102,6 +102,12 @@ BOUNDED_OK = {
         "global normalization over the per-source token-total frame — "
         "O(sources) rows post-aggregation",
     ),
+    "q_rare_token_docs": (
+        "PRODUCT-JOIN",
+        "crossJoin of the ONE-ROW broadcast corpus-stats dim (total "
+        "tokens, type count) — scalar broadcast for the integer "
+        "rarity test",
+    ),
     "q_mixture_alloc": (
         "EMPTY-WINDOW",
         "waterfilling sort / prefix-suffix sums / pivot broadcast all "
