@@ -561,15 +561,36 @@ def x_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # posexplode → groupBy(label, dim) keeps the shuffle at one row per
 # (label, dimension) — 64 rows per label regardless of corpus size —
 # with map-side partial sums doing all the reduction.
+# ONE rendering of the centroid rule (SQL CTE + Spark helper): the
+# centroid table and the outlier audit must agree on the prototype to
+# the last ulp (q_embed_centroids publishes it, q_embed_outliers
+# measures against it).
+CENTROID_CTE = """cent AS (
+      SELECT label, CAST(g.i - 1 AS int) AS dim,
+             ROUND(SUM(CAST(embedding[i] AS double)) / COUNT(*), 6)
+               AS centroid,
+             CAST(COUNT(*) AS bigint) AS n_vecs
+      FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
+      GROUP BY label, g.i)"""
+
+
+def _centroids_df(e: DataFrame) -> DataFrame:
+    """Spark rendering of CENTROID_CTE: per-(label, dim) mean as
+    sum/count in a single double division, rounded once."""
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return ex.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.round(
+            F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )
+
+
 @_q(
     "q_embed_centroids",
-    """
-    SELECT label, CAST(g.i - 1 AS int) AS dim,
-           ROUND(SUM(CAST(embedding[i] AS double)) / COUNT(*), 6)
-             AS centroid,
-           CAST(COUNT(*) AS bigint) AS n_vecs
-    FROM embeddings, unnest(generate_series(1, len(embedding))) g(i)
-    GROUP BY label, g.i
+    f"""
+    WITH {CENTROID_CTE}
+    SELECT label, dim, centroid, n_vecs FROM cent
     """,
 )
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,12 +599,93 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (both engines), rounded for cross-engine accumulation-order
     safety."""
     e = spread(load(spark, sf_dir, "embeddings").select("label", "embedding"))
-    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
-    return ex.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+    return _centroids_df(e)
+
+
+# ------------------------------------------------------ centroid outliers
+# Embedding-space quality audit: the vectors farthest from their
+# class prototype are the mislabeled / corrupted / poisoned candidates
+# a curation pipeline routes to review first. Distances are
+# milli-quantized to integers so the ranking (and the gate) never
+# rests on a float comparison across engines.
+_OUTLIER_TOPK = 5
+
+
+@_q(
+    "q_embed_outliers",
+    f"""
+    WITH {CENTROID_CTE},
+    ca AS (
+      SELECT label, list(centroid ORDER BY dim) AS c
+      FROM cent GROUP BY label
+    ),
+    d AS (
+      SELECT e.label, e.vec_id,
+             CAST(round(sqrt(list_reduce(
+               list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS double) - c[i])
+                    * (CAST(e.embedding[i] AS double) - c[i])),
+               (a, b) -> a + b)) * 1000) AS bigint) AS dist_milli
+      FROM embeddings e JOIN ca ON e.label = ca.label
+    )
+    SELECT label, vec_id, dist_milli, CAST(rnk AS int) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                    ORDER BY dist_milli DESC, vec_id) AS rnk FROM d)
+    WHERE rnk <= {_OUTLIER_TOPK}
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_OUTLIER_TOPK} farthest-from-centroid vectors per label
+    (euclidean distance to the label's mean embedding, milli-quantized,
+    ties broken on vec_id).
+
+    Scale — the centroid dim is O(labels × 64) rows (the
+    q_embed_centroids shuffle), reassembled into per-label arrays and
+    BROADCAST; the distance is an in-row index-ordered left fold
+    (seeded 0.0 == DuckDB's seedless reduce since 0.0 + x is exact),
+    so no per-dim rows ever shuffle for the fact table. The top-k is
+    `row_number <= k`, which Spark plans as WindowGroupLimit: every
+    map partition pre-prunes to its local top-k BEFORE the label
+    exchange, so the per-label sort sees O(k × partitions) rows, not
+    the label's population."""
+    e = spread(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    ca = (
+        _centroids_df(e)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("c")
+        )
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("c"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist_milli = (
         F.round(
-            F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6
-        ).alias("centroid"),
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x))
+            * 1000
+        )
+        .cast("long")
+        .alias("dist_milli")
+    )
+    d = e.join(F.broadcast(ca), "label").select(
+        "label", "vec_id", dist_milli
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist_milli"), F.asc("vec_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _OUTLIER_TOPK)
+        .select("label", "vec_id", "dist_milli", F.col("rnk").cast("int"))
     )
 
 
@@ -1229,4 +1331,38 @@ def x_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= _KNN_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------- dedup radius sweep
+# Threshold calibration for the simhash dedup: pair volume per hamming
+# radius. A dedup rollout picks its radius from this curve (how many
+# pairs — and therefore how many merges — each extra bit of tolerance
+# admits), the same decide-from-one-pass discipline as
+# q_threshold_yield for quality cutoffs.
+@_q(
+    "q_neardup_hist",
+    f"""
+    WITH pairs AS ({_DEDUP_SIMHASH_PAIRS_SQL})
+    SELECT hamming, CAST(COUNT(*) AS bigint) AS n_pairs
+    FROM pairs GROUP BY hamming
+    """,
+)
+def q_neardup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair counts per hamming distance 0..8 over the simhash near-dup
+    candidate set (radii with zero pairs are absent).
+
+    Scale — the histogram rides the production banded path
+    (q_simhash_pairs_banded: pigeonhole equi-join, provably complete
+    at the radius cap, no cartesian anywhere), then collapses to <= 9
+    rows map-side; the oracle brute-forces all pairs, so the gate
+    re-proves banded completeness radius by radius."""
+    from .dedup import _SIMHASH_HAMMING_MAX, _simhash_df
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    fp = _simhash_df(docs).hint("merge")
+    return (
+        simhash_pairs_banded(fp, _SIMHASH_HAMMING_MAX)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )

@@ -321,3 +321,57 @@ def test_ann_rerank_recovers_sq8_loss(spark):
     r_rr = recall(x_ann_rerank(spark, sf))
     assert r_rr >= 0.7
     assert r_rr >= r_sq8, (r_rr, r_sq8)
+
+
+def test_embed_outliers_structure_and_numpy_distance(spark):
+    """Exactly top-k rows per label with contiguous ranks and
+    non-increasing distances; distances match a numpy recompute of the
+    same rounded-centroid rule to within one milli."""
+    import numpy as np
+
+    from documentai_ocr_spark.queries.simsearch import (
+        _OUTLIER_TOPK,
+        q_embed_outliers,
+    )
+    from documentai_ocr_spark.queries.util import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_embed_outliers(spark, sf).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    emb = load(spark, sf, "embeddings").collect()
+    vecs = {}
+    for e in emb:
+        vecs.setdefault(e.label, []).append(
+            (e.vec_id, np.array(e.embedding, dtype=np.float64))
+        )
+    for label, got in by_label.items():
+        got.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in got] == list(range(1, _OUTLIER_TOPK + 1))
+        dists = [r.dist_milli for r in got]
+        assert dists == sorted(dists, reverse=True)
+        mat = np.stack([v for _, v in vecs[label]])
+        cent = np.round(mat.sum(axis=0) / len(mat), 6)
+        want = {
+            vid: round(float(np.sqrt(((v - cent) ** 2).sum())) * 1000)
+            for vid, v in vecs[label]
+        }
+        for r in got:
+            assert abs(r.dist_milli - want[r.vec_id]) <= 1
+
+
+def test_neardup_hist_reconciles_with_banded_pairs(spark):
+    """The radius histogram sums to the banded pair count and stays
+    within the pigeonhole radius cap."""
+    from documentai_ocr_spark.queries.dedup import _SIMHASH_HAMMING_MAX
+    from documentai_ocr_spark.queries.simsearch import (
+        q_neardup_hist,
+        q_simhash_pairs_banded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = q_neardup_hist(spark, sf).collect()
+    assert all(0 <= r.hamming <= _SIMHASH_HAMMING_MAX for r in hist)
+    n_pairs = q_simhash_pairs_banded(spark, sf).count()
+    assert sum(r.n_pairs for r in hist) == n_pairs
