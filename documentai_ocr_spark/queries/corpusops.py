@@ -1900,6 +1900,14 @@ _TEMPLATE_CASES = " ".join(
 )
 
 
+def template_hash(text_col):
+    """ONE Spark rendering of the template-normalization fingerprint
+    (lowercase, single-space collapse, trim, md5) — shared by
+    q_template_turns and streaming.stream_template_detect so the batch
+    rule and the streaming monitor can never drift."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text_col, "[ ]+", " "))))
+
+
 @_q(
     "q_template_turns",
     f"""
@@ -1948,10 +1956,7 @@ def q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.when(F.col("doc_id") % _TEMPLATE_MOD == 0, tmpl).otherwise(
         F.col("text")
     )
-    th = F.md5(
-        F.lower(F.trim(F.regexp_replace(text, "[ ]+", " ")))
-    )
-    pairs = gdf.select("g", th.alias("th"))
+    pairs = gdf.select("g", template_hash(text).alias("th"))
     per_conv = pairs.groupBy("th", "g").agg(
         F.count(F.lit(1)).alias("uses_in_g")
     )

@@ -640,3 +640,78 @@ def cms_read_current(spark: SparkSession, output_dir: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# ------------------------------------------- streaming template monitor
+TEMPLATE_STATE_SCHEMA = "n_uses long, convs array<string>"
+TEMPLATE_OUT_SCHEMA = (
+    "th string, n_uses long, n_convs_min int, is_template boolean"
+)
+
+
+def stream_template_detect(stream: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Streaming canned-reply monitor — the streaming twin of
+    q_template_turns (queries/corpusops.py): normalized-turn
+    fingerprints accumulate use counts and conversation support across
+    micro-batches; a fingerprint becomes a template the moment
+    ``min_convs`` DISTINCT conversations have used it.
+
+    State per fingerprint is BOUNDED BY DESIGN: the distinct-conv set
+    is capped at ``min_convs`` entries — exactly enough to decide
+    templatehood — so a template used by 10^9 conversations holds
+    ``min_convs`` conv ids and two counters, never the support set.
+    ``n_convs_min`` is therefore exact below the cap and pinned at the
+    cap above it (the emitted ``is_template`` is always exact). The
+    capped-set rule is ORDER-INDEPENDENT: set membership is insertion-
+    order-blind until the cap, and once full every interleaving has
+    already crossed the threshold.
+
+    The fingerprint itself (queries.corpusops.template_hash) is applied
+    as a vectorized expression BEFORE the stateful operator — the only
+    Python is the per-fingerprint state fold. Each micro-batch shuffles
+    once on the fingerprint key.
+
+    Expected input columns: conv_id, text."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .queries.corpusops import template_hash
+
+    keyed = stream.select(
+        template_hash(F.col("text")).alias("th"), "conv_id"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n_uses, convs = state.get
+            convs = list(convs)
+        else:
+            n_uses, convs = 0, []
+        seen = set(convs)
+        for pdf in pdfs:
+            n_uses += len(pdf)
+            if len(seen) < min_convs:
+                for c in pdf["conv_id"]:
+                    if c not in seen:
+                        seen.add(str(c))
+                        if len(seen) >= min_convs:
+                            break
+        convs = sorted(seen)[:min_convs]
+        state.update((n_uses, convs))
+        yield pd.DataFrame(
+            {
+                "th": [key[0]],
+                "n_uses": [n_uses],
+                "n_convs_min": [len(convs)],
+                "is_template": [len(convs) >= min_convs],
+            }
+        )
+
+    return keyed.groupBy("th").applyInPandasWithState(
+        update,
+        outputStructType=TEMPLATE_OUT_SCHEMA,
+        stateStructType=TEMPLATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

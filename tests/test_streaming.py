@@ -727,3 +727,85 @@ def test_stream_cms_maintain_exactly_once_and_merge_exact(
     ).where(F.col("tok") != "")
     assert per_batch0 == cells(cms_build(tok37, "tok"))
     assert after  # current view still readable and summed
+
+
+def test_stream_template_detect_cross_batch_and_bounded(
+    spark, tmp_path_factory
+):
+    """Template support accumulates across micro-batches: a canned
+    reply reaching min_convs distinct conversations only over SEVERAL
+    batches flips to is_template; unique texts never do; n_uses is
+    exact; and the support state is capped at min_convs (n_convs_min
+    never exceeds it, even at 6 distinct convs)."""
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import stream_template_detect
+
+    base = tmp_path_factory.mktemp("tmplstream")
+    d = str(base / "in")
+    ckpt = str(base / "ckpt")
+
+    canned = "The tool call FAILED.  Please retry."
+    batches = [
+        # batch 1: canned in convs a, b (+ a duplicate use in a)
+        pd.DataFrame(
+            {
+                "conv_id": ["a", "a", "b", "a"],
+                "text": [canned, canned, canned, "unique one"],
+            }
+        ),
+        # batch 2: canned again in conv a only — support stays 2
+        pd.DataFrame({"conv_id": ["a"], "text": [canned]}),
+        # batch 3: convs c..f push support past the cap
+        pd.DataFrame(
+            {
+                "conv_id": ["c", "d", "e", "f"],
+                "text": [canned] * 4,
+            }
+        ),
+    ]
+    schema = "conv_id string, text string"
+    for pdf in batches:
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_template_detect(src, min_convs=3)
+        .writeStream.format("memory")
+        .queryName("tmpl_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import hashlib
+
+    th_canned = hashlib.md5(
+        " ".join(canned.lower().split()).encode()
+    ).hexdigest()
+    # last emission per fingerprint = final state
+    rows = spark.sql(
+        "SELECT * FROM tmpl_out"
+    ).collect()
+    final = {}
+    for r in rows:
+        final[r.th] = r  # memory sink appends in batch order
+    got = final[th_canned]
+    assert got.is_template
+    assert got.n_uses == 8  # 3 + 1 + 4 canned uses
+    assert got.n_convs_min == 3  # capped at min_convs, NOT 6
+    for r in final.values():
+        if r.th != th_canned:
+            assert not r.is_template and r.n_convs_min <= 1
+    # the canned hash must NOT be a template before batch 3: its
+    # first-batch emission has support 2
+    first = [r for r in rows if r.th == th_canned][0]
+    assert not first.is_template and first.n_convs_min == 2
