@@ -237,3 +237,126 @@ def test_rare_token_docs_rule_and_bounds(spark):
     for r in rows:
         assert 0 < r.rare_ratio <= 1
         assert r.n_distinct_rare <= r.n_rare
+
+
+def _waterfill_closed(avails, weights, budget):
+    """The documented closed form: sort by avail/weight asc, pivot =
+    first position where the remaining budget spread over remaining
+    weights no longer exceeds the ratio; integer grants."""
+    order = sorted(
+        range(len(avails)),
+        key=lambda i: (avails[i] / weights[i], i),
+    )
+    a_prev, w_from = 0, sum(weights)
+    pivot, lnum, lden = None, None, None
+    for j in order:
+        if (budget - a_prev) * weights[j] <= avails[j] * w_from:
+            pivot, lnum, lden = j, budget - a_prev, w_from
+            break
+        a_prev += avails[j]
+        w_from -= weights[j]
+    grants = {}
+    passed_pivot = False
+    for j in order:
+        if pivot is None:
+            grants[j] = avails[j]
+            continue
+        if j == pivot:
+            passed_pivot = True
+        grants[j] = (
+            lnum * weights[j] // lden if passed_pivot else avails[j]
+        )
+    return grants
+
+
+def _waterfill_iterative(avails, weights, budget):
+    """Independent reference: repeatedly cap any source whose avail is
+    below its tentative share, until stable; grants by the final
+    level."""
+    n = len(avails)
+    capped = set()
+    while True:
+        rem_b = budget - sum(avails[i] for i in capped)
+        rem_w = sum(weights[i] for i in range(n) if i not in capped)
+        if rem_w == 0:
+            break
+        # cap when the source CANNOT absorb its tentative share:
+        # avail < level*weight  <=>  avail*rem_w < rem_b*weight
+        newly = {
+            i
+            for i in range(n)
+            if i not in capped and avails[i] * rem_w < rem_b * weights[i]
+        }
+        if not newly:
+            break
+        capped |= newly
+    rem_b = budget - sum(avails[i] for i in capped)
+    rem_w = sum(weights[i] for i in range(n) if i not in capped)
+    return {
+        i: (
+            avails[i]
+            if i in capped or rem_w == 0
+            else rem_b * weights[i] // rem_w
+        )
+        for i in range(n)
+    }
+
+
+def test_waterfill_closed_form_matches_iterative_reference():
+    """200 random cases: the single-pass pivot form (what the SQL and
+    the Spark plan compute) equals the classic iterate-until-stable
+    waterfilling, grant for grant."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        n = rng.randint(1, 8)
+        avails = [rng.randint(1, 500) for _ in range(n)]
+        weights = [rng.randint(1, 3) for _ in range(n)]
+        budget = sum(avails) // 2
+        got = _waterfill_closed(avails, weights, budget)
+        want = _waterfill_iterative(avails, weights, budget)
+        assert got == want, (avails, weights, budget, got, want)
+
+
+def test_mixture_alloc_handcrafted_corpus(spark, tmp_path):
+    """A hand-built corpus with one dominant source: the small sources
+    must be capped at their full avail, the big one takes the rest of
+    the budget; grants equal the closed form computed with the same
+    md5 weights."""
+    import hashlib
+
+    import pandas as pd
+
+    d = tmp_path / "wf"
+    d.mkdir()
+    rows = []
+    texts = {
+        "tiny": "alpha beta",                      # 2 tokens
+        "small": "one two three four",             # 4 tokens
+        "big": " ".join(f"w{i}" for i in range(100)),  # 100 tokens
+    }
+    for i, (src, txt) in enumerate(sorted(texts.items())):
+        rows.append({"doc_id": i, "source": src, "text": txt})
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    out = {r.source: r for r in q_mixture_alloc(spark, str(d)).collect()}
+    avails = {s: len(t.split()) for s, t in texts.items()}
+    weights = {
+        s: 1 + int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % 3
+        for s in texts
+    }
+    srcs = sorted(texts)
+    grants = _waterfill_closed(
+        [avails[s] for s in srcs],
+        [weights[s] for s in srcs],
+        sum(avails.values()) // 2,
+    )
+    for j, s in enumerate(srcs):
+        assert out[s].avail_tokens == avails[s]
+        assert out[s].weight == weights[s]
+        assert out[s].alloc_tokens == grants[j], (s, out[s], grants)
+    # the two small sources cannot absorb a weighted half-budget share:
+    # they must be capped, and the big one must not be
+    assert out["tiny"].capped and out["small"].capped
+    assert not out["big"].capped
