@@ -1900,6 +1900,31 @@ _TEMPLATE_CASES = " ".join(
 )
 
 
+TH_SQL = "md5(lower(trim(regexp_replace({c}, '[ ]+', ' ', 'g'))))"
+
+# ONE SQL rendering of the template-injection decoration (the fixture
+# that gives the detector something real to find) — q_template_turns
+# and q_mixing_plan must decorate the identical stream
+TEMPLATE_TEXT_SQL = f"""CASE WHEN doc_id % {_TEMPLATE_MOD} = 0
+                  THEN CASE (doc_id // {_TEMPLATE_MOD}) % {len(_TEMPLATES)}
+                       {_TEMPLATE_CASES} END
+                  ELSE text END"""
+
+
+def template_text():
+    """Spark rendering of TEMPLATE_TEXT_SQL."""
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in _TEMPLATES]),
+        (
+            F.expr(f"doc_id div {_TEMPLATE_MOD}") % len(_TEMPLATES)
+        ).cast("int")
+        + 1,
+    )
+    return F.when(F.col("doc_id") % _TEMPLATE_MOD == 0, tmpl).otherwise(
+        F.col("text")
+    )
+
+
 def template_hash(text_col):
     """ONE Spark rendering of the template-normalization fingerprint
     (lowercase, single-space collapse, trim, md5) — shared by
@@ -1913,16 +1938,11 @@ def template_hash(text_col):
     f"""
     WITH {_M_CTE},
     t AS (
-      SELECT doc_id % m.m AS g,
-             CASE WHEN doc_id % {_TEMPLATE_MOD} = 0
-                  THEN CASE (doc_id // {_TEMPLATE_MOD}) % {len(_TEMPLATES)}
-                       {_TEMPLATE_CASES} END
-                  ELSE text END AS text
+      SELECT doc_id % m.m AS g, {TEMPLATE_TEXT_SQL} AS text
       FROM documents, m
     ),
     n AS (
-      SELECT g, md5(lower(trim(regexp_replace(text, '[ ]+', ' ', 'g'))))
-               AS th
+      SELECT g, {TH_SQL.format(c='text')} AS th
       FROM t
     )
     SELECT th,
@@ -1946,17 +1966,7 @@ def q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any driver contact; output is O(#templates)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     gdf, _m = _conv_group(docs, docs.count())
-    tmpl = F.element_at(
-        F.array(*[F.lit(t) for t in _TEMPLATES]),
-        (
-            F.expr(f"doc_id div {_TEMPLATE_MOD}") % len(_TEMPLATES)
-        ).cast("int")
-        + 1,
-    )
-    text = F.when(F.col("doc_id") % _TEMPLATE_MOD == 0, tmpl).otherwise(
-        F.col("text")
-    )
-    pairs = gdf.select("g", template_hash(text).alias("th"))
+    pairs = gdf.select("g", template_hash(template_text()).alias("th"))
     per_conv = pairs.groupBy("th", "g").agg(
         F.count(F.lit(1)).alias("uses_in_g")
     )
@@ -2125,3 +2135,127 @@ def q_prefix_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
             "superseded_by",
         )
     )
+
+
+# ------------------------------------------------------- mixing plan
+# The composed curation→mixing flagship for the new family (the
+# x_corpus_curate convention, but fully DuckDB-gated end to end):
+# (1) drop templated turns (the q_template_turns rule), (2) drop
+# low-quality docs (alpha-ratio score < the cutoff, the
+# q_threshold_yield score), (3) waterfill the training budget over
+# the SURVIVING per-source token pools (the q_mixture_alloc tail).
+# Every rule is the single shared rendering its standalone operator
+# uses — the plan cannot drift from the operators it composes.
+_PLAN_QUALITY_MIN = 0.40
+
+
+def _mixing_plan_sql() -> str:
+    from .textstats import alpha_score_sql
+    from .relevance import MIX_WEIGHT_SQL, waterfill_sql
+
+    return f"""
+    WITH {_M_CTE},
+    t AS (
+      SELECT doc_id, source, doc_id % m.m AS g,
+             {TEMPLATE_TEXT_SQL} AS text
+      FROM documents, m
+    ),
+    n AS (
+      SELECT source, g, {TH_SQL.format(c='text')} AS th,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE {alpha_score_sql('text')} END AS score,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS bigint) AS toks
+      FROM t
+    ),
+    tm AS (SELECT th FROM n GROUP BY th
+           HAVING COUNT(DISTINCT g) >= {_TEMPLATE_MIN_CONVS}),
+    mk AS (SELECT n.*, tm.th IS NOT NULL AS is_t
+           FROM n LEFT JOIN tm ON n.th = tm.th),
+    src AS (
+      SELECT source,
+             CAST(COUNT(*) AS bigint) AS n_docs_in,
+             CAST(COUNT(*) FILTER (is_t) AS bigint)
+               AS n_dropped_template,
+             CAST(COUNT(*) FILTER (NOT is_t
+                  AND score < {_PLAN_QUALITY_MIN}) AS bigint)
+               AS n_dropped_quality,
+             CAST(COALESCE(SUM(toks) FILTER (NOT is_t
+                  AND score >= {_PLAN_QUALITY_MIN}), 0) AS bigint)
+               AS avail
+      FROM mk GROUP BY source
+    ),
+    d AS (SELECT source, n_docs_in, n_dropped_template,
+                 n_dropped_quality, avail, {MIX_WEIGHT_SQL} AS w
+          FROM src),
+    {waterfill_sql(", n_docs_in, n_dropped_template, n_dropped_quality")}
+    """
+
+
+@_q("q_mixing_plan")
+def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing plan over the CLEANED corpus: incoming docs,
+    template drops, quality drops (< {_PLAN_QUALITY_MIN} alpha score),
+    surviving token pool, priority weight, and the waterfilled grant
+    against a budget of half the surviving tokens.
+
+    Scale — the composition inherits each stage's plan: the template
+    support count partial-aggregates on (th, g), the template SET is a
+    tiny broadcast dim anti-marking the scan, score/tokens are pure
+    expressions, the per-source rollup collapses map-side to O(sources)
+    rows, and the waterfilling tail (relevance.waterfill_df) runs its
+    windows on that tiny frame. One corpus-wide exchange total — the
+    (th, g) support count — which q_template_turns already pays
+    standalone."""
+    from .relevance import _mix_weight_col, waterfill_df
+    from .textstats import alpha_score_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    gdf, _m = _conv_group(docs, docs.count())
+    text = template_text()
+    n = gdf.select(
+        "source",
+        "g",
+        template_hash(text).alias("th"),
+        F.when(F.length(text) == 0, F.lit(0.0))
+        .otherwise(alpha_score_col(text))
+        .alias("score"),
+        F.size(F.filter(F.split(text, " "), lambda x: x != ""))
+        .cast("long")
+        .alias("toks"),
+    )
+    tm = (
+        n.groupBy("th", "g")
+        .agg(F.count(F.lit(1)).alias("_u"))
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .where(F.col("n_convs") >= _TEMPLATE_MIN_CONVS)
+        .select("th", F.lit(True).alias("is_t"))
+    )
+    mk = n.join(F.broadcast(tm), "th", "left").withColumn(
+        "is_t", F.coalesce(F.col("is_t"), F.lit(False))
+    )
+    surv = ~F.col("is_t") & (F.col("score") >= _PLAN_QUALITY_MIN)
+    src = mk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
+        F.count(F.when(F.col("is_t"), 1))
+        .cast("long")
+        .alias("n_dropped_template"),
+        F.count(
+            F.when(~F.col("is_t") & (F.col("score") < _PLAN_QUALITY_MIN), 1)
+        )
+        .cast("long")
+        .alias("n_dropped_quality"),
+        F.coalesce(F.sum(F.when(surv, F.col("toks"))), F.lit(0))
+        .cast("long")
+        .alias("avail"),
+    )
+    return waterfill_df(
+        src.withColumn("w", _mix_weight_col()),
+        extra_cols=("n_docs_in", "n_dropped_template", "n_dropped_quality"),
+    )
+
+
+ORACLES["q_mixing_plan"] = _mixing_plan_sql()

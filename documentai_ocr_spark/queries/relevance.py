@@ -622,19 +622,27 @@ def q_embed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-for-bit; the only doubles are the published level/ratio columns.
 _MIX_BUDGET_FRAC_NUM, _MIX_BUDGET_FRAC_DEN = 1, 2  # B = total // 2
 
+# ONE SQL rendering of the md5 priority-weight coin — q_mixture_alloc
+# and q_mixing_plan must weight sources identically
+MIX_WEIGHT_SQL = "1 + ('0x' || substr(md5(source), 1, 4))::bigint % 3"
 
-@_q(
-    "q_mixture_alloc",
-    f"""
-    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
-                 FROM documents),
-    c AS (SELECT source, CAST(COUNT(*) AS bigint) AS avail
-          FROM tok WHERE t <> '' GROUP BY source),
-    d AS (SELECT source, avail,
-                 1 + ('0x' || substr(md5(source), 1, 4))::bigint % 3
-                   AS w
-          FROM c),
-    s AS (SELECT source, avail, w,
+
+def _mix_weight_col():
+    """Spark rendering of MIX_WEIGHT_SQL."""
+    return (
+        1
+        + F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long")
+        % 3
+    )
+
+
+def waterfill_sql(extra_cols: str = "") -> str:
+    """ONE SQL rendering of the waterfilling tail: expects an upstream
+    CTE ``d(source, avail, w, ...)`` and emits the grant table. Any
+    ``extra_cols`` (comma-led passthrough accounting columns of d) ride
+    through the window CTEs untouched."""
+    return f"""
+    s AS (SELECT source, avail, w{extra_cols},
                  SUM(avail) OVER () * {_MIX_BUDGET_FRAC_NUM}
                    // {_MIX_BUDGET_FRAC_DEN} AS b,
                  row_number() OVER (ORDER BY CAST(avail AS double) / w,
@@ -657,39 +665,22 @@ _MIX_BUDGET_FRAC_NUM, _MIX_BUDGET_FRAC_DEN = 1, 2  # B = total // 2
                    MAX(CASE WHEN pos = pv THEN w_from END)
                      OVER () AS lden
             FROM p)
-    SELECT source, avail AS avail_tokens, CAST(w AS int) AS weight,
+    SELECT source{extra_cols}, avail AS avail_tokens,
+           CAST(w AS int) AS weight,
            CAST(CASE WHEN pv IS NULL OR pos < pv THEN avail
                      ELSE lnum * w // lden END AS bigint) AS alloc_tokens,
            (pv IS NULL OR pos < pv) AS capped
     FROM lvl
-    """,
-)
-def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Waterfilled token grants per source for a budget of half the
-    corpus: capped sources contribute everything they have, uncapped
-    sources split the remainder in proportion to their md5-coin
-    priority weight (1..3), grant = (B - prefix_avail) * w //
-    suffix_weight at the pivot.
+    """
 
-    Scale — the corpus collapses map-side to ONE row per source; every
-    window (sort, prefix/suffix sums, pivot broadcast) runs on that
-    O(sources) frame, the same post-agg tiny-dim pattern as
-    q_domain_mix. Pivot selection cross-multiplies integers instead of
-    comparing the float level to the float ratio, so engine agreement
-    is structural, not numeric luck."""
-    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
-    c = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
-        .where(F.col("t") != "")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("avail"))
-    )
-    d = c.withColumn(
-        "w",
-        1
-        + F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("long")
-        % 3,
-    )
+
+def waterfill_df(d: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """Spark rendering of waterfill_sql over a (source, avail, w, ...)
+    dim — O(sources) rows post-aggregation, so every window here runs
+    on the tiny frame (the q_domain_mix pattern). Pivot selection
+    cross-multiplies integers instead of comparing the float level to
+    the float ratio, so engine agreement is structural, not numeric
+    luck."""
     wall = Window.partitionBy()
     order = [
         (F.col("avail").cast("double") / F.col("w")).asc(),
@@ -705,6 +696,7 @@ def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "avail",
         "w",
+        *extra_cols,
         F.expr(
             f"{_MIX_BUDGET_FRAC_NUM} * "
             f"(sum(avail) OVER ()) div {_MIX_BUDGET_FRAC_DEN}"
@@ -722,7 +714,9 @@ def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl = p.withColumn(
         "lnum",
         F.max(
-            F.when(F.col("pos") == F.col("pivot"), F.col("b") - F.col("a_prev"))
+            F.when(
+                F.col("pos") == F.col("pivot"), F.col("b") - F.col("a_prev")
+            )
         ).over(wall),
     ).withColumn(
         "lden",
@@ -733,6 +727,7 @@ def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_capped = F.col("pivot").isNull() | (F.col("pos") < F.col("pivot"))
     return lvl.select(
         "source",
+        *extra_cols,
         F.col("avail").alias("avail_tokens"),
         F.col("w").cast("int").alias("weight"),
         F.when(is_capped, F.col("avail"))
@@ -741,3 +736,33 @@ def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_tokens"),
         is_capped.alias("capped"),
     )
+
+
+@_q(
+    "q_mixture_alloc",
+    f"""
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    c AS (SELECT source, CAST(COUNT(*) AS bigint) AS avail
+          FROM tok WHERE t <> '' GROUP BY source),
+    d AS (SELECT source, avail, {MIX_WEIGHT_SQL} AS w
+          FROM c),
+    {waterfill_sql()}
+    """,
+)
+def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilled token grants per source for a budget of half the
+    corpus: capped sources contribute everything they have, uncapped
+    sources split the remainder in proportion to their md5-coin
+    priority weight (1..3), grant = (B - prefix_avail) * w //
+    suffix_weight at the pivot. The whole waterfilling tail is ONE
+    rendering per engine (waterfill_sql / waterfill_df), shared with
+    q_mixing_plan's filtered-corpus allocation."""
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("avail"))
+    )
+    return waterfill_df(c.withColumn("w", _mix_weight_col()))

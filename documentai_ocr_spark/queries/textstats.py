@@ -1229,14 +1229,34 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _YIELD_GRID = 20  # thresholds b/20 for b in 0..19
 
 
+def alpha_score_sql(col: str) -> str:
+    """ONE SQL rendering of the alpha-ratio quality score (round-6 of
+    letter-chars / chars) — shared by q_threshold_yield and
+    corpusops.q_mixing_plan. Caller guarantees length({col}) > 0 or
+    wraps in a CASE."""
+    return (
+        f"ROUND(CAST(length({col}) - length(regexp_replace({col},"
+        f" '[A-Za-z]', '', 'g')) AS double) / length({col}), 6)"
+    )
+
+
+def alpha_score_col(col):
+    """Spark rendering of alpha_score_sql."""
+    n = F.length(col)
+    return F.round(
+        (n - F.length(F.regexp_replace(col, "[A-Za-z]", "")))
+        .cast("double")
+        / n,
+        6,
+    )
+
+
 @_q(
     "q_threshold_yield",
     f"""
     WITH scored AS (
       SELECT least(CAST(floor(
-               ROUND(CAST(length(text)
-                 - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
-                 AS double) / length(text), 6) * {_YIELD_GRID})
+               {alpha_score_sql('text')} * {_YIELD_GRID})
                AS bigint), {_YIELD_GRID - 1}) AS b,
              len(string_split(text, ' ')) AS n_tok
       FROM documents WHERE length(text) > 0
@@ -1278,8 +1298,7 @@ def q_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, identical floor."""
     docs = spread(load(spark, sf_dir, "documents").select("text"))
     n = F.length("text")
-    alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
-    score = F.round(alpha.cast("double") / n, 6)
+    score = alpha_score_col(F.col("text"))
     b = F.least(
         F.floor(score * _YIELD_GRID).cast("long"),
         F.lit(_YIELD_GRID - 1).cast("long"),

@@ -360,3 +360,36 @@ def test_mixture_alloc_handcrafted_corpus(spark, tmp_path):
     # they must be capped, and the big one must not be
     assert out["tiny"].capped and out["small"].capped
     assert not out["big"].capped
+
+
+def test_mixing_plan_reconciles_with_component_operators(spark):
+    """The composed plan's accounting reconciles with the standalone
+    operators it shares renderings with: template drops sum to
+    q_template_turns' total uses, per-source docs add up, grants obey
+    the waterfilling feasibility laws on the SURVIVING pool."""
+    from documentai_ocr_spark.queries.corpusops import q_mixing_plan
+
+    rows = q_mixing_plan(spark, SF).collect()
+    assert rows
+    # template drops across sources == total uses of detected templates
+    tmpl_uses = sum(
+        r.n_uses for r in q_template_turns(spark, SF).collect()
+    )
+    assert sum(r.n_dropped_template for r in rows) == tmpl_uses
+    n_docs = load(spark, SF, "documents").count()
+    assert sum(r.n_docs_in for r in rows) == n_docs
+    total = sum(r.avail_tokens for r in rows)
+    budget = total // 2
+    got = sum(r.alloc_tokens for r in rows)
+    for r in rows:
+        assert (
+            r.n_dropped_template + r.n_dropped_quality <= r.n_docs_in
+        )
+        assert 0 <= r.alloc_tokens <= r.avail_tokens
+        if r.capped:
+            assert r.alloc_tokens == r.avail_tokens
+    n_uncapped = sum(1 for r in rows if not r.capped)
+    if n_uncapped:
+        assert budget - n_uncapped < got <= budget
+    else:
+        assert got == total

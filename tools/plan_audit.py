@@ -114,6 +114,11 @@ BOUNDED_OK = {
         "run on the per-source token-total frame — O(sources) rows "
         "post-aggregation",
     ),
+    "q_mixing_plan": (
+        "EMPTY-WINDOW",
+        "the waterfilling tail (relevance.waterfill_df) over the "
+        "per-source accounting dim — O(sources) rows post-aggregation",
+    ),
     "q_threshold_yield": (
         "EMPTY-WINDOW",
         "suffix-cumulative retention over the fixed 20-row "
