@@ -766,3 +766,49 @@ def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("avail"))
     )
     return waterfill_df(c.withColumn("w", _mix_weight_col()))
+
+
+# ---------------------------------------------------- class-balance weights
+# Training-loss reweighting for skewed label distributions: the
+# class-balanced "effective number of samples" rule — w_label ∝
+# (1 - beta) / (1 - beta^n_label), normalized so the weights sum to
+# the class count. The per-label count dim is O(labels); pow/division
+# run once per label on identical integers, so both engines produce
+# the same doubles (the q_domain_mix pow precedent).
+_CB_BETA = 0.999
+
+
+@_q(
+    "q_class_weights",
+    f"""
+    WITH c AS (SELECT label, CAST(COUNT(*) AS bigint) AS n
+               FROM embeddings GROUP BY label),
+    e AS (SELECT label, n,
+                 (1.0 - {_CB_BETA}) / (1.0 - pow({_CB_BETA}, n)) AS raw
+          FROM c)
+    SELECT label, n,
+           ROUND(raw * (SELECT COUNT(*) FROM c)
+                 / SUM(raw) OVER (), 6) AS weight
+    FROM e
+    """,
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights per label: effective-number inverse,
+    normalized to sum to the number of classes.
+
+    Scale — the corpus collapses map-side to one row per label; the
+    normalization window runs on that O(labels) frame (q_domain_mix's
+    post-agg tiny-dim pattern)."""
+    e = spread(load(spark, sf_dir, "embeddings").select("label"))
+    c = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    raw = (1.0 - _CB_BETA) / (
+        1.0 - F.pow(F.lit(_CB_BETA), F.col("n"))
+    )
+    wall = Window.partitionBy()
+    return c.select(
+        "label",
+        "n",
+        F.round(
+            raw * F.count(F.lit(1)).over(wall) / F.sum(raw).over(wall), 6
+        ).alias("weight"),
+    )

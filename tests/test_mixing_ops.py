@@ -393,3 +393,17 @@ def test_mixing_plan_reconciles_with_component_operators(spark):
         assert budget - n_uncapped < got <= budget
     else:
         assert got == total
+
+
+def test_class_weights_normalization_and_monotonicity(spark):
+    """Weights sum to the class count and are non-increasing in class
+    size (bigger classes never get bigger weights)."""
+    from documentai_ocr_spark.queries.relevance import q_class_weights
+
+    rows = q_class_weights(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - len(rows)) < 1e-3
+    by_n = sorted(rows, key=lambda r: r.n)
+    for a, b in zip(by_n, by_n[1:]):
+        if a.n < b.n:
+            assert a.weight >= b.weight

@@ -114,6 +114,11 @@ BOUNDED_OK = {
         "run on the per-source token-total frame — O(sources) rows "
         "post-aggregation",
     ),
+    "q_class_weights": (
+        "EMPTY-WINDOW",
+        "effective-number normalization over the per-label count "
+        "frame — O(labels) rows post-aggregation",
+    ),
     "q_mixing_plan": (
         "EMPTY-WINDOW",
         "the waterfilling tail (relevance.waterfill_df) over the "
