@@ -1741,7 +1741,7 @@ _SYS_PROMPT = "You are a helpful assistant. Follow the instructions."
     p AS (
       SELECT g,
              row_number() OVER (PARTITION BY g ORDER BY doc_id) AS depth,
-             md5(string_agg(text, chr(31))
+             md5(string_agg(md5(text), chr(31))
                  OVER (PARTITION BY g ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING)) AS ph
       FROM t
@@ -1765,8 +1765,9 @@ def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-cache hit-rate table: per depth d ≤ {max_depth}, the
     number of conversations, distinct depth-d prefixes, conversations
     whose prefix is shared by ≥2, and the cacheable fraction. The
-    prefix fingerprint is md5 over the US-separated running turn
-    concat — ONE conversation-bounded window (collect_list rides the
+    prefix fingerprint is md5 over the US-separated running concat of
+    PER-TURN md5s (fixed-width hex, so a separator byte inside a turn
+    can never alias a turn boundary) — ONE conversation-bounded window (collect_list rides the
     same sort as row_number), so per-task state is one conversation's
     text, never a source or the corpus; the rollup is
     O(depth × distinct prefixes)."""
@@ -1795,7 +1796,7 @@ def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         "depth",
         F.md5(
-            F.concat_ws("\x1f", F.collect_list("text").over(w))
+            F.concat_ws("\x1f", F.collect_list(F.md5("text")).over(w))
         ).alias("ph"),
     )
     c = p.groupBy("depth", "ph").agg(F.count(F.lit(1)).alias("n"))
@@ -1953,8 +1954,8 @@ def template_hash(text_col):
     """,
 )
 def q_template_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Turn templates: normalized-text hashes used in >=
-    {_TEMPLATE_MIN_CONVS} distinct conversations, with total uses and
+    """Turn templates: normalized-text hashes used in >= 3
+    (_TEMPLATE_MIN_CONVS) distinct conversations, with total uses and
     conversation support.
 
     Scale — one corpus pass: normalize-and-hash is a pure expression,
@@ -2017,7 +2018,7 @@ _PSUP_EDIT_MOD = 5
     ),
     pref AS (
       SELECT sess_id, rn AS depth,
-             md5(string_agg(text, chr(31))
+             md5(string_agg(md5(text), chr(31))
                  OVER (PARTITION BY sess_id ORDER BY rn
                        ROWS UNBOUNDED PRECEDING)) AS ph,
              COUNT(*) OVER (PARTITION BY sess_id) AS n_turns
@@ -2046,7 +2047,10 @@ def q_prefix_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
     first such container, NULL when none).
 
     Scale — fingerprints, never text comparison: the running md5 over
-    the US-separated turn concat is one conversation-bounded window
+    the US-separated concat of PER-TURN md5s (fixed-width hex — a
+    separator byte inside hostile turn text cannot alias a turn
+    boundary, so ['a\\x1fb','c'] never collides with ['a','b\\x1fc'])
+    is one conversation-bounded window
     (the q_prefix_share kernel, here at all depths — per-task state is
     one session); the supersession test is an EQUI-join on (depth,
     fingerprint) whose bucket sizes are the number of sessions sharing
@@ -2105,9 +2109,9 @@ def q_prefix_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = turns.select(
         "sess_id",
         F.col("rn").alias("depth"),
-        F.md5(F.concat_ws("\x1f", F.collect_list("text").over(wrun))).alias(
-            "ph"
-        ),
+        F.md5(
+            F.concat_ws("\x1f", F.collect_list(F.md5("text")).over(wrun))
+        ).alias("ph"),
         F.count(F.lit(1)).over(wsess).alias("n_turns"),
     )
     sess = pref.where(F.col("depth") == F.col("n_turns")).select(
@@ -2195,7 +2199,8 @@ def _mixing_plan_sql() -> str:
 @_q("q_mixing_plan")
 def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixing plan over the CLEANED corpus: incoming docs,
-    template drops, quality drops (< {_PLAN_QUALITY_MIN} alpha score),
+    template drops, quality drops (alpha score < 0.40,
+    _PLAN_QUALITY_MIN),
     surviving token pool, priority weight, and the waterfilled grant
     against a budget of half the surviving tokens.
 

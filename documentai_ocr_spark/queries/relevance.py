@@ -313,11 +313,10 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-window normalization runs over that source-count-sized frame
     (tens of rows on one partition — fine at any corpus size)."""
     docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
-    tok = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("t")
-    ).where(F.col("t") != "")
-    c = tok.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    # in-row token count — no token-grain explode (see q_mixture_alloc)
+    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    c = docs.groupBy("source").agg(
+        F.sum(tok.cast("long")).cast("long").alias("n_tokens")
     )
     w = Window.partitionBy()  # post-agg frame: one row per source
     return c.select(
@@ -759,11 +758,12 @@ def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering per engine (waterfill_sql / waterfill_df), shared with
     q_mixing_plan's filtered-corpus allocation."""
     docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
-    c = (
-        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
-        .where(F.col("t") != "")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("avail"))
+    # token counting is IN-ROW (size of the filtered split) — the
+    # explode-then-count form would materialize one row per token
+    # (10^13 rows at web scale) just to sum them; values are identical
+    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    c = docs.groupBy("source").agg(
+        F.sum(tok.cast("long")).cast("long").alias("avail")
     )
     return waterfill_df(c.withColumn("w", _mix_weight_col()))
 

@@ -635,7 +635,7 @@ _OUTLIER_TOPK = 5
     """,
 )
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_OUTLIER_TOPK} farthest-from-centroid vectors per label
+    """Top-5 (_OUTLIER_TOPK) farthest-from-centroid vectors per label
     (euclidean distance to the label's mean embedding, milli-quantized,
     ties broken on vec_id).
 

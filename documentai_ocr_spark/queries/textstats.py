@@ -1258,7 +1258,8 @@ def alpha_score_col(col):
       SELECT least(CAST(floor(
                {alpha_score_sql('text')} * {_YIELD_GRID})
                AS bigint), {_YIELD_GRID - 1}) AS b,
-             len(string_split(text, ' ')) AS n_tok
+             len(list_filter(string_split(text, ' '),
+                             x -> x <> '')) AS n_tok
       FROM documents WHERE length(text) > 0
     ),
     hist AS (
@@ -1285,7 +1286,10 @@ def alpha_score_col(col):
 )
 def q_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yield curve of the alpha-ratio quality score: for each cutoff
-    b/20, how many documents and tokens survive `score >= cutoff`.
+    b/20, how many documents and tokens survive `score >= cutoff` —
+    tokens in the same NON-EMPTY-word unit as q_mixture_alloc's avail
+    and q_mixing_plan's toks, so the cutoff this curve selects
+    corresponds exactly to the pool the plan grants against.
 
     Scale — one corpus pass: the score and its grid bucket are pure
     expressions on the scan, the histogram is a partial-aggregated
@@ -1307,7 +1311,9 @@ def q_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(n > 0)
         .select(
             b.alias("b"),
-            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            .cast("long")
+            .alias("n_tok"),
         )
         .groupBy("b")
         .agg(
@@ -1370,7 +1376,7 @@ _BPE_TOPK = 20
     """,
 )
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_BPE_TOPK} adjacent character pairs by corpus frequency —
+    """Top-20 (_BPE_TOPK) adjacent character pairs by corpus frequency —
     the first-round BPE merge table.
 
     Scale — two partial-aggregated exchanges and a top-k: raw tokens
@@ -1445,7 +1451,7 @@ _RARE_DIV = 10
 )
 def q_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document rare-token density: total tokens, rare-token hits
-    (corpus count <= mean type count / {_RARE_DIV}), distinct rare
+    (corpus count <= mean type count / 10, _RARE_DIV), distinct rare
     types, and the rare ratio — only documents with at least one rare
     token appear.
 

@@ -649,7 +649,11 @@ TEMPLATE_OUT_SCHEMA = (
 )
 
 
-def stream_template_detect(stream: DataFrame, min_convs: int = 3) -> DataFrame:
+def stream_template_detect(
+    stream: DataFrame,
+    min_convs: int = 3,
+    singleton_ttl_ms: int = 6 * 3600 * 1000,
+) -> DataFrame:
     """Streaming canned-reply monitor — the streaming twin of
     q_template_turns (queries/corpusops.py): normalized-turn
     fingerprints accumulate use counts and conversation support across
@@ -660,6 +664,14 @@ def stream_template_detect(stream: DataFrame, min_convs: int = 3) -> DataFrame:
     is capped at ``min_convs`` entries — exactly enough to decide
     templatehood — so a template used by 10^9 conversations holds
     ``min_convs`` conv ids and two counters, never the support set.
+    The KEY COUNT is bounded too: most fingerprints in a real stream
+    are singletons (unique turns — the long tail the batch twin's
+    HAVING prunes), so single-conversation keys carry a processing-time
+    timeout of ``singleton_ttl_ms`` and are EVICTED if no reuse
+    arrives in that window (a later use restarts them from zero — the
+    documented trade-off of any evicting monitor); keys with support
+    >= 2 — the plausible template candidates, a vastly smaller set —
+    never expire.
     ``n_convs_min`` is therefore exact below the cap and pinned at the
     cap above it (the emitted ``is_template`` is always exact). The
     capped-set rule is ORDER-INDEPENDENT: set membership is insertion-
@@ -683,6 +695,11 @@ def stream_template_detect(stream: DataFrame, min_convs: int = 3) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # singleton fingerprint with no reuse inside the TTL —
+            # drop the state entry, emit nothing
+            state.remove()
+            return
         if state.exists:
             n_uses, convs = state.get
             convs = list(convs)
@@ -699,6 +716,8 @@ def stream_template_detect(stream: DataFrame, min_convs: int = 3) -> DataFrame:
                             break
         convs = sorted(seen)[:min_convs]
         state.update((n_uses, convs))
+        if len(convs) < 2:
+            state.setTimeoutDuration(singleton_ttl_ms)
         yield pd.DataFrame(
             {
                 "th": [key[0]],
@@ -713,5 +732,5 @@ def stream_template_detect(stream: DataFrame, min_convs: int = 3) -> DataFrame:
         outputStructType=TEMPLATE_OUT_SCHEMA,
         stateStructType=TEMPLATE_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

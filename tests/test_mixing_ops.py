@@ -407,3 +407,38 @@ def test_class_weights_normalization_and_monotonicity(spark):
     for a, b in zip(by_n, by_n[1:]):
         if a.n < b.n:
             assert a.weight >= b.weight
+
+
+def test_prefix_supersede_separator_aliasing_rejected(spark, tmp_path):
+    """Adversarial separator bytes inside turn text cannot forge a
+    prefix match: a crafted 16-doc corpus where group 0's (edited, so
+    not genuinely superseded) part-session raw-concat EQUALS group 1's
+    depth-2 raw-concat — the pre-fix scheme would have matched them —
+    must NOT mark group 0's part superseded under the hash-of-hashes
+    fingerprint."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.corpusops import q_prefix_supersede
+
+    # m = 16 // _CONV_PER_GROUP = 2: even doc_ids -> g0, odd -> g1.
+    # g0 is edited (0 % 5 == 0): its part = [doc0, doc2 + ' [edited]'].
+    # Craft g1's first two turns so the RAW depth-2 concat aliases
+    # g0-part's full raw concat across a shifted turn boundary.
+    texts = {i: f"filler-{i}" for i in range(16)}
+    texts[0] = "a\x1fb"
+    texts[2] = "c"          # g0-part = ['a\x1fb', 'c [edited]']
+    texts[1] = "a"
+    texts[3] = "b\x1fc [edited]"  # g1 depth-2 raw = 'a\x1fb\x1fc [edited]'
+    pd.DataFrame(
+        [{"doc_id": i, "text": texts[i]} for i in range(16)]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # prove the fixture really exercises the aliasing: the raw concats
+    # ARE equal (the pre-fix scheme would have joined them)
+    g0_part_raw = "\x1f".join(["a\x1fb", "c [edited]"])
+    g1_d2_raw = "\x1f".join(["a", "b\x1fc [edited]"])
+    assert g0_part_raw == g1_d2_raw
+
+    rows = {r.sess_id: r for r in q_prefix_supersede(spark, str(tmp_path)).collect()}
+    p0 = rows["s-00000000-part"]
+    assert not p0.is_superseded and p0.superseded_by is None

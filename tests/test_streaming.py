@@ -791,13 +791,15 @@ def test_stream_template_detect_cross_batch_and_bounded(
     th_canned = hashlib.md5(
         " ".join(canned.lower().split()).encode()
     ).hexdigest()
-    # last emission per fingerprint = final state
+    # n_uses is monotone per fingerprint, so the max-n_uses emission
+    # IS the final state — no reliance on sink row order
     rows = spark.sql(
         "SELECT * FROM tmpl_out"
     ).collect()
     final = {}
     for r in rows:
-        final[r.th] = r  # memory sink appends in batch order
+        if r.th not in final or r.n_uses > final[r.th].n_uses:
+            final[r.th] = r
     got = final[th_canned]
     assert got.is_template
     assert got.n_uses == 8  # 3 + 1 + 4 canned uses
@@ -806,6 +808,9 @@ def test_stream_template_detect_cross_batch_and_bounded(
         if r.th != th_canned:
             assert not r.is_template and r.n_convs_min <= 1
     # the canned hash must NOT be a template before batch 3: its
-    # first-batch emission has support 2
-    first = [r for r in rows if r.th == th_canned][0]
+    # first-batch emission (the min-n_uses one — monotone again) has
+    # support 2
+    first = min(
+        (r for r in rows if r.th == th_canned), key=lambda r: r.n_uses
+    )
     assert not first.is_template and first.n_convs_min == 2
