@@ -2264,3 +2264,61 @@ def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_mixing_plan"] = _mixing_plan_sql()
+
+
+# --------------------------------------------------------- key-skew report
+# The pre-flight diagnostic a 100-TB job runs BEFORE picking its
+# partitioning: per grouping key (here the corpus's source column —
+# the key every mixing/packing/calibration op shuffles on), row and
+# byte weight, the key's share of the corpus, and the salt factor that
+# would split it into ideal-sized sub-partitions at the target
+# parallelism. All integer math (milli shares by integer division,
+# ceil by (a+b-1) div b) so both engines agree to the hash. The corpus
+# total rides in as a 1-row broadcast dim — the scalar-broadcast
+# pattern; the heavy scan is ONE partial-aggregated exchange carrying
+# O(sources) rows.
+_SKEW_PARALLELISM = 1024  # target partition count the salt is sized for
+
+
+@_q(
+    "q_key_skew",
+    f"""
+    WITH c AS (
+      SELECT source,
+             CAST(COUNT(*) AS bigint) AS n_rows,
+             CAST(SUM(length(text)) AS bigint) AS n_bytes
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_bytes) AS tb FROM c)
+    SELECT source, n_rows, n_bytes,
+           CAST((n_bytes * 1000) // tb AS bigint) AS share_milli,
+           CAST(greatest(1, (n_bytes * {_SKEW_PARALLELISM} + tb - 1) // tb)
+                AS bigint) AS salt
+    FROM c, tot
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source skew report: weight, corpus share (exact milli), and
+    the recommended salt factor ceil(bytes x P / total) at
+    P={_SKEW_PARALLELISM} target partitions — the number every salted
+    repartition and AQE-skew threshold in this repo is tuned by. Plan:
+    one map-side-combined groupBy(source) (the only corpus exchange,
+    O(sources) rows out) and a 1-row total dim broadcast back."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("n_bytes"),
+    )
+    tot = c.agg(F.sum("n_bytes").alias("tb"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_rows",
+        "n_bytes",
+        F.expr("n_bytes * 1000 div tb").cast("long").alias("share_milli"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(n_bytes * {_SKEW_PARALLELISM} + tb - 1) div tb"),
+        )
+        .cast("long")
+        .alias("salt"),
+    )

@@ -3056,3 +3056,258 @@ def q_engine_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("win_rate"),
         )
     )
+
+
+# ------------------------------------------------------ code-fence blocks
+# Main-content extraction for AGENT transcripts: assistant turns carry
+# fenced code blocks (```lang ... ```), and a training pipeline wants
+# them out as typed records — per block: language tag, line/char counts,
+# and the code text itself (the reference's region extraction applied to
+# the markdown-fence convention; cf. its block grouping in
+# /root/reference/pdf/tools.py line-region logic). The fence scan is
+# ENTIRELY in-row (split → fence-index filter → pair consecutive fences
+# → slice bodies): zero shuffle, linear in turn bytes, and an UNCLOSED
+# trailing fence yields no block rather than a runaway region — the
+# deterministic turn stream injects that hostile case so the gate
+# proves it on every run. Turn grid and coins are the shared
+# documents-derived contract (doc ≅ conversation, 12-turn grid).
+_CODE_LANGS = ["python", "sql", "bash"]
+_CODE_COIN_MOD = 5  # %5==2 → closed block, %5==4 → unclosed fence
+
+# the ONE DuckDB rendering of the code-turn stream: 8-word base slice
+# at a rolling offset, plus the injected fence payloads
+_CODE_TURNS_SQL = f"""tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    turns AS (
+      SELECT doc_id, g.t,
+             ('0x' || substr(md5(doc_id || '~' || g.t), 1, 8))::bigint AS c,
+             array_to_string(
+               tk[((g.t*29) % greatest(1, len(tk))) + 1 :
+                  ((g.t*29) % greatest(1, len(tk))) + 8], ' ') AS base
+      FROM tk, unnest(generate_series(0, 11)) g(t)
+    ),
+    ct AS (
+      SELECT doc_id, t,
+             CASE
+               WHEN c % {_CODE_COIN_MOD} = 2 THEN
+                 base || chr(10) || '```' ||
+                 ['python','sql','bash'][c % 3 + 1] || chr(10) ||
+                 'x_' || t || ' = ' || doc_id || chr(10) ||
+                 'print(x_' || t || ')' || chr(10) || '```' || chr(10) ||
+                 'trailing note.'
+               WHEN c % {_CODE_COIN_MOD} = 4 THEN
+                 base || chr(10) || '```text' || chr(10) || 'dangling'
+               ELSE base
+             END AS txt
+      FROM turns
+    )"""
+
+
+def _code_turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark rendering of _CODE_TURNS_SQL — the same 12-turn stream with
+    the same md5 fence coin, derived from documents on the scan."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = docs.select(
+        "doc_id", F.split("text", " ").alias("tk"),
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("t"),
+    )
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("~", F.col("doc_id"), F.col("t"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    lo = (F.col("t") * 29) % F.greatest(F.lit(1), F.size("tk"))
+    base = F.array_join(F.slice(F.col("tk"), lo + 1, F.lit(8)), " ")
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _CODE_LANGS]), (coin % 3 + 1).cast("int")
+    )
+    nl = F.lit("\n")
+    closed = F.concat(
+        base, nl, F.lit("```"), lang, nl,
+        F.lit("x_"), F.col("t").cast("string"), F.lit(" = "),
+        F.col("doc_id").cast("string"), nl,
+        F.lit("print(x_"), F.col("t").cast("string"), F.lit(")"), nl,
+        F.lit("```"), nl, F.lit("trailing note."),
+    )
+    dangling = F.concat(base, nl, F.lit("```text"), nl, F.lit("dangling"))
+    txt = (
+        F.when(coin % _CODE_COIN_MOD == 2, closed)
+        .when(coin % _CODE_COIN_MOD == 4, dangling)
+        .otherwise(base)
+    )
+    return t.select("doc_id", "t", txt.alias("txt"))
+
+
+def code_blocks_col(txt):
+    """Array-of-structs column of fenced code blocks extracted from
+    ``txt`` — the reusable in-row kernel: fence lines are paired in
+    order (odd count → the trailing unclosed fence is dropped), lang is
+    the fence line's tag, body is the line slice strictly between the
+    pair. Pure Catalyst array ops: no UDF, no shuffle, codegen-friendly.
+    """
+    ls = F.split(txt, "\n")
+    fp = F.filter(
+        F.transform(
+            ls,
+            lambda x, i: F.when(x.startswith("```"), i + 1).otherwise(
+                F.lit(-1)
+            ),
+        ),
+        lambda v: v > 0,
+    )
+    npairs = (F.size(fp) / 2).cast("int")
+    idx = F.when(npairs > 0, F.sequence(F.lit(0), npairs - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def one(j):
+        op = F.element_at(fp, j * 2 + 1)
+        cl = F.element_at(fp, j * 2 + 2)
+        code = F.array_join(F.slice(ls, op + 1, cl - op - 1), "\n")
+        return F.struct(
+            j.alias("block_no"),
+            F.element_at(ls, op)
+            .substr(F.lit(4), F.length(F.element_at(ls, op)))
+            .alias("lang"),
+            (cl - op - 1).cast("int").alias("n_code_lines"),
+            F.length(code).cast("int").alias("n_code_chars"),
+            code.alias("code"),
+        )
+
+    return F.transform(idx, one)
+
+
+@_q(
+    "q_code_blocks",
+    f"""
+    WITH {_CODE_TURNS_SQL},
+    ls AS (
+      SELECT doc_id, t, string_split(txt, chr(10)) AS ls FROM ct
+    ),
+    fp AS (
+      SELECT doc_id, t, ls,
+             list_filter(range(1, len(ls) + 1),
+                         i -> starts_with(ls[i], '```')) AS fp
+      FROM ls
+    )
+    SELECT doc_id, CAST(t AS int) AS turn_idx, CAST(j AS int) AS block_no,
+           substr(ls[fp[j*2+1]], 4) AS lang,
+           CAST(fp[j*2+2] - fp[j*2+1] - 1 AS int) AS n_code_lines,
+           CAST(length(array_to_string(ls[fp[j*2+1]+1 : fp[j*2+2]-1],
+                                       chr(10))) AS int) AS n_code_chars,
+           array_to_string(ls[fp[j*2+1]+1 : fp[j*2+2]-1], chr(10)) AS code
+    FROM fp, unnest(range(len(fp) // 2)) b(j)
+    """,
+)
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fenced-code-block extraction over the agent-turn stream: one row
+    per closed block with language tag, size counts, and the code text.
+    ZERO-shuffle plan — the stream synthesis, the fence scan, and the
+    per-block explode are all narrow projections on the documents scan;
+    at 10^12 turns this runs at scan speed on however many input splits
+    the table has. Unclosed trailing fences (injected deterministically
+    by the %{_CODE_COIN_MOD}==4 coin) are dropped by pairing, proven by
+    the oracle on every gate run."""
+    ct = _code_turns_df(spark, sf_dir)
+    return ct.select(
+        "doc_id",
+        F.col("t").cast("int").alias("turn_idx"),
+        F.explode(code_blocks_col(F.col("txt"))).alias("b"),
+    ).select("doc_id", "turn_idx", "b.*")
+
+
+# ------------------------------------------------------- timestamp skew
+# Clock-sanity audit for ingested transcripts: recorded timestamps that
+# run BACKWARDS within a conversation (retries stamped by a skewed
+# client, out-of-order delivery written as-received) poison every
+# latency metric and any ts-ordered window downstream. The audit is
+# tz-free by construction — every output is a DIFFERENCE of epoch
+# milliseconds within one conversation, so session-timezone offsets
+# cancel and both engines agree exactly. A deterministic md5 coin
+# back-shifts ~1/11 of turns by 150 s (> the 60 s turn spacing) so the
+# gate always exercises real regressions.
+_TS_SKEW_MOD = 11
+_TS_SKEW_MS = 150_000
+
+
+@_q(
+    "q_ts_skew",
+    f"""
+    WITH turns AS (
+      SELECT doc_id, g.t,
+             g.t * 60000 -
+             CASE WHEN ('0x' || substr(md5(doc_id || '@' || g.t), 1, 8))
+                         ::bigint % {_TS_SKEW_MOD} = 7
+                  THEN {_TS_SKEW_MS} ELSE 0 END AS rel_ms
+      FROM documents, unnest(generate_series(0, 11)) g(t)
+    ),
+    run AS (
+      SELECT doc_id, rel_ms,
+             max(rel_ms) OVER (PARTITION BY doc_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+      FROM turns
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS bigint) AS n_turns,
+           CAST(COUNT(*) FILTER (WHERE prev_max > rel_ms) AS bigint)
+             AS n_regress,
+           CAST(COALESCE(MAX(CASE WHEN prev_max > rel_ms
+                                  THEN prev_max - rel_ms END), 0) AS bigint)
+             AS max_regress_ms,
+           CAST(MAX(rel_ms) - MIN(rel_ms) AS bigint) AS span_ms
+    FROM run GROUP BY doc_id
+    """,
+)
+def q_ts_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation clock-regression audit over the REAL pipeline
+    table (synth.transcripts_from_documents' ts column, deterministically
+    back-shifted by the skew coin): turn count, regressions against the
+    running max of prior recorded timestamps, worst regression, and the
+    recorded span. One conversation-bounded window (state = one running
+    max) plus one conv-grain rollup — with the table bucketed on conv_id
+    both run shuffle-free; nothing in the plan holds more than a
+    conversation."""
+    from ..synth import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    doc = F.expr("substr(conv_id, 6)").cast("long")
+    coin = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("@", doc, F.col("turn_idx"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    rec = t.select(
+        doc.alias("doc_id"),
+        "turn_idx",
+        (
+            F.unix_millis(F.col("ts"))
+            - F.when(
+                coin % _TS_SKEW_MOD == 7, F.lit(_TS_SKEW_MS)
+            ).otherwise(F.lit(0))
+        ).alias("ms"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = rec.withColumn("prev_max", F.max("ms").over(w))
+    reg = F.col("prev_max") > F.col("ms")
+    return run.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.count_if(reg).cast("long").alias("n_regress"),
+        F.coalesce(
+            F.max(F.when(reg, F.col("prev_max") - F.col("ms"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("max_regress_ms"),
+        (F.max("ms") - F.min("ms")).cast("long").alias("span_ms"),
+    )

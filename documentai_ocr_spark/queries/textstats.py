@@ -1499,3 +1499,113 @@ def q_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rare_ratio"
         ),
     )
+
+
+# ----------------------------------------------------- seq-len waste curve
+# Choosing max_seq_len is a throughput decision: pad-to-length burns
+# sum(ceil(n/L)*L) - total tokens; concat-and-chop packing burns only
+# the per-source block remainders. This curve prices both strategies on
+# a fixed grid of candidate lengths in ONE corpus scan: per-source
+# partial sums carry 1 + |grid| integer columns through the only
+# exchange (O(sources) rows), the grid explode happens on that tiny
+# dim, and waste fractions are exact integer milli. Token unit is the
+# shared NON-EMPTY-word count (q_mixture_alloc / q_threshold_yield).
+_SEQLEN_GRID = [128, 256, 512, 1024, 2048, 4096]
+
+
+@_q(
+    "q_seqlen_waste",
+    f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n
+      FROM documents WHERE length(text) > 0
+    ),
+    g AS (SELECT unnest([{", ".join(map(str, _SEQLEN_GRID))}]) AS seq_len),
+    pad AS (
+      SELECT g.seq_len,
+             CAST(SUM(d.n) AS bigint) AS total_tokens,
+             CAST(SUM(((d.n + g.seq_len - 1) // g.seq_len) * g.seq_len)
+                  AS bigint) AS pad_tokens
+      FROM d, g GROUP BY g.seq_len
+    ),
+    st AS (SELECT source, SUM(n) AS tot FROM d GROUP BY source),
+    pk AS (
+      SELECT g.seq_len,
+             CAST(SUM(((st.tot + g.seq_len - 1) // g.seq_len) * g.seq_len)
+                  AS bigint) AS pack_tokens
+      FROM st, g GROUP BY g.seq_len
+    )
+    SELECT CAST(pad.seq_len AS int) AS seq_len,
+           pad.total_tokens,
+           pad.pad_tokens,
+           CAST((pad.pad_tokens - pad.total_tokens) * 1000 // pad.pad_tokens
+                AS bigint) AS pad_waste_milli,
+           pk.pack_tokens,
+           CAST((pk.pack_tokens - pad.total_tokens) * 1000 // pk.pack_tokens
+                AS bigint) AS pack_waste_milli
+    FROM pad JOIN pk ON pad.seq_len = pk.seq_len
+    """,
+)
+def q_seqlen_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-vs-packing waste per candidate max_seq_len: total tokens,
+    padded tokens (each doc rounded up to L), packed tokens (each
+    source's stream chopped into L-blocks), and both waste fractions in
+    exact milli. The corpus scan computes, per source, ONE row of
+    integer partials — sum(n) plus sum(ceil(n/L)*L) for every grid L as
+    parallel aggregate columns (no doc x grid row inflation); the grid
+    unpivot and the final rollup run on the O(sources) dim."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    n = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
+        "long"
+    )
+    aggs = [F.sum("n").cast("long").alias("tot")]
+    for L in _SEQLEN_GRID:
+        # exact integer ceil-div — no double ever touches a token count
+        aggs.append(
+            F.sum(F.expr(f"((n + {L} - 1) div {L}) * {L}")).alias(
+                f"pad_{L}"
+            )
+        )
+    st = (
+        docs.where(F.length("text") > 0)
+        .withColumn("n", n)
+        .groupBy("source")
+        .agg(*aggs)
+    )
+    per_l = st.select(
+        "source",
+        "tot",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).alias("seq_len"),
+                        F.col(f"pad_{L}").alias("pad"),
+                        (
+                            F.expr(f"(tot + {L} - 1) div {L}") * L
+                        ).alias("pack"),
+                    )
+                    for L in _SEQLEN_GRID
+                ]
+            )
+        ).alias("g"),
+    ).select("tot", "g.*")
+    agg = per_l.groupBy("seq_len").agg(
+        F.sum("tot").cast("long").alias("total_tokens"),
+        F.sum("pad").cast("long").alias("pad_tokens"),
+        F.sum("pack").cast("long").alias("pack_tokens"),
+    )
+    return agg.select(
+        F.col("seq_len").cast("int").alias("seq_len"),
+        "total_tokens",
+        "pad_tokens",
+        F.expr("(pad_tokens - total_tokens) * 1000 div pad_tokens")
+        .cast("long")
+        .alias("pad_waste_milli"),
+        "pack_tokens",
+        F.expr("(pack_tokens - total_tokens) * 1000 div pack_tokens")
+        .cast("long")
+        .alias("pack_waste_milli"),
+    )

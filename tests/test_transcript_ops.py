@@ -249,3 +249,147 @@ def test_turn_renumber_contiguous_and_order_preserving(spark):
     # it actually renumbers: decimation made some old_idx != new_idx
     assert out.where(F.col("old_idx") != F.col("new_idx")).count() > 0
     out.unpersist()
+
+
+def test_code_blocks_kernel_hostile_fixtures(spark):
+    """code_blocks_col against a pure-Python fence-pairing spec on
+    hostile layouts: unclosed trailing fence, adjacent fences (empty
+    body), bare ``` (empty lang), fence-first text, no fences, and a
+    second opener swallowed as body — the markdown ambiguity both
+    sides resolve by strict pairing order."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import code_blocks_col
+
+    cases = [
+        "intro\n```python\nx = 1\nprint(x)\n```\ntail",
+        "a\n```text\ndangling",                      # unclosed → 0 blocks
+        "```\n```",                                  # empty lang, empty body
+        "```sql\nSELECT 1\n```\nmid\n```bash\nls\n```",
+        "no fences at all",
+        "",
+        "x\n```a\nb\n```\n```c\nunclosed2",          # 3 fences → 1 block
+    ]
+
+    def spec(text):
+        ls = text.split("\n")
+        fp = [i + 1 for i, x in enumerate(ls) if x.startswith("```")]
+        out = []
+        for j in range(len(fp) // 2):
+            op, cl = fp[2 * j], fp[2 * j + 1]
+            body = "\n".join(ls[op : cl - 1])
+            out.append(
+                (j, ls[op - 1][3:], cl - op - 1, len(body), body)
+            )
+        return out
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"rid": range(len(cases)), "txt": cases})
+    )
+    got = {
+        r.rid: [
+            (b.block_no, b.lang, b.n_code_lines, b.n_code_chars, b.code)
+            for b in r.blocks
+        ]
+        for r in df.select(
+            "rid", code_blocks_col(F.col("txt")).alias("blocks")
+        ).collect()
+    }
+    for i, text in enumerate(cases):
+        assert got[i] == spec(text), (i, got[i], spec(text))
+
+
+def test_ts_skew_hand_computed(spark, tmp_path):
+    """q_ts_skew on a crafted 3-doc corpus: recompute the coin and the
+    running-max regression in pure Python from the synth ts contract
+    (base + doc hours + turn minutes, skewed turns shifted back 150 s)
+    and require exact equality on every audit column."""
+    import hashlib
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import (
+        _TS_SKEW_MOD,
+        _TS_SKEW_MS,
+        q_ts_skew,
+    )
+
+    pd.DataFrame(
+        [{"doc_id": i, "text": f"w{i} " * 30} for i in range(3)]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    def coin(d, t):
+        h = hashlib.md5(f"{d}@{t}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    exp = {}
+    for d in range(3):
+        ms = [
+            t * 60_000
+            - (_TS_SKEW_MS if coin(d, t) % _TS_SKEW_MOD == 7 else 0)
+            for t in range(12)
+        ]
+        n_reg, max_reg, run = 0, 0, None
+        for v in ms:
+            if run is not None and run > v:
+                n_reg += 1
+                max_reg = max(max_reg, run - v)
+            run = v if run is None else max(run, v)
+        exp[d] = (12, n_reg, max_reg, max(ms) - min(ms))
+
+    got = {
+        r.doc_id: (r.n_turns, r.n_regress, r.max_regress_ms, r.span_ms)
+        for r in q_ts_skew(spark, str(tmp_path)).collect()
+    }
+    assert got == exp
+    # the fixture (or, at worst, the real corpus) must exercise a
+    # regression somewhere for the audit to be non-vacuous
+    if all(v[1] == 0 for v in exp.values()):
+        real = q_ts_skew(spark, SF)
+        assert real.where(F.col("n_regress") > 0).count() > 0
+
+
+def test_seqlen_waste_closed_form(spark, tmp_path):
+    """q_seqlen_waste on two sources with known token counts: every
+    column equals the closed form, pack waste <= pad waste at every L
+    (packing dominates padding), and both are 0 when L divides
+    everything."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.textstats import (
+        _SEQLEN_GRID,
+        q_seqlen_waste,
+    )
+
+    # source a: docs of 100 and 28 tokens; source b: one 300-token doc
+    rows = [
+        {"doc_id": 0, "source": "a", "text": " ".join(["x"] * 100)},
+        {"doc_id": 1, "source": "a", "text": " ".join(["y"] * 28)},
+        {"doc_id": 2, "source": "b", "text": " ".join(["z"] * 300)},
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    ns = {"a": [100, 28], "b": [300]}
+
+    got = {
+        r.seq_len: r for r in q_seqlen_waste(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(_SEQLEN_GRID)
+    total = sum(sum(v) for v in ns.values())
+    for L in _SEQLEN_GRID:
+        pad = sum((n + L - 1) // L * L for v in ns.values() for n in v)
+        pack = sum((sum(v) + L - 1) // L * L for v in ns.values())
+        r = got[L]
+        assert (
+            r.total_tokens,
+            r.pad_tokens,
+            r.pack_tokens,
+            r.pad_waste_milli,
+            r.pack_waste_milli,
+        ) == (
+            total,
+            pad,
+            pack,
+            (pad - total) * 1000 // pad,
+            (pack - total) * 1000 // pack,
+        )
+        assert r.pack_waste_milli <= r.pad_waste_milli

@@ -38,6 +38,11 @@ GUARDED_ANCHORS = {"q_simhash_pairs", "q_embed_neardup", "q_jaccard_pairs"}
 # text alone. Each entry is (flag-prefix, reason) — the audit records
 # the note instead of failing, and any NEW flag still fails loudly.
 BOUNDED_OK = {
+    "q_key_skew": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast corpus-byte-total dim — "
+        "scalar broadcast onto the O(sources) report",
+    ),
     "q_bm25": (
         "PRODUCT-JOIN",
         "crossJoin of a ≤1-row broadcast corpus-stats dim (N, avgdl) — "
