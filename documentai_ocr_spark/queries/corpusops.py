@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load, spread
+from .util import load, ntok_col, ntok_sql, spread, words_sql
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -1396,13 +1396,14 @@ def _conv_group(docs: DataFrame, n_docs: int):
     return docs.withColumn("g", (F.col("doc_id") % m).cast("long")), m
 
 
-_WORDS_OF = "list_filter(string_split(text, ' '), x -> x <> '')"
+_WORDS_OF = words_sql("text")
 
 
 def _tok_col():
-    """Word count of text — identical on both engines (empty string
-    splits to [''] which the filter drops)."""
-    return F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    """Word count of text — the ONE shared corpus token unit
+    (util.ntok_col / util.ntok_sql), identical on both engines (empty
+    string splits to [''] which the filter drops)."""
+    return ntok_col("text")
 
 
 # ----------------------------------------------- context-window trimming
@@ -2168,8 +2169,7 @@ def _mixing_plan_sql() -> str:
       SELECT source, g, {TH_SQL.format(c='text')} AS th,
              CASE WHEN length(text) = 0 THEN 0.0
                   ELSE {alpha_score_sql('text')} END AS score,
-             CAST(len(list_filter(string_split(text, ' '),
-                                  x -> x <> '')) AS bigint) AS toks
+             CAST({ntok_sql('text')} AS bigint) AS toks
       FROM t
     ),
     tm AS (SELECT th FROM n GROUP BY th
@@ -2227,9 +2227,7 @@ def q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.length(text) == 0, F.lit(0.0))
         .otherwise(alpha_score_col(text))
         .alias("score"),
-        F.size(F.filter(F.split(text, " "), lambda x: x != ""))
-        .cast("long")
-        .alias("toks"),
+        ntok_col(text).cast("long").alias("toks"),
     )
     tm = (
         n.groupBy("th", "g")
@@ -2286,7 +2284,10 @@ _SKEW_PARALLELISM = 1024  # target partition count the salt is sized for
     WITH c AS (
       SELECT source,
              CAST(COUNT(*) AS bigint) AS n_rows,
-             CAST(SUM(length(text)) AS bigint) AS n_bytes
+             -- strlen = BYTE length in DuckDB (length() is chars):
+             -- salt sizing must track UTF-8 bytes — CJK text is 3-4x
+             -- its char count on the wire
+             CAST(SUM(strlen(text)) AS bigint) AS n_bytes
       FROM documents GROUP BY source
     ),
     tot AS (SELECT SUM(n_bytes) AS tb FROM c)
@@ -2304,10 +2305,11 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition and AQE-skew threshold in this repo is tuned by. Plan:
     one map-side-combined groupBy(source) (the only corpus exchange,
     O(sources) rows out) and a 1-row total dim broadcast back."""
-    docs = load(spark, sf_dir, "documents").select("source", "text")
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
     c = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.length("text")).cast("long").alias("n_bytes"),
+        # UTF-8 bytes, not chars — what the shuffle actually moves
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
     )
     tot = c.agg(F.sum("n_bytes").alias("tb"))
     return c.crossJoin(F.broadcast(tot)).select(

@@ -3092,7 +3092,8 @@ _CODE_TURNS_SQL = f"""tk AS (
              CASE
                WHEN c % {_CODE_COIN_MOD} = 2 THEN
                  base || chr(10) || '```' ||
-                 ['python','sql','bash'][c % 3 + 1] || chr(10) ||
+                 [{", ".join(f"'{x}'" for x in _CODE_LANGS)}][c % 3 + 1]
+                 || chr(10) ||
                  'x_' || t || ' = ' || doc_id || chr(10) ||
                  'print(x_' || t || ')' || chr(10) || '```' || chr(10) ||
                  'trailing note.'
@@ -3196,9 +3197,14 @@ def code_blocks_col(txt):
     SELECT doc_id, CAST(t AS int) AS turn_idx, CAST(j AS int) AS block_no,
            substr(ls[fp[j*2+1]], 4) AS lang,
            CAST(fp[j*2+2] - fp[j*2+1] - 1 AS int) AS n_code_lines,
-           CAST(length(array_to_string(ls[fp[j*2+1]+1 : fp[j*2+2]-1],
-                                       chr(10))) AS int) AS n_code_chars,
-           array_to_string(ls[fp[j*2+1]+1 : fp[j*2+2]-1], chr(10)) AS code
+           -- COALESCE: DuckDB's array_to_string of an EMPTY slice
+           -- (adjacent fences) is NULL, Spark's array_join is '' —
+           -- align to the kernel
+           CAST(length(COALESCE(array_to_string(
+                  ls[fp[j*2+1]+1 : fp[j*2+2]-1], chr(10)), ''))
+                AS int) AS n_code_chars,
+           COALESCE(array_to_string(ls[fp[j*2+1]+1 : fp[j*2+2]-1],
+                                    chr(10)), '') AS code
     FROM fp, unnest(range(len(fp) // 2)) b(j)
     """,
 )

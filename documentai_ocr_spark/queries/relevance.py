@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import guard_rowcap, load, spread
+from .util import guard_rowcap, load, ntok_col, ntok_sql, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -293,10 +293,10 @@ _MIX_ALPHA = 0.7
 @_q(
     "q_domain_mix",
     f"""
-    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
-                 FROM documents),
-    c AS (SELECT source, CAST(COUNT(*) AS bigint) AS n_tokens
-          FROM tok WHERE t <> '' GROUP BY source)
+    WITH c AS (SELECT source,
+                      CAST(SUM({ntok_sql('text')}) AS bigint) AS n_tokens
+               FROM documents GROUP BY source
+               HAVING SUM({ntok_sql('text')}) > 0)
     SELECT source, n_tokens,
            ROUND(CAST(n_tokens AS double)
                  / SUM(CAST(n_tokens AS double)) OVER (), 6) AS share,
@@ -313,10 +313,13 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-window normalization runs over that source-count-sized frame
     (tens of rows on one partition — fine at any corpus size)."""
     docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
-    # in-row token count — no token-grain explode (see q_mixture_alloc)
-    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-    c = docs.groupBy("source").agg(
-        F.sum(tok.cast("long")).cast("long").alias("n_tokens")
+    # in-row shared token unit (util.ntok_col) — no token-grain explode;
+    # HAVING > 0 keeps the row-set identical to the old explode form: a
+    # source whose every doc is empty/whitespace emits NO row (not 0)
+    c = (
+        docs.groupBy("source")
+        .agg(F.sum(ntok_col("text").cast("long")).cast("long").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
     )
     w = Window.partitionBy()  # post-agg frame: one row per source
     return c.select(
@@ -740,10 +743,10 @@ def waterfill_df(d: DataFrame, extra_cols: tuple = ()) -> DataFrame:
 @_q(
     "q_mixture_alloc",
     f"""
-    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
-                 FROM documents),
-    c AS (SELECT source, CAST(COUNT(*) AS bigint) AS avail
-          FROM tok WHERE t <> '' GROUP BY source),
+    WITH c AS (SELECT source,
+                      CAST(SUM({ntok_sql('text')}) AS bigint) AS avail
+               FROM documents GROUP BY source
+               HAVING SUM({ntok_sql('text')}) > 0),
     d AS (SELECT source, avail, {MIX_WEIGHT_SQL} AS w
           FROM c),
     {waterfill_sql()}
@@ -758,12 +761,14 @@ def q_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rendering per engine (waterfill_sql / waterfill_df), shared with
     q_mixing_plan's filtered-corpus allocation."""
     docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
-    # token counting is IN-ROW (size of the filtered split) — the
+    # token counting is IN-ROW via the shared unit (util.ntok_col) — the
     # explode-then-count form would materialize one row per token
-    # (10^13 rows at web scale) just to sum them; values are identical
-    tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-    c = docs.groupBy("source").agg(
-        F.sum(tok.cast("long")).cast("long").alias("avail")
+    # (10^13 rows at web scale) just to sum them; HAVING > 0 keeps the
+    # row-set identical to the explode form (all-empty source → no row)
+    c = (
+        docs.groupBy("source")
+        .agg(F.sum(ntok_col("text").cast("long")).cast("long").alias("avail"))
+        .where(F.col("avail") > 0)
     )
     return waterfill_df(c.withColumn("w", _mix_weight_col()))
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load, spread
+from .util import load, ntok_col, ntok_sql, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -1258,8 +1258,7 @@ def alpha_score_col(col):
       SELECT least(CAST(floor(
                {alpha_score_sql('text')} * {_YIELD_GRID})
                AS bigint), {_YIELD_GRID - 1}) AS b,
-             len(list_filter(string_split(text, ' '),
-                             x -> x <> '')) AS n_tok
+             {ntok_sql('text')} AS n_tok
       FROM documents WHERE length(text) > 0
     ),
     hist AS (
@@ -1311,9 +1310,7 @@ def q_threshold_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(n > 0)
         .select(
             b.alias("b"),
-            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
-            .cast("long")
-            .alias("n_tok"),
+            ntok_col("text").cast("long").alias("n_tok"),
         )
         .groupBy("b")
         .agg(
@@ -1518,8 +1515,7 @@ _SEQLEN_GRID = [128, 256, 512, 1024, 2048, 4096]
     f"""
     WITH d AS (
       SELECT source,
-             len(list_filter(string_split(text, ' '), x -> x <> ''))
-               AS n
+             {ntok_sql('text')} AS n
       FROM documents WHERE length(text) > 0
     ),
     g AS (SELECT unnest([{", ".join(map(str, _SEQLEN_GRID))}]) AS seq_len),
@@ -1556,10 +1552,8 @@ def q_seqlen_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer partials — sum(n) plus sum(ceil(n/L)*L) for every grid L as
     parallel aggregate columns (no doc x grid row inflation); the grid
     unpivot and the final rollup run on the O(sources) dim."""
-    docs = load(spark, sf_dir, "documents").select("source", "text")
-    n = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast(
-        "long"
-    )
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    n = ntok_col("text").cast("long")
     aggs = [F.sum("n").cast("long").alias("tot")]
     for L in _SEQLEN_GRID:
         # exact integer ceil-div — no double ever touches a token count

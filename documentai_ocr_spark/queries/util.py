@@ -52,3 +52,28 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
+
+
+# ------------------------------------------------- shared token unit
+# THE corpus token unit — non-empty whitespace-split words — used by
+# every operator that counts, pools, packs, or budgets tokens
+# (domain mix, mixture alloc, threshold yield, seq-len waste, mixing
+# plan). ONE rendering per engine, per the shared-rule discipline: a
+# unit change edits these two functions and nothing else.
+def words_sql(col: str) -> str:
+    """DuckDB rendering of the non-empty word LIST of ``col``."""
+    return f"list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+def ntok_sql(col: str) -> str:
+    """DuckDB rendering of the token count of ``col``."""
+    return f"len({words_sql(col)})"
+
+
+def ntok_col(col):
+    """Spark rendering of the token count of ``col`` (in-row: size of
+    the filtered split — never a token-grain explode)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.filter(F.split(c, " "), lambda x: x != ""))

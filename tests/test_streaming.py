@@ -791,8 +791,11 @@ def test_stream_template_detect_cross_batch_and_bounded(
     th_canned = hashlib.md5(
         " ".join(canned.lower().split()).encode()
     ).hexdigest()
-    # n_uses is monotone per fingerprint, so the max-n_uses emission
-    # IS the final state — no reliance on sink row order
+    # n_uses is monotone per fingerprint HERE (the default 6 h TTL
+    # means no eviction can fire inside this test; an eviction resets
+    # the counter — see test_stream_template_singleton_ttl_eviction),
+    # so the max-n_uses emission IS the final state — no reliance on
+    # sink row order
     rows = spark.sql(
         "SELECT * FROM tmpl_out"
     ).collect()
@@ -814,3 +817,88 @@ def test_stream_template_detect_cross_batch_and_bounded(
         (r for r in rows if r.th == th_canned), key=lambda r: r.n_uses
     )
     assert not first.is_template and first.n_convs_min == 2
+
+
+def test_stream_template_singleton_ttl_eviction(spark, tmp_path_factory):
+    """A singleton fingerprint with no reuse inside the TTL is really
+    EVICTED (the documented trade-off): after the timeout fires, a
+    later use restarts its counter from 1 instead of continuing at 2 —
+    while a fingerprint that reached support >= 2 before the same idle
+    window keeps its state (no timeout is ever registered for it)."""
+    import time
+
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import stream_template_detect
+
+    base = tmp_path_factory.mktemp("tmplttl")
+    d = str(base / "in")
+    ckpt = str(base / "ckpt")
+    schema = "conv_id string, text string"
+    lone = "rare reply seen once."
+    kept = "promoted reply."
+
+    def write_batch(pdf):
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    def wait_rows(n, deadline=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            if spark.sql("SELECT * FROM tmpl_ttl_out").count() >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    # batch 1: lone is a singleton (gets the 500 ms TTL); kept reaches
+    # support 2 (never expires). ONE continuous query — memory sinks
+    # cannot recover a checkpoint, and the TTL must lapse between
+    # micro-batches of the same run.
+    write_batch(
+        pd.DataFrame(
+            {"conv_id": ["a", "x", "y"], "text": [lone, kept, kept]}
+        )
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 10)
+        .parquet(d)
+    )
+    q = (
+        stream_template_detect(src, min_convs=3, singleton_ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName("tmpl_ttl_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        wait_rows(2)  # batch 1 emitted lone(1) + kept(2)
+        time.sleep(2)  # let the singleton TTL lapse
+        # batch 2: unrelated traffic guarantees a micro-batch runs with
+        # the deadline passed — the timeout fires and evicts lone's
+        # state silently (no emission)
+        write_batch(pd.DataFrame({"conv_id": ["z"], "text": ["noise."]}))
+        wait_rows(3)
+        # batch 3: lone returns (restarts at 1); kept continues (3)
+        write_batch(
+            pd.DataFrame({"conv_id": ["b", "x"], "text": [lone, kept]})
+        )
+        wait_rows(5)
+    finally:
+        q.stop()
+
+    import hashlib
+
+    def th(s):
+        return hashlib.md5(" ".join(s.lower().split()).encode()).hexdigest()
+
+    rows = spark.sql("SELECT * FROM tmpl_ttl_out").collect()
+    lone_uses = sorted(r.n_uses for r in rows if r.th == th(lone))
+    kept_uses = sorted(r.n_uses for r in rows if r.th == th(kept))
+    # evicted: second appearance restarted at 1 — NOT [1, 2]
+    assert lone_uses == [1, 1], lone_uses
+    # promoted at support 2: state survived the same idle window
+    assert kept_uses == [2, 3], kept_uses

@@ -393,3 +393,42 @@ def test_seqlen_waste_closed_form(spark, tmp_path):
             (pack - total) * 1000 // pack,
         )
         assert r.pack_waste_milli <= r.pad_waste_milli
+
+
+def test_code_blocks_oracle_on_backtick_corpus(spark, tmp_path):
+    """Spark vs DuckDB on a corpus whose document WORDS start with
+    backticks: the synthesized base line itself becomes a fence line,
+    producing adjacent fences (empty-body blocks) and odd fence counts
+    — the inputs where array_to_string(empty)=NULL once diverged from
+    array_join(empty)=''. Full multiset equality of the query against
+    its registered oracle."""
+    import duckdb
+    import pandas as pd
+
+    from documentai_ocr_spark.queries import ORACLES, QUERIES
+
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(["```w%d" % k for k in range(40)]),
+        }
+        for i in range(6)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+
+    got = sorted(
+        tuple(r) for r in QUERIES["q_code_blocks"](spark, str(tmp_path))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(
+        ORACLES["q_code_blocks"]
+    ).fetchall())
+    assert got, "backtick corpus must actually produce blocks"
+    # some block must exercise the empty-body path for the test to bite
+    assert any(r[5] == 0 for r in got), "no empty-body block produced"
+    assert got == want
