@@ -2392,6 +2392,32 @@ _RETRY_DELAY_MS = 45_000
 _TS_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z — synth._BASE_TS
 
 
+def _retry_sql(t: str = "t") -> str:
+    """The ONE DuckDB rendering of the regeneration coin: turn (doc, t)
+    was retried iff this is 0 — shared by turn supersession and edit
+    churn so both describe the SAME retried-turn set."""
+    return (
+        f"('0x' || substr(md5(doc_id || ':' || {t} || ':retry'), 1, 8))"
+        f"::bigint % {_RETRY_MOD}"
+    )
+
+
+def _retry_coin(doc_col, t_col):
+    """Spark twin of _retry_sql."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", doc_col, t_col, F.lit("retry"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _RETRY_MOD
+    )
+
+
 @_q(
     "q_turn_supersede",
     f"""
@@ -2405,8 +2431,7 @@ _TS_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z — synth._BASE_TS
       SELECT doc_id, t, role, ms FROM turns
       UNION ALL
       SELECT doc_id, t, role, ms + {_RETRY_DELAY_MS} FROM turns
-      WHERE ('0x' || substr(md5(doc_id || ':' || t || ':retry'), 1, 8))::bigint
-            % {_RETRY_MOD} = 0
+      WHERE {_retry_sql()} = 0
     )
     SELECT printf('conv-%08d', doc_id) AS conv_id,
            CAST(t AS int) AS turn_idx,
@@ -2437,18 +2462,7 @@ def q_turn_supersede(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "turn_idx", "role", F.unix_millis("ts").alias("ms")
     )
     doc_int = F.expr("substr(conv_id, 6)").cast("bigint")
-    coin = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", doc_int, F.col("turn_idx"), F.lit("retry"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _RETRY_MOD
-    )
+    coin = _retry_coin(doc_int, F.col("turn_idx"))
     attempts = F.when(coin == 0, F.array(F.lit(1), F.lit(2))).otherwise(
         F.array(F.lit(1))
     )
@@ -3074,17 +3088,31 @@ def q_engine_winrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CODE_LANGS = ["python", "sql", "bash"]
 _CODE_COIN_MOD = 5  # %5==2 → closed block, %5==4 → unclosed fence
 
-# the ONE DuckDB rendering of the code-turn stream: 8-word base slice
-# at a rolling offset, plus the injected fence payloads
+# the ONE rendering (per engine) of the 8-word rolling turn-base slice
+# — shared by the code-turn stream, edit churn, and the conv language
+# mix, so all three describe the SAME per-turn text
+_TURN_BASE_SQL = (
+    "array_to_string(tk[((g.t*29) % greatest(1, len(tk))) + 1 : "
+    "((g.t*29) % greatest(1, len(tk))) + 8], ' ')"
+)
+
+
+def _turn_base_col(tk, t):
+    """Spark twin of _TURN_BASE_SQL over a token-array column and a
+    turn-index column."""
+    lo = (t * 29) % F.greatest(F.lit(1), F.size(tk))
+    return F.array_join(F.slice(tk, lo + 1, F.lit(8)), " ")
+
+
+# the ONE DuckDB rendering of the code-turn stream: the shared base
+# slice plus the injected fence payloads
 _CODE_TURNS_SQL = f"""tk AS (
       SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ),
     turns AS (
       SELECT doc_id, g.t,
              ('0x' || substr(md5(doc_id || '~' || g.t), 1, 8))::bigint AS c,
-             array_to_string(
-               tk[((g.t*29) % greatest(1, len(tk))) + 1 :
-                  ((g.t*29) % greatest(1, len(tk))) + 8], ' ') AS base
+             {_TURN_BASE_SQL} AS base
       FROM tk, unnest(generate_series(0, 11)) g(t)
     ),
     ct AS (
@@ -3120,8 +3148,7 @@ def _code_turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    lo = (F.col("t") * 29) % F.greatest(F.lit(1), F.size("tk"))
-    base = F.array_join(F.slice(F.col("tk"), lo + 1, F.lit(8)), " ")
+    base = _turn_base_col(F.col("tk"), F.col("t"))
     lang = F.element_at(
         F.array(*[F.lit(x) for x in _CODE_LANGS]), (coin % 3 + 1).cast("int")
     )
@@ -3317,3 +3344,184 @@ def q_ts_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_regress_ms"),
         (F.max("ms") - F.min("ms")).cast("long").alias("span_ms"),
     )
+
+
+# --------------------------------------------------------- edit churn
+# How much do regenerated turns actually CHANGE? Retry storms that
+# rewrite nothing (n_noop) are wasted compute; retries with huge edit
+# distances flag unstable generations. The retried-turn set is THE
+# q_turn_supersede coin (_retry_sql / _retry_coin — one rendering), the
+# per-turn text is the shared base slice (_TURN_BASE_SQL), and the
+# deterministic edit is replace('e'→'a') so levenshtein computes a
+# real, engine-agreed distance. All work is turn-bounded: the edit and
+# the distance are pure expressions, the rollup is one conv-grain
+# partial aggregation.
+@_q(
+    "q_edit_churn",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    turns AS (
+      SELECT doc_id, g.t, {_TURN_BASE_SQL} AS base
+      FROM tk, unnest(generate_series(0, 11)) g(t)
+    ),
+    r AS (
+      SELECT doc_id, base, replace(base, 'e', 'a') AS edited
+      FROM turns WHERE {_retry_sql()} = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS bigint) AS n_retried,
+           CAST(SUM(levenshtein(base, edited)) AS bigint) AS churn_chars,
+           CAST(MAX(levenshtein(base, edited)) AS bigint) AS max_churn,
+           CAST(COUNT(*) FILTER (WHERE base = edited) AS bigint) AS n_noop
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_edit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation regeneration churn: for every retried turn (the
+    q_turn_supersede coin — supersession and churn describe the same
+    retry set), the Levenshtein distance between the attempt payloads,
+    rolled up to retried-turn count, total/max churn, and no-op retry
+    count. Conversations with no retries emit nothing. Levenshtein is
+    O(len^2) per turn on BOUNDED turn text — never across turns."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("t"),
+    )
+    base = _turn_base_col(F.col("tk"), F.col("t"))
+    r = t.where(
+        _retry_coin(F.col("doc_id"), F.col("t")) == 0
+    ).select(
+        "doc_id",
+        base.alias("base"),
+        F.replace(base, F.lit("e"), F.lit("a")).alias("edited"),
+    )
+    dist = F.levenshtein("base", "edited")
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retried"),
+        F.sum(dist).cast("long").alias("churn_chars"),
+        F.max(dist).cast("long").alias("max_churn"),
+        F.count_if(F.col("base") == F.col("edited"))
+        .cast("long")
+        .alias("n_noop"),
+    )
+
+
+# ------------------------------------------------- conversation lang mix
+# Mixed-language conversations break monolingual fine-tunes and demand
+# different routing: per conversation, vote a language for EVERY turn
+# (the q_lang_id stopword rule — one shared VALUES rendering), then
+# roll up the mix: distinct identified languages, the majority vote,
+# unidentified-turn count, and the is_mixed flag curation filters on.
+@_q(
+    "q_conv_langmix",
+    None,  # registered below — needs textstats' shared stopword table
+)
+def q_conv_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation language mix over the shared turn stream: turn
+    votes are (turn ⋈ broadcast stopword dim → per-(turn, lang) counts
+    → argmax, ties by lang, no hits → 'unk'); the rollup keys on the
+    conversation. Both exchanges are turn- or conv-grain — nothing
+    groups a source or the corpus; the stopword dim is O(25) rows
+    broadcast."""
+    from .textstats import _STOPWORDS
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("t"),
+    ).select(
+        "doc_id", "t", _turn_base_col(F.col("tk"), F.col("t")).alias("base")
+    )
+    sw = t.sparkSession.createDataFrame(
+        _STOPWORDS, "w string, lang string"
+    )
+    tok = t.select(
+        "doc_id", "t", F.explode(F.split(F.lower("base"), " ")).alias("w")
+    )
+    sc = (
+        tok.join(F.broadcast(sw), "w")
+        .groupBy("doc_id", "t", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wv = Window.partitionBy("doc_id", "t").orderBy(
+        F.desc("cnt"), F.asc("lang")
+    )
+    best = (
+        sc.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "t", F.col("lang").alias("pl"))
+    )
+    pred = t.join(best, ["doc_id", "t"], "left").select(
+        "doc_id", "t", F.coalesce("pl", F.lit("unk")).alias("pl")
+    )
+    pc = pred.groupBy("doc_id", "pl").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wm = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("pl"))
+    maj = (
+        pc.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("pl").alias("majority_lang"))
+    )
+    mix = pc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_turns"),
+        F.count_if(F.col("pl") != "unk").cast("long").alias("n_langs"),
+        F.coalesce(
+            F.sum(F.when(F.col("pl") == "unk", F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_unk_turns"),
+    )
+    return mix.join(maj, "doc_id").select(
+        "doc_id",
+        "n_turns",
+        "n_langs",
+        "n_unk_turns",
+        "majority_lang",
+        (F.col("n_langs") >= 2).alias("is_mixed"),
+    )
+
+
+# oracle registered post-hoc: it reuses textstats' ONE stopword VALUES
+# rendering (_SW_VALUES) — same rule table as q_lang_id/q_langid_eval
+from .textstats import _SW_VALUES  # noqa: E402
+
+ORACLES["q_conv_langmix"] = f"""
+    WITH sw AS (SELECT * FROM (VALUES {_SW_VALUES}) x(w, lang)),
+    tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    turns AS (
+      SELECT doc_id, g.t, {_TURN_BASE_SQL} AS base
+      FROM tk, unnest(generate_series(0, 11)) g(t)
+    ),
+    tok AS (SELECT doc_id, t, unnest(string_split(lower(base), ' ')) AS w
+            FROM turns),
+    sc AS (SELECT doc_id, t, lang, COUNT(*) AS cnt
+           FROM tok JOIN sw USING (w) GROUP BY doc_id, t, lang),
+    best AS (SELECT doc_id, t, lang,
+                    row_number() OVER (PARTITION BY doc_id, t
+                                       ORDER BY cnt DESC, lang ASC) AS rn
+             FROM sc),
+    pred AS (SELECT turns.doc_id, turns.t, coalesce(b.lang, 'unk') AS pl
+             FROM turns LEFT JOIN best b
+               ON b.doc_id = turns.doc_id AND b.t = turns.t AND b.rn = 1),
+    pc AS (SELECT doc_id, pl, COUNT(*) AS cnt FROM pred GROUP BY doc_id, pl),
+    maj AS (SELECT doc_id, pl AS majority_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, pl ASC) AS rn
+            FROM pc),
+    mix AS (SELECT doc_id,
+                   CAST(SUM(cnt) AS bigint) AS n_turns,
+                   CAST(COUNT(*) FILTER (WHERE pl <> 'unk') AS bigint)
+                     AS n_langs,
+                   CAST(COALESCE(SUM(cnt) FILTER (WHERE pl = 'unk'), 0)
+                        AS bigint) AS n_unk_turns
+            FROM pc GROUP BY doc_id)
+    SELECT mix.doc_id, n_turns, n_langs, n_unk_turns,
+           m.majority_lang, n_langs >= 2 AS is_mixed
+    FROM mix JOIN maj m ON m.doc_id = mix.doc_id AND m.rn = 1
+    """

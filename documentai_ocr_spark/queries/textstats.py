@@ -1603,3 +1603,106 @@ def q_seqlen_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_waste_milli"),
     )
+
+
+# ------------------------------------------------- BPE encode application
+# Applying the learned merge table is the other half of tokenization:
+# q_bpe_merge_candidates INDUCES the round-1 merges; this operator
+# ENCODES the corpus with them and reports per-document token counts —
+# the number a context budget, packing plan, or price estimate actually
+# needs. The merge table is a driver-side collect of the FIXED top-k
+# (20 rows — sketch-sized, like the codebook collects) broadcast into
+# ONE narrow Arrow stage; encoding caches by distinct word per batch,
+# so cost tracks vocabulary, not token count. Greedy lowest-rank-first
+# merging is the standard public BPE apply rule (Sennrich et al. 2016)
+# restricted to the single-char round-1 table.
+def bpe_encode_len(word: str, ranks: dict) -> int:
+    """Symbol count of ``word`` after greedily applying ``ranks``
+    (pair-string → rank, lower merges first): repeatedly find the
+    lowest-rank adjacent single-char pair and merge ALL its
+    non-overlapping occurrences left-to-right. Pure-Python spec shared
+    by the operator and its pytest gate."""
+    syms = list(word)
+    while True:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            # round-1 merges are char+char: longer symbols never match
+            if len(syms[i]) + len(syms[i + 1]) != 2:
+                continue
+            r = ranks.get(syms[i] + syms[i + 1])
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            return len(syms)
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i < len(syms) - 1
+                and (syms[i], syms[i + 1]) == best_pair
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the induced round-1 merge
+    table: words, chars, encoded tokens, and the milli compression
+    ratio. Rows-only (iterative greedy merging is not SQL-expressible);
+    the encode rule is pytest-gated against hand fixtures and a
+    whole-corpus pure-Python recount."""
+    rows = q_bpe_merge_candidates(spark, sf_dir).collect()
+    ranks = {r.pair: i for i, r in enumerate(rows)}
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    schema = (
+        "doc_id bigint, n_words bigint, n_chars bigint, "
+        "n_bpe_tokens bigint, compress_milli bigint"
+    )
+
+    def run(batches):
+        cache: dict = {}
+
+        def enc(word):
+            v = cache.get(word)
+            if v is None:
+                v = cache[word] = bpe_encode_len(word, ranks)
+            return v
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                nc = sum(len(w) for w in words)
+                nt = sum(enc(w) for w in words)
+                out.append(
+                    (
+                        int(doc_id),
+                        len(words),
+                        nc,
+                        nt,
+                        (nt * 1000) // nc if nc else 0,
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "doc_id",
+                        "n_words",
+                        "n_chars",
+                        "n_bpe_tokens",
+                        "compress_milli",
+                    ],
+                )
+
+    return docs.mapInPandas(run, schema=schema)
+
+
+QUERIES["x_bpe_encode"] = _q_bpe_encode

@@ -264,3 +264,50 @@ def test_langid_eval_confusion_laws(spark):
         r["tp"] > 0 for r in rows.values()
     )
     out.unpersist()
+
+
+def test_bpe_encode_spec_and_corpus_recount(spark):
+    """bpe_encode_len hand fixtures (overlap, rank priority, no-merge)
+    plus x_bpe_encode against a full pure-Python recount at sf0.001 —
+    the encode path, the word split, and the distinct-word cache all
+    verified end-to-end."""
+    from documentai_ocr_spark.queries import QUERIES
+    from documentai_ocr_spark.queries.textstats import bpe_encode_len
+
+    # hand fixtures: ranks {'aa': 0, 'ab': 1}
+    r = {"aa": 0, "ab": 1}
+    assert bpe_encode_len("aaaa", r) == 2      # (aa)(aa)
+    assert bpe_encode_len("aaa", r) == 2       # (aa)a — greedy L-to-R
+    assert bpe_encode_len("aab", r) == 2       # aa wins rank over ab
+    assert bpe_encode_len("ab", r) == 1
+    assert bpe_encode_len("ba", r) == 2        # no merge applies
+    assert bpe_encode_len("", r) == 0
+    # after (aa) merges, the 2-char symbol can't merge again
+    assert bpe_encode_len("aaab", r) == 2      # (aa)(ab)
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["q_bpe_merge_candidates"](spark, sf).collect()
+    ranks = {row.pair: i for i, row in enumerate(rows)}
+    got = {
+        row.doc_id: (
+            row.n_words,
+            row.n_chars,
+            row.n_bpe_tokens,
+            row.compress_milli,
+        )
+        for row in QUERIES["x_bpe_encode"](spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(got) == len(docs)
+    changed = 0
+    for d in docs:
+        words = [w for w in (d.text or "").split(" ") if w]
+        nc = sum(len(w) for w in words)
+        nt = sum(bpe_encode_len(w, ranks) for w in words)
+        exp = (len(words), nc, nt, (nt * 1000) // nc if nc else 0)
+        assert got[d.doc_id] == exp, (d.doc_id, got[d.doc_id], exp)
+        if nt < nc:
+            changed += 1
+    assert changed > 0  # the merge table actually compresses something

@@ -432,3 +432,28 @@ def test_code_blocks_oracle_on_backtick_corpus(spark, tmp_path):
     # some block must exercise the empty-body path for the test to bite
     assert any(r[5] == 0 for r in got), "no empty-body block produced"
     assert got == want
+
+
+def test_edit_churn_reconciles_with_supersede(spark):
+    """q_edit_churn and q_turn_supersede share the retry coin: per
+    conversation, churn's n_retried must equal the count of turn keys
+    supersession resolved with n_attempts == 2 — the two operators
+    describe the SAME regeneration set."""
+    from documentai_ocr_spark.queries.relational import (
+        q_edit_churn,
+        q_turn_supersede,
+    )
+
+    churn = {
+        r.doc_id: r.n_retried for r in q_edit_churn(spark, SF).collect()
+    }
+    sup = (
+        q_turn_supersede(spark, SF)
+        .where(F.col("n_attempts") == 2)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sup_by_doc = {int(r.conv_id[5:]): r.n for r in sup}
+    assert churn == sup_by_doc
+    assert churn  # non-vacuous: some conversation was retried
