@@ -3208,11 +3208,12 @@ def code_blocks_col(txt):
     return F.transform(idx, one)
 
 
-@_q(
-    "q_code_blocks",
-    f"""
-    WITH {_CODE_TURNS_SQL},
-    ls AS (
+# the ONE DuckDB rendering of the fence scan over the ct turn stream:
+# CTEs ending in a per-block `blocks` table — shared by the block
+# extractor and the conversation code-density rollup. COALESCE: DuckDB's
+# array_to_string of an EMPTY slice (adjacent fences) is NULL, Spark's
+# array_join is '' — aligned to the kernel.
+_CODE_SCAN_SQL = """ls AS (
       SELECT doc_id, t, string_split(txt, chr(10)) AS ls FROM ct
     ),
     fp AS (
@@ -3220,19 +3221,28 @@ def code_blocks_col(txt):
              list_filter(range(1, len(ls) + 1),
                          i -> starts_with(ls[i], '```')) AS fp
       FROM ls
-    )
+    ),
+    blocks AS (
+      SELECT doc_id, t, j,
+             substr(ls[fp[j*2+1]], 4) AS lang,
+             CAST(fp[j*2+2] - fp[j*2+1] - 1 AS int) AS n_code_lines,
+             CAST(length(COALESCE(array_to_string(
+                    ls[fp[j*2+1]+1 : fp[j*2+2]-1], chr(10)), ''))
+                  AS int) AS n_code_chars,
+             COALESCE(array_to_string(ls[fp[j*2+1]+1 : fp[j*2+2]-1],
+                                      chr(10)), '') AS code
+      FROM fp, unnest(range(len(fp) // 2)) b(j)
+    )"""
+
+
+@_q(
+    "q_code_blocks",
+    f"""
+    WITH {_CODE_TURNS_SQL},
+    {_CODE_SCAN_SQL}
     SELECT doc_id, CAST(t AS int) AS turn_idx, CAST(j AS int) AS block_no,
-           substr(ls[fp[j*2+1]], 4) AS lang,
-           CAST(fp[j*2+2] - fp[j*2+1] - 1 AS int) AS n_code_lines,
-           -- COALESCE: DuckDB's array_to_string of an EMPTY slice
-           -- (adjacent fences) is NULL, Spark's array_join is '' —
-           -- align to the kernel
-           CAST(length(COALESCE(array_to_string(
-                  ls[fp[j*2+1]+1 : fp[j*2+2]-1], chr(10)), ''))
-                AS int) AS n_code_chars,
-           COALESCE(array_to_string(ls[fp[j*2+1]+1 : fp[j*2+2]-1],
-                                    chr(10)), '') AS code
-    FROM fp, unnest(range(len(fp) // 2)) b(j)
+           lang, n_code_lines, n_code_chars, code
+    FROM blocks
     """,
 )
 def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3525,3 +3535,62 @@ ORACLES["q_conv_langmix"] = f"""
            m.majority_lang, n_langs >= 2 AS is_mixed
     FROM mix JOIN maj m ON m.doc_id = mix.doc_id AND m.rn = 1
     """
+
+
+# --------------------------------------------------- conversation code ratio
+# The code-heavy-conversation selector: how much of each conversation's
+# text is fenced code? Code-dense transcripts route to code-model
+# training; zero-code transcripts route to chat. Shares the turn stream
+# (_CODE_TURNS_SQL / _code_turns_df) and the fence scan
+# (_CODE_SCAN_SQL / code_blocks_col) — one rendering each — so the
+# density it reports is exactly over q_code_blocks' blocks.
+@_q(
+    "q_code_ratio",
+    f"""
+    WITH {_CODE_TURNS_SQL},
+    {_CODE_SCAN_SQL},
+    tc AS (SELECT doc_id, CAST(SUM(length(txt)) AS bigint) AS total_chars
+           FROM ct GROUP BY doc_id),
+    bc AS (SELECT doc_id,
+                  CAST(COUNT(*) AS bigint) AS n_blocks,
+                  CAST(SUM(n_code_chars) AS bigint) AS code_chars,
+                  CAST(COUNT(DISTINCT lang) AS bigint) AS n_langs
+           FROM blocks GROUP BY doc_id)
+    SELECT tc.doc_id,
+           tc.total_chars,
+           COALESCE(bc.n_blocks, 0) AS n_blocks,
+           COALESCE(bc.code_chars, 0) AS code_chars,
+           COALESCE(bc.n_langs, 0) AS n_langs,
+           CAST(COALESCE(bc.code_chars, 0) * 1000 // tc.total_chars
+                AS bigint) AS code_milli
+    FROM tc LEFT JOIN bc ON bc.doc_id = tc.doc_id
+    """,
+)
+def q_code_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation code density over the shared fence scan: total
+    chars, closed blocks, code chars, distinct languages, and the milli
+    code ratio (integer division — no float crosses the gate). Two
+    conv-grain partial aggregations left-joined on the conversation key
+    — turn payloads never move except as per-conv sums."""
+    ct = _code_turns_df(spark, sf_dir)
+    blocks = ct.select(
+        "doc_id", F.explode(code_blocks_col(F.col("txt"))).alias("b")
+    )
+    tc = ct.groupBy("doc_id").agg(
+        F.sum(F.length("txt")).cast("long").alias("total_chars")
+    )
+    bc = blocks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("b.n_code_chars").cast("long").alias("code_chars"),
+        F.countDistinct("b.lang").cast("long").alias("n_langs"),
+    )
+    return tc.join(bc, "doc_id", "left").select(
+        "doc_id",
+        "total_chars",
+        F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+        F.coalesce("code_chars", F.lit(0)).cast("long").alias("code_chars"),
+        F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+        F.expr("coalesce(code_chars, 0) * 1000 div total_chars")
+        .cast("long")
+        .alias("code_milli"),
+    )

@@ -434,6 +434,38 @@ def test_code_blocks_oracle_on_backtick_corpus(spark, tmp_path):
     assert got == want
 
 
+def test_code_ratio_reconciles_with_code_blocks(spark):
+    """q_code_ratio rides the SAME fence scan as q_code_blocks, so per
+    conversation its (n_blocks, code_chars, n_langs) must equal the
+    blocks table's own rollup exactly — and every conversation in the
+    turn stream appears, zero-code ones with all-zero counts."""
+    from documentai_ocr_spark.queries.relational import (
+        q_code_blocks,
+        q_code_ratio,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ratio = {r["doc_id"]: r for r in q_code_ratio(spark, sf).collect()}
+    blocks = {}
+    for b in q_code_blocks(spark, sf).collect():
+        d = blocks.setdefault(b["doc_id"], {"n": 0, "chars": 0, "langs": set()})
+        d["n"] += 1
+        d["chars"] += b["n_code_chars"]
+        d["langs"].add(b["lang"])
+
+    assert ratio, "ratio must cover the corpus"
+    assert set(blocks) <= set(ratio)
+    for doc_id, r in ratio.items():
+        d = blocks.get(doc_id, {"n": 0, "chars": 0, "langs": set()})
+        assert r["n_blocks"] == d["n"]
+        assert r["code_chars"] == d["chars"]
+        assert r["n_langs"] == len(d["langs"])
+        assert r["code_milli"] == d["chars"] * 1000 // r["total_chars"]
+    # the coverage must include genuinely zero-code conversations for
+    # the LEFT JOIN's COALESCE arm to be exercised
+    assert any(r["n_blocks"] == 0 for r in ratio.values())
+
+
 def test_edit_churn_reconciles_with_supersede(spark):
     """q_edit_churn and q_turn_supersede share the retry coin: per
     conversation, churn's n_retried must equal the count of turn keys
