@@ -30,6 +30,7 @@ from . import (
     relevance,
     simsearch,
     textstats,
+    webtext,
 )
 
 _MODULES = (
@@ -41,6 +42,7 @@ _MODULES = (
     corpusops,
     extraction,
     labeldsl,
+    webtext,
 )
 
 QUERIES = {}

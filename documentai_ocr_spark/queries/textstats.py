@@ -1139,10 +1139,12 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity so no rounded intermediate feeds another division). The
 # fixture confuses for real: zh has no stopword rows, so zh documents
 # land on latin classes or 'unk'.
-@_q(
-    "q_langid_eval",
-    f"""
-    WITH sw AS (SELECT * FROM (VALUES {_SW_VALUES}) t(w, lang)),
+
+# ONE SQL rendering of the stopword-vote predictor (the Spark twin is
+# _langid_pred) — interpolated by the confusion dim below AND by
+# q_tokenizer_fertility, so every consumer of a predicted language
+# evaluates the SAME classifier.
+_PRED_SQL = f"""sw AS (SELECT * FROM (VALUES {_SW_VALUES}) t(w, lang)),
     tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
             FROM documents),
     sc AS (SELECT doc_id, lang, CAST(COUNT(*) AS bigint) AS cnt
@@ -1154,9 +1156,21 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred AS (
       SELECT d.doc_id, d.lang, coalesce(b.lang, 'unk') AS pred_lang
       FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
-    ),
+    )"""
+
+# the predictor rolled into the classes² confusion dim — interpolated
+# by q_langid_eval AND q_langid_kappa so the classifier under
+# evaluation can never drift between the scorecard and the agreement
+# statistic.
+_PRED_CONF_SQL = f"""{_PRED_SQL},
     conf AS (SELECT lang, pred_lang, COUNT(*) AS n
-             FROM pred GROUP BY lang, pred_lang),
+             FROM pred GROUP BY lang, pred_lang)"""
+
+
+@_q(
+    "q_langid_eval",
+    f"""
+    WITH {_PRED_CONF_SQL},
     decl AS (SELECT lang AS cls, SUM(n) AS support,
                     COALESCE(SUM(n) FILTER (pred_lang = lang), 0) AS tp
              FROM conf GROUP BY lang),
@@ -1216,6 +1230,141 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(2.0) * tp / F.nullif(support + predicted, F.lit(0)), 6
         ).alias("f1"),
+    )
+
+
+# --------------------------------------------------- chance-corrected kappa
+@_q(
+    "q_langid_kappa",
+    f"""
+    WITH {_PRED_CONF_SQL},
+    decl AS (SELECT lang AS cls, SUM(n) AS support,
+                    COALESCE(SUM(n) FILTER (pred_lang = lang), 0) AS tp
+             FROM conf GROUP BY lang),
+    prd AS (SELECT pred_lang AS cls, SUM(n) AS predicted
+            FROM conf GROUP BY pred_lang),
+    cls AS (SELECT COALESCE(d.support, 0) AS support,
+                   COALESCE(d.tp, 0) AS tp,
+                   COALESCE(p.predicted, 0) AS predicted
+            FROM decl d FULL OUTER JOIN prd p ON d.cls = p.cls),
+    tot AS (SELECT SUM(support) AS n, SUM(tp) AS agree,
+                   SUM(support * predicted) AS sp
+            FROM cls)
+    SELECT CAST(n AS bigint) AS n_docs,
+           CAST(agree AS bigint) AS n_agree,
+           ROUND(CAST(agree AS double) / n, 6) AS po,
+           ROUND(CAST(sp AS double) / (n * n), 6) AS pe,
+           ROUND(CAST(agree * n - sp AS double)
+                 / NULLIF(n * n - sp, 0), 6) AS kappa
+    FROM tot
+    """,
+)
+def q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the language-ID rule against the declared
+    labels — the chance-corrected agreement a curation pipeline reads
+    before trusting a classifier on an imbalanced corpus (raw accuracy
+    rewards always-guessing the majority class; kappa doesn't). Runs
+    the SAME predictor/confusion dim as q_langid_eval (_PRED_CONF_SQL /
+    _langid_pred — one rendering per engine). Float discipline: po, pe
+    and kappa are each ONE rounded division of exact bigint sums —
+    kappa uses the integer identity (agree·n − Σsᵢpᵢ)/(n² − Σsᵢpᵢ) so
+    no rounded intermediate feeds another division. Shape: the classes²
+    confusion dim rolls to a classes-row dim, then one 1-row aggregate
+    — nothing beyond O(classes) rows ever leaves the partial aggs."""
+    pred = _langid_pred(spark, sf_dir, cols=("doc_id", "lang"))
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    decl = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("support"),
+        F.coalesce(
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), F.col("n"))),
+            F.lit(0),
+        ).alias("tp"),
+    )
+    prd = conf.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    cls = decl.join(prd, "cls", "full_outer").select(
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        F.coalesce("predicted", F.lit(0)).alias("predicted"),
+    )
+    tot = cls.agg(
+        F.sum("support").alias("n"),
+        F.sum("tp").alias("agree"),
+        F.sum(F.col("support") * F.col("predicted")).alias("sp"),
+    )
+    n, agree, sp = F.col("n"), F.col("agree"), F.col("sp")
+    return tot.select(
+        n.cast("long").alias("n_docs"),
+        agree.cast("long").alias("n_agree"),
+        F.round(agree.cast("double") / n, 6).alias("po"),
+        F.round(sp.cast("double") / (n * n), 6).alias("pe"),
+        F.round(
+            (agree * n - sp).cast("double") / F.nullif(n * n - sp, F.lit(0)),
+            6,
+        ).alias("kappa"),
+    )
+
+
+# ------------------------------------------------- tokenizer fertility
+@_q(
+    "q_tokenizer_fertility",
+    f"""
+    WITH {_PRED_SQL},
+    st AS (SELECT doc_id, {ntok_sql('text')} AS ntok,
+                  strlen(text) AS nbytes
+           FROM documents),
+    j AS (SELECT p.pred_lang, s.ntok, s.nbytes
+          FROM pred p JOIN st s USING (doc_id))
+    SELECT pred_lang,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(SUM(ntok) AS bigint) AS n_tokens,
+           CAST(SUM(nbytes) AS bigint) AS n_bytes,
+           CAST(CASE WHEN SUM(ntok) = 0 THEN 0
+                ELSE SUM(nbytes) * 1000 // SUM(ntok) END AS bigint)
+             AS bytes_per_token_milli
+    FROM j GROUP BY pred_lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by predicted language: UTF-8 bytes per token
+    for each language the classifier assigns — the report a tokenizer
+    budget is planned from (a lang whose bytes/token runs hot inflates
+    sequence lengths and training cost; multilingual corpora are
+    budgeted in bytes, packed in tokens). Composes the TWO shared
+    units: the stopword-vote predictor (_PRED_SQL / _langid_pred — the
+    classifier every langid consumer evaluates) and THE corpus token
+    rule (util.ntok_sql / ntok_col). Float discipline: the milli ratio
+    is ONE integer division of exact bigint sums (zero-token classes
+    pin 0). Shape: per-doc stats are in-row (no token-grain explode
+    beyond the predictor's own stopword join); the doc-grain equi-join
+    feeds an O(classes)-key partial agg — nothing wider than the
+    predictor q_lang_id already runs."""
+    pred = _langid_pred(spark, sf_dir)
+    st = spread(load(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id",
+        ntok_col("text").alias("ntok"),
+        F.octet_length("text").alias("nbytes"),
+    )
+    j = pred.join(st, "doc_id")
+    agg = j.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum("nbytes").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "pred_lang",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0L"
+            " ELSE n_bytes * 1000L div n_tokens END"
+        )
+        .cast("long")
+        .alias("bytes_per_token_milli"),
     )
 
 

@@ -1,0 +1,496 @@
+"""Web-text curation operators over the shared transcript turn stream:
+URL/domain frequency (the blocklist/allowlist preflight every web-scale
+corpus build runs), adjacent-turn echo rate (assistant parroting the
+user — a transcript-quality signal), and a zlib compression-ratio
+quality proxy (near-constant text compresses away; the classic cheap
+low-quality detector).
+
+Reference provenance: the reference pipeline's per-file charset /
+content sniffing before OCR (/root/reference/pdf/tools.py:51-71 renames
+on a content gate; /root/reference/ocrclient/redisdata.py tracks
+per-file provenance) — here re-expressed as corpus-level preflight
+reports over the turn stream.
+
+Scale notes: every operator is turn-grain in-row work (regexp scan /
+word-set ops / one Arrow batch pass) followed by a domain- or
+conv-grain partial aggregation — no corpus-constant window keys, no
+token-grain explodes (URL-grain explode is bounded by URLs per turn),
+no collect beyond the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .relational import _TURN_BASE_SQL, _turn_base_col
+from .util import load, ntok_col, ntok_sql, spread, words_sql
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return reg
+
+
+# ------------------------------------------------- shared turn stream
+# The documents-as-conversations turn stream (12 turns per conversation,
+# each an 8-word slice of the document — the same _TURN_BASE_SQL /
+# _turn_base_col rendering the transcript family uses).
+_TURNS_SQL = f"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents),
+    turns AS (
+      SELECT doc_id, g.t, {_TURN_BASE_SQL} AS base
+      FROM tk, unnest(generate_series(0, 11)) g(t)
+    )"""
+
+
+def _turns_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TURNS_SQL: (doc_id, t, base)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("t"),
+    )
+    return t.select(
+        "doc_id", "t", _turn_base_col(F.col("tk"), F.col("t")).alias("base")
+    )
+
+
+# ------------------------------------------------- URL decoration rule
+# Deterministic link injection into turn text — ONE rendering per
+# engine, the same no-drift discipline as the decimation/retry coins:
+# every third (doc+t) turn carries an https link (23 domains), every
+# seventh-mod-2 additionally an http link (13 domains), both embedded
+# mid-sentence so extraction is a real regexp scan, not a column read.
+_URL_TXT_SQL = (
+    "base || CASE WHEN (doc_id + t) % 3 = 0 THEN ' see https://d' || "
+    "CAST((doc_id * 7 + t) % 23 AS varchar) || '.example.com/p/' || "
+    "CAST(t AS varchar) || ' ok' ELSE '' END || "
+    "CASE WHEN (doc_id + t) % 7 = 2 THEN ' ref http://m' || "
+    "CAST((doc_id * 11 + t) % 13 AS varchar) || '.test.org' "
+    "ELSE '' END"
+)
+
+
+def _url_txt_col() -> F.Column:
+    """Spark twin of _URL_TXT_SQL over (doc_id, t, base)."""
+    https = F.concat(
+        F.lit(" see https://d"),
+        ((F.col("doc_id") * 7 + F.col("t")) % 23).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("t").cast("string"),
+        F.lit(" ok"),
+    )
+    http = F.concat(
+        F.lit(" ref http://m"),
+        ((F.col("doc_id") * 11 + F.col("t")) % 13).cast("string"),
+        F.lit(".test.org"),
+    )
+    return F.concat(
+        F.col("base"),
+        F.when((F.col("doc_id") + F.col("t")) % 3 == 0, https).otherwise(
+            F.lit("")
+        ),
+        F.when((F.col("doc_id") + F.col("t")) % 7 == 2, http).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+# RE2 (DuckDB) and java.util.regex (Spark) agree on this feature set:
+# literal alternation, a plain character class, greedy +.
+_URL_RE = "https?://[a-z0-9./-]+"
+_DOMAIN_RE = "^https?://([a-z0-9.-]+)"
+
+
+@_q(
+    "q_url_domains",
+    f"""
+    WITH {_TURNS_SQL},
+    ut AS (SELECT doc_id, t, {_URL_TXT_SQL} AS txt FROM turns),
+    u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(txt, '{_URL_RE}')) AS url
+          FROM ut),
+    d AS (SELECT doc_id,
+                 regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain
+          FROM u)
+    SELECT domain,
+           CAST(COUNT(*) AS bigint) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS bigint) AS n_convs
+    FROM d GROUP BY domain
+    """,
+)
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain frequency report over links found in turn text — the
+    preflight a web-corpus build runs before applying a domain
+    blocklist/allowlist (which domains dominate, how many conversations
+    cite each). Shape: in-row regexp_extract_all scan → URL-grain
+    explode (bounded by links per turn) → domain-grain partial agg;
+    the only exchange is on the O(domains) key. The txt column is the
+    shared _URL_TXT_SQL decoration — the extraction regex must find
+    exactly the links the rule injected, so the oracle gate doubles as
+    a regex-parity proof between java.util.regex and RE2."""
+    ut = _turns_df(spark, sf_dir).select(
+        "doc_id", _url_txt_col().alias("txt")
+    )
+    u = ut.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit(_URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    d = u.select(
+        "doc_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain")
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_convs"),
+    )
+
+
+# --------------------------------------------------- adjacent-turn echo
+@_q(
+    "q_echo_rate",
+    f"""
+    WITH {_TURNS_SQL},
+    w AS (SELECT doc_id, t,
+                 list_distinct({words_sql('base')}) AS ws
+          FROM turns),
+    p AS (SELECT doc_id, t, ws,
+                 lag(ws) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+          FROM w),
+    j AS (SELECT doc_id, t,
+                 len(list_filter(ws, x -> list_contains(prev, x)))
+                   AS inter,
+                 len(ws) + len(prev) AS tot
+          FROM p WHERE prev IS NOT NULL),
+    m AS (SELECT doc_id,
+                 CASE WHEN tot - inter = 0 THEN 1000
+                      ELSE inter * 1000 // (tot - inter) END AS echo_milli
+          FROM j)
+    SELECT doc_id,
+           CAST(COUNT(*) AS bigint) AS n_pairs,
+           CAST(MAX(echo_milli) AS bigint) AS max_echo_milli,
+           CAST(SUM(echo_milli) // COUNT(*) AS bigint) AS mean_echo_milli,
+           CAST(COUNT(*) FILTER (WHERE echo_milli >= 500) AS bigint)
+             AS n_echo
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn echo: distinct-word Jaccard between each turn and
+    its predecessor within a conversation, rolled up per conversation
+    (pair count, max / integer-mean milli echo, pairs ≥ 0.5). High echo
+    marks parroting/loop transcripts that SFT curation drops. Word unit
+    is THE shared corpus token rule (util.words_sql), deduplicated —
+    Jaccard is a set statistic. Float discipline: the milli ratio is
+    integer division of exact set sizes (|A∩B|·1000 // |A∪B| via
+    union = |A|+|B|−|A∩B|); both-empty pairs define echo = 1000
+    (identical empties). Shape: the lag window partitions on the
+    conversation key (≤12 rows per partition — bounded by a turn cap,
+    never by corpus size), then one conv-grain partial agg."""
+    turns = _turns_df(spark, sf_dir)
+    w = turns.select(
+        "doc_id",
+        "t",
+        F.array_distinct(
+            F.filter(F.split("base", " "), lambda x: x != "")
+        ).alias("ws"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("t")
+    p = w.withColumn("prev", F.lag("ws").over(win)).where(
+        F.col("prev").isNotNull()
+    )
+    j = p.select(
+        "doc_id",
+        F.size(F.array_intersect("ws", "prev")).alias("inter"),
+        (F.size("ws") + F.size("prev")).alias("tot"),
+    )
+    m = j.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN tot - inter = 0 THEN 1000L"
+            " ELSE inter * 1000L div (tot - inter) END"
+        ).alias("echo_milli"),
+    )
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max("echo_milli").cast("long").alias("max_echo_milli"),
+        F.expr("sum(echo_milli) div count(1)")
+        .cast("long")
+        .alias("mean_echo_milli"),
+        F.count_if(F.col("echo_milli") >= 500).cast("long").alias("n_echo"),
+    )
+
+
+# ------------------------------------------------ blocklist application
+# THE blocklist rule — ONE rendering per engine: a domain is blocked
+# iff its numeric id is ≡ 0 (mod 5). Over the injected domain space
+# that blocks d{0,5,10,15,20}.example.com and m{0,5,10}.test.org, so
+# both link families contribute blocked and allowed members.
+_BLOCKED_NUM_RE = "[0-9]+"
+
+
+def _blocked_sql(col: str) -> str:
+    """DuckDB rendering of the blocklist membership test."""
+    return (
+        f"CAST(regexp_extract({col}, '{_BLOCKED_NUM_RE}') AS bigint)"
+        " % 5 = 0"
+    )
+
+
+def _blocked_col(col) -> F.Column:
+    """Spark twin of _blocked_sql."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.regexp_extract(c, _BLOCKED_NUM_RE, 0).cast("long") % 5 == 0
+    )
+
+
+@_q(
+    "q_url_blocklist",
+    f"""
+    WITH {_TURNS_SQL},
+    ut AS (SELECT doc_id, t, {_URL_TXT_SQL} AS txt FROM turns),
+    u AS (SELECT doc_id,
+                 unnest(regexp_extract_all(txt, '{_URL_RE}')) AS url
+          FROM ut),
+    d AS (SELECT doc_id,
+                 regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain
+          FROM u),
+    f AS (SELECT doc_id,
+                 COUNT(*) AS n_links,
+                 COUNT(*) FILTER (WHERE {_blocked_sql('domain')})
+                   AS n_blocked
+          FROM d GROUP BY doc_id),
+    c AS (SELECT dd.source,
+                 COALESCE(f.n_links, 0) AS n_links,
+                 COALESCE(f.n_blocked, 0) AS n_blocked
+          FROM documents dd LEFT JOIN f USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(COUNT(*) FILTER (WHERE n_links > 0) AS bigint) AS n_cited,
+           CAST(COUNT(*) FILTER (WHERE n_blocked > 0) AS bigint)
+             AS n_dropped,
+           CAST(SUM(n_links) AS bigint) AS n_links,
+           CAST(SUM(n_blocked) AS bigint) AS n_blocked_links,
+           CAST((COUNT(*) - COUNT(*) FILTER (WHERE n_blocked > 0)) * 1000
+                // COUNT(*) AS bigint) AS kept_milli
+    FROM c GROUP BY source
+    """,
+)
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist yield report: apply a domain blocklist to the link
+    scan and report, per source, how many conversations survive a
+    "drop any conversation citing a blocked domain" policy — the
+    question a curation team answers BEFORE enforcing a blocklist
+    (q_url_domains sizes the list; this prices it). Composes two
+    shared rules with zero drift: the link decoration/extraction
+    (_URL_TXT_SQL / _URL_RE — identical to q_url_domains) and THE
+    blocklist test (_blocked_sql / _blocked_col). Float discipline:
+    kept_milli is integer division of exact conversation counts.
+    Shape: in-row regexp scan → URL-grain explode (bounded per turn) →
+    conv-grain partial agg → left join back to the conversation dim →
+    O(sources)-key agg; no corpus-constant window, no collect."""
+    ut = _turns_df(spark, sf_dir).select(
+        "doc_id", _url_txt_col().alias("txt")
+    )
+    u = ut.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit(_URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    d = u.select(
+        "doc_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain")
+    )
+    f = d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_if(_blocked_col("domain")).alias("n_blocked"),
+    )
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+    c = docs.join(f, "doc_id", "left").select(
+        "source",
+        F.coalesce("n_links", F.lit(0)).alias("n_links"),
+        F.coalesce("n_blocked", F.lit(0)).alias("n_blocked"),
+    )
+    agg = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.count_if(F.col("n_links") > 0).cast("long").alias("n_cited"),
+        F.count_if(F.col("n_blocked") > 0).cast("long").alias("n_dropped"),
+        F.sum("n_links").cast("long").alias("n_links"),
+        F.sum("n_blocked").cast("long").alias("n_blocked_links"),
+    )
+    return agg.select(
+        "source",
+        "n_convs",
+        "n_cited",
+        "n_dropped",
+        "n_links",
+        "n_blocked_links",
+        F.expr("(n_convs - n_dropped) * 1000L div n_convs")
+        .cast("long")
+        .alias("kept_milli"),
+    )
+
+
+# --------------------------------------------- first-turn prompt dedup
+@_q(
+    "q_instruction_dedup",
+    f"""
+    WITH {_TURNS_SQL},
+    pr AS (SELECT doc_id,
+                  MAX(CASE WHEN t = 0 THEN base END) AS prompt,
+                  MAX(CASE WHEN t = 11 THEN base END) AS response
+           FROM turns WHERE t IN (0, 11) GROUP BY doc_id)
+    SELECT prompt,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(MIN(doc_id) AS bigint) AS keeper_doc,
+           CAST(SUM({ntok_sql('response')}) AS bigint) AS resp_tokens,
+           CAST(SUM({ntok_sql('response')}) * 1000 // COUNT(*) AS bigint)
+             AS mean_resp_ntok_milli
+    FROM pr WHERE prompt <> '' GROUP BY prompt
+    """,
+)
+def q_instruction_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-turn prompt dedup: group conversations by their opening
+    turn's text (the instruction), electing the smallest doc_id as the
+    keeper — SFT curation's "same question asked N times, keep one,
+    remember the demand" report (n_convs IS the demand signal for
+    mixture weighting). Prompt/response are the shared turn rendering
+    (_TURNS_SQL / _turns_df) at t=0 and t=11; response tokens use THE
+    corpus token unit. Float discipline: the mean is integer division
+    of exact sums. Shape: the t∈{{0,11}} filter prunes the turn explode
+    12→2 rows per conversation before the conv-grain pivot agg; the
+    prompt-grain exchange keys on the ≤8-word opening slice (bounded
+    bytes — at scale you'd key its hash; the text itself IS the output
+    here). Empty-text conversations (prompt='') are out of scope on
+    both engines."""
+    turns = _turns_df(spark, sf_dir).where(F.col("t").isin(0, 11))
+    pr = turns.groupBy("doc_id").agg(
+        F.max(F.when(F.col("t") == 0, F.col("base"))).alias("prompt"),
+        F.max(F.when(F.col("t") == 11, F.col("base"))).alias("response"),
+    )
+    return (
+        pr.where(F.col("prompt") != "")
+        .groupBy("prompt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.sum(ntok_col("response")).cast("long").alias("resp_tokens"),
+        )
+        .select(
+            "prompt",
+            "n_convs",
+            "keeper_doc",
+            "resp_tokens",
+            F.expr("resp_tokens * 1000L div n_convs")
+            .cast("long")
+            .alias("mean_resp_ntok_milli"),
+        )
+    )
+
+
+# ------------------------------------------- per-turn-index length profile
+@_q(
+    "q_turnlen_profile",
+    f"""
+    WITH {_TURNS_SQL},
+    n AS (SELECT t, {ntok_sql('base')} AS ntok FROM turns)
+    SELECT CAST(t AS int) AS turn_idx,
+           CAST(COUNT(*) AS bigint) AS n_turns,
+           CAST(SUM(ntok) AS bigint) AS total_tokens,
+           CAST(COUNT(*) FILTER (WHERE ntok = 0) AS bigint) AS n_empty,
+           CAST(SUM(ntok) * 1000 // COUNT(*) AS bigint)
+             AS mean_ntok_milli,
+           CAST(MAX(ntok) AS bigint) AS max_ntok
+    FROM n GROUP BY t
+    """,
+)
+def q_turnlen_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-in-conversation length profile: token-count stats per
+    turn index across all conversations — the report that spots
+    systematic truncation (a cliff at the last index), template bloat
+    (a fat index 0), and dead tail turns (n_empty rising with t)
+    before a packing run wastes budget on them. Token unit is THE
+    shared corpus rule (util.ntok_sql / ntok_col) over the shared turn
+    rendering. Float discipline: the mean is ONE integer division of
+    exact bigint sums. Shape: in-row token count on the turn stream,
+    one 12-key partial agg — the exchange moves O(turn-cap) rows."""
+    turns = _turns_df(spark, sf_dir)
+    n = turns.select(
+        F.col("t").cast("int").alias("turn_idx"),
+        ntok_col("base").alias("ntok"),
+    )
+    return n.groupBy("turn_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.count_if(F.col("ntok") == 0).cast("long").alias("n_empty"),
+        F.expr("sum(ntok) * 1000L div count(1)")
+        .cast("long")
+        .alias("mean_ntok_milli"),
+        F.max("ntok").cast("long").alias("max_ntok"),
+    )
+
+
+# --------------------------------------------- compression-ratio proxy
+# zlib level is pinned: the ratio must be bit-stable across runs and
+# across the pytest recount.
+_ZLIB_LEVEL = 6
+
+
+def _compress_len(text: str) -> int:
+    """THE compressed-size rule (shared with the pytest recount):
+    zlib at the pinned level over UTF-8 bytes."""
+    import zlib
+
+    return len(zlib.compress(text.encode("utf-8"), _ZLIB_LEVEL))
+
+
+def _x_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality proxy: per document, UTF-8 byte length,
+    zlib-compressed length, and the milli ratio (compressed·1000 //
+    raw). Repetitive/templated text lands far below natural prose — the
+    cheap low-quality screen that runs before any model-based scorer.
+
+    Not SQL-expressible (DuckDB has no zlib) → rows-only registry entry;
+    the pytest recount recomputes _compress_len in pure Python over the
+    whole sf0.001 corpus. Shape: one Arrow-batched pandas UDF on the
+    scan (narrow, zero shuffle — scales with input splits); raw length
+    stays a JVM-side octet_length so only the compressor crosses the
+    Python boundary."""
+
+    @F.pandas_udf("long")
+    def comp_len(s):
+        return s.map(_compress_len)
+
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("raw_bytes"),
+        comp_len("text").alias("comp_bytes"),
+    ).select(
+        "doc_id",
+        "raw_bytes",
+        "comp_bytes",
+        F.expr(
+            "CASE WHEN raw_bytes = 0 THEN 1000L"
+            " ELSE comp_bytes * 1000L div raw_bytes END"
+        )
+        .cast("long")
+        .alias("ratio_milli"),
+    )
+
+
+QUERIES["x_compression_ratio"] = _x_compression_ratio

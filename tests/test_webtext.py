@@ -1,0 +1,280 @@
+"""Webtext operators: compression-ratio proxy (pure-Python recount),
+URL/domain extraction (closed-form coin recount), adjacent-turn echo
+(Spark == registered oracle on an engineered temp corpus)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from documentai_ocr_spark.queries import ORACLES
+from documentai_ocr_spark.queries.webtext import (
+    _compress_len,
+    q_echo_rate,
+    q_url_domains,
+    _x_compression_ratio,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_compression_ratio_matches_python_recount(spark):
+    """Whole-corpus exactness: every (raw, comp, ratio) row equals the
+    pure-Python zlib recount — the Arrow boundary changes nothing."""
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["comp_bytes"], r["ratio_milli"])
+        for r in _x_compression_ratio(spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(got) == len(docs)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        raw = len(text.encode("utf-8"))
+        comp = _compress_len(text)
+        ratio = 1000 if raw == 0 else comp * 1000 // raw
+        assert got[doc_id] == (raw, comp, ratio), doc_id
+
+
+def test_compression_ratio_separates_repetitive_from_natural(
+    spark, tmp_path
+):
+    """The quality-proxy property the screen exists for: templated
+    repetition compresses far below varied text; empty text pins the
+    raw_bytes=0 guard."""
+    varied = " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["spam ham " * 100, varied, ""],
+        }
+    )
+    d = str(tmp_path / "comp")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    rows = {
+        r["doc_id"]: r for r in _x_compression_ratio(spark, d).collect()
+    }
+    assert rows[1]["ratio_milli"] < rows[2]["ratio_milli"] // 2
+    assert rows[3]["raw_bytes"] == 0 and rows[3]["ratio_milli"] == 1000
+
+
+def test_url_domains_closed_form_recount(spark):
+    """The injection rule is deterministic, so the whole report has a
+    closed form: total links = #{(doc,t): (doc+t)%3=0} +
+    #{(doc,t): (doc+t)%7=2}, and the domain set is exactly the coin's
+    range. Independently recounted in pure Python."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ids = list(docs["doc_id"])
+    per_domain: dict[str, set] = {}
+    n_urls: dict[str, int] = {}
+    for doc in ids:
+        for t in range(12):
+            if (doc + t) % 3 == 0:
+                dom = f"d{(doc * 7 + t) % 23}.example.com"
+                n_urls[dom] = n_urls.get(dom, 0) + 1
+                per_domain.setdefault(dom, set()).add(doc)
+            if (doc + t) % 7 == 2:
+                dom = f"m{(doc * 11 + t) % 13}.test.org"
+                n_urls[dom] = n_urls.get(dom, 0) + 1
+                per_domain.setdefault(dom, set()).add(doc)
+    got = {
+        r["domain"]: (r["n_urls"], r["n_convs"])
+        for r in q_url_domains(spark, SF).collect()
+    }
+    assert set(got) == set(n_urls)
+    for dom in n_urls:
+        assert got[dom] == (n_urls[dom], len(per_domain[dom])), dom
+
+
+@pytest.mark.parametrize("seed_texts", [
+    # 3-word doc: every 8-token slice is the whole vocab → adjacent
+    # turns echo maximally; 30 distinct words: stride 29 mod 30 walks
+    # the start back one word per turn, so consecutive end-clamped
+    # slices overlap partially ({29} vs {28,29} → 500‰, …)
+    ["echo echo echo", " ".join(f"u{i}" for i in range(30)), ""],
+])
+def test_echo_rate_spark_equals_oracle_on_engineered_corpus(
+    spark, tmp_path, seed_texts
+):
+    """Engine parity where it matters: a corpus engineered for maximal
+    echo (tiny vocab), partial overlap (distinct 64-word text), and the
+    empty-text edge (both-empty pair → echo 1000) — the Spark query and
+    its registered DuckDB oracle must agree row-for-row."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(seed_texts) + 1)),
+            "text": seed_texts,
+        }
+    )
+    d = str(tmp_path / "echo")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in q_echo_rate(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLES["q_echo_rate"]).fetchall())
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # tiny-vocab doc: every adjacent pair is the identical {echo} set
+    assert by_id[1][2] == by_id[1][3] == 1000  # max == mean == 1000
+    # empty doc: all slices empty → both-empty convention, echo 1000
+    assert by_id[3][2] == 1000
+    # 64-distinct-word doc: overlap exists but is never total
+    assert 0 < by_id[2][3] < 1000
+
+
+def test_url_blocklist_closed_form_recount(spark):
+    """The blocklist report has a closed form too: replay the injection
+    coins per (doc, t), apply the %5 blocklist rule in pure Python, and
+    aggregate per source — every column of every row must match."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_src: dict[str, dict] = {}
+    for doc, src in zip(docs["doc_id"], docs["source"]):
+        links = blocked = 0
+        for t in range(12):
+            if (doc + t) % 3 == 0:
+                links += 1
+                blocked += ((doc * 7 + t) % 23) % 5 == 0
+            if (doc + t) % 7 == 2:
+                links += 1
+                blocked += ((doc * 11 + t) % 13) % 5 == 0
+        a = per_src.setdefault(
+            src,
+            {"n_convs": 0, "n_cited": 0, "n_dropped": 0,
+             "n_links": 0, "n_blocked_links": 0},
+        )
+        a["n_convs"] += 1
+        a["n_cited"] += links > 0
+        a["n_dropped"] += blocked > 0
+        a["n_links"] += links
+        a["n_blocked_links"] += blocked
+    from documentai_ocr_spark.queries.webtext import q_url_blocklist
+
+    got = {r["source"]: r for r in q_url_blocklist(spark, SF).collect()}
+    assert set(got) == set(per_src)
+    for src, w in per_src.items():
+        g = got[src]
+        for k, v in w.items():
+            assert g[k] == v, (src, k)
+        assert g["kept_milli"] == (
+            (w["n_convs"] - w["n_dropped"]) * 1000 // w["n_convs"]
+        )
+
+
+def test_instruction_dedup_engineered_duplicates(spark, tmp_path):
+    """Two conversations sharing the same 8-word opening slice but
+    different tails collapse into one prompt group (keeper = min doc);
+    a distinct prompt stays its own group; empty text is out of scope.
+    The Spark rows must also equal the registered DuckDB oracle."""
+    shared = "how do i sort a list in python"  # 8 words
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                shared + " " + " ".join(f"a{i}" for i in range(25)),
+                shared + " " + " ".join(f"b{i}" for i in range(40)),
+                "completely different opening words here for this one "
+                + " ".join(f"c{i}" for i in range(30)),
+                "",
+            ],
+        }
+    )
+    d = str(tmp_path / "instr")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    from documentai_ocr_spark.queries.webtext import q_instruction_dedup
+
+    rows = q_instruction_dedup(spark, d).collect()
+    by_prompt = {r["prompt"]: r for r in rows}
+    assert by_prompt[shared]["n_convs"] == 2
+    assert by_prompt[shared]["keeper_doc"] == 1
+    assert len(rows) == 2  # doc 4 (empty prompt) out of scope
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(ORACLES["q_instruction_dedup"]).fetchall()
+    )
+    assert sorted(tuple(r) for r in rows) == want
+
+
+def test_turnlen_profile_python_recount(spark):
+    """Whole-corpus recount of the 12-row profile: replay the turn
+    slice rule and THE token unit in pure Python over sf0.001."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    agg = {
+        t: {"n": 0, "tot": 0, "empty": 0, "mx": 0} for t in range(12)
+    }
+    for text in docs["text"]:
+        tk = text.split(" ")
+        for t in range(12):
+            lo = (t * 29) % max(1, len(tk))
+            base = " ".join(tk[lo : lo + 8])
+            ntok = sum(1 for w in base.split(" ") if w != "")
+            a = agg[t]
+            a["n"] += 1
+            a["tot"] += ntok
+            a["empty"] += ntok == 0
+            a["mx"] = max(a["mx"], ntok)
+    from documentai_ocr_spark.queries.webtext import q_turnlen_profile
+
+    got = {r["turn_idx"]: r for r in q_turnlen_profile(spark, SF).collect()}
+    assert set(got) == set(range(12))
+    for t, a in agg.items():
+        g = got[t]
+        assert (
+            g["n_turns"],
+            g["total_tokens"],
+            g["n_empty"],
+            g["max_ntok"],
+        ) == (a["n"], a["tot"], a["empty"], a["mx"]), t
+        assert g["mean_ntok_milli"] == a["tot"] * 1000 // a["n"]
+
+
+def test_tokenizer_fertility_python_recount(spark):
+    """Full independent recount: re-run the stopword-vote predictor and
+    THE token/byte units in pure Python per document, aggregate per
+    predicted lang — every column of every class row must match, and
+    the classes must partition the corpus."""
+    from documentai_ocr_spark.queries.textstats import (
+        _STOPWORDS,
+        q_tokenizer_fertility,
+    )
+
+    sw: dict[str, list] = {}
+    for w, lang in _STOPWORDS:
+        sw.setdefault(w, []).append(lang)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per: dict[str, dict] = {}
+    for text in docs["text"]:
+        cnt: dict[str, int] = {}
+        for w in text.lower().split(" "):
+            for lang in sw.get(w, ()):
+                cnt[lang] = cnt.get(lang, 0) + 1
+        # argmax, ties by lang asc, no hits -> unk
+        pred = (
+            min(cnt, key=lambda l: (-cnt[l], l)) if cnt else "unk"
+        )
+        a = per.setdefault(pred, {"n_docs": 0, "ntok": 0, "nbytes": 0})
+        a["n_docs"] += 1
+        a["ntok"] += sum(1 for w in text.split(" ") if w != "")
+        a["nbytes"] += len(text.encode("utf-8"))
+    got = {
+        r["pred_lang"]: r for r in q_tokenizer_fertility(spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    assert sum(r["n_docs"] for r in got.values()) == len(docs)
+    for lang, a in per.items():
+        g = got[lang]
+        assert (g["n_docs"], g["n_tokens"], g["n_bytes"]) == (
+            a["n_docs"],
+            a["ntok"],
+            a["nbytes"],
+        ), lang
+        want_milli = (
+            0 if a["ntok"] == 0 else a["nbytes"] * 1000 // a["ntok"]
+        )
+        assert g["bytes_per_token_milli"] == want_milli
