@@ -2324,3 +2324,69 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("salt"),
     )
+
+
+# ------------------------------------------------------- vocabulary growth
+@_q(
+    "q_vocab_growth",
+    f"""
+    WITH w AS (SELECT source, unnest({words_sql('text')}) AS w
+               FROM documents),
+    wc AS (SELECT source, w, CAST(COUNT(*) AS bigint) AS c
+           FROM w GROUP BY source, w),
+    ty AS (SELECT source,
+                  CAST(COUNT(*) AS bigint) AS n_types,
+                  CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+                       AS bigint) AS n_hapax,
+                  CAST(SUM(c) AS bigint) AS n_tokens
+           FROM wc GROUP BY source)
+    SELECT source, n_tokens, n_types, n_hapax,
+           CAST(n_types * 1000 // n_tokens AS bigint) AS type_token_milli
+    FROM ty
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary report: total tokens, distinct types,
+    hapax legomena (types seen exactly once), and the integer-milli
+    type/token ratio — the lexical-diversity preflight a tokenizer
+    train run and a dedup sweep both read (a source whose type/token
+    ratio collapses is templated; a hapax-heavy source is noisy or
+    genuinely diverse). Token unit is THE shared corpus rule
+    (util.words_sql). Float discipline: the milli ratio is ONE integer
+    division of exact bigint counts; n_tokens > 0 is structural (the
+    explode emits no row for an all-empty source, so a source with
+    zero tokens emits NO output row on either engine — the same
+    explode-form row-set convention as q_domain_mix). Shape: the
+    vocabulary exchange keys on (source, word) with map-side partial
+    counts — the classic type-count shuffle, bounded by |vocab| per
+    source, never a corpus-constant window; the rollup is
+    O(sources)."""
+    w = spread(
+        load(spark, sf_dir, "documents").select("source", "text")
+    ).select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    wc = w.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ty = wc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return ty.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("n_types * 1000L div n_tokens")
+        .cast("long")
+        .alias("type_token_milli"),
+    )

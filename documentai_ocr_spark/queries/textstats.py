@@ -1368,6 +1368,88 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- len × quality grid
+# the 2-D bucket rules — ONE rendering each, PURE-INTEGER derivations
+# (no float bucket edges): length bins of 100 chars capped at 9;
+# quality bins are deciles of the exact letter-count fraction via
+# integer division (letters·10 // chars), capped at 9 so the
+# all-letters row lands in the top cell, empty text pinned to cell 0.
+_GRID_CAP = 9
+
+
+def _len_bucket_sql(col: str) -> str:
+    return f"LEAST({_GRID_CAP}, length({col}) // 100)"
+
+
+def _len_bucket_col(col) -> F.Column:
+    return F.least(
+        F.lit(_GRID_CAP), F.expr(f"length({col}) div 100")
+    ).cast("int")
+
+
+def _q_bucket_sql(col: str) -> str:
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0 ELSE LEAST({_GRID_CAP},"
+        f" (length({col}) - length(regexp_replace({col}, '[A-Za-z]',"
+        f" '', 'g'))) * 10 // length({col})) END"
+    )
+
+
+def _q_bucket_col(col: str) -> F.Column:
+    n = F.expr(f"length({col})")
+    return (
+        F.when(n == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_GRID_CAP),
+                F.expr(
+                    f"(length({col}) - length(regexp_replace({col},"
+                    f" '[A-Za-z]', ''))) * 10 div length({col})"
+                ),
+            )
+        )
+        .cast("int")
+    )
+
+
+@_q(
+    "q_len_quality_grid",
+    f"""
+    WITH f AS (
+      SELECT CAST({_len_bucket_sql('text')} AS int) AS len_bucket,
+             CAST({_q_bucket_sql('text')} AS int) AS q_bucket,
+             {ntok_sql('text')} AS ntok
+      FROM documents)
+    SELECT len_bucket, q_bucket,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(SUM(ntok) AS bigint) AS n_tokens
+    FROM f GROUP BY len_bucket, q_bucket
+    """,
+)
+def q_len_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D curation grid: document count and token mass per
+    (length-bin × quality-decile) cell — the heatmap a threshold pair
+    is picked from (q_threshold_yield sweeps one axis; this shows the
+    joint surface, e.g. "short AND low-alpha" concentrating junk).
+    Both bucket rules are ONE rendering per engine and PURE INTEGER —
+    the quality decile is letters·10 // chars (exact counts, integer
+    division), never a float bucket edge, so a document can never
+    straddle cells across engines. Token mass uses THE corpus unit.
+    Shape: in-row bucket derivation on the scan, one ≤100-key partial
+    agg — the exchange moves O(grid) rows."""
+    f = spread(
+        load(spark, sf_dir, "documents").select("text")
+    ).select(
+        _len_bucket_col("text").alias("len_bucket"),
+        _q_bucket_col("text").alias("q_bucket"),
+        ntok_col("text").alias("ntok"),
+    )
+    return f.groupBy("len_bucket", "q_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+    )
+
+
 # ------------------------------------------------------- threshold sweep
 # Curation planning: before committing to a quality threshold, a
 # pipeline sweeps the whole grid and reads the yield curve — docs and

@@ -444,6 +444,109 @@ def q_turnlen_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- role token share
+# THE role rule over the turn grid — ONE rendering per engine, the
+# SAME user/assistant/tool cycle the transcript synthesizer assigns
+# (synth._ROLES[t % 3]), so the oracled family and the x_extract_*
+# family describe the same conversation shape.
+_ROLE_SQL = (
+    "CASE t % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'"
+    " ELSE 'tool' END"
+)
+
+
+def _role_col() -> F.Column:
+    """Spark twin of _ROLE_SQL over the turn-index column."""
+    return (
+        F.when(F.col("t") % 3 == 0, F.lit("user"))
+        .when(F.col("t") % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+
+
+@_q(
+    "q_role_token_share",
+    f"""
+    WITH {_TURNS_SQL},
+    rt AS (SELECT doc_id, {_ROLE_SQL} AS role,
+                  {ntok_sql('base')} AS ntok
+           FROM turns),
+    cg AS (SELECT doc_id,
+                  SUM(CASE WHEN role = 'user' THEN ntok ELSE 0 END)
+                    AS user_tok,
+                  SUM(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END)
+                    AS asst_tok,
+                  SUM(CASE WHEN role = 'tool' THEN ntok ELSE 0 END)
+                    AS tool_tok
+           FROM rt GROUP BY doc_id),
+    j AS (SELECT d.source, c.user_tok, c.asst_tok, c.tool_tok
+          FROM documents d JOIN cg c USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(SUM(user_tok) AS bigint) AS user_tokens,
+           CAST(SUM(asst_tok) AS bigint) AS asst_tokens,
+           CAST(SUM(tool_tok) AS bigint) AS tool_tokens,
+           CAST(CASE WHEN SUM(user_tok) + SUM(asst_tok) + SUM(tool_tok) = 0
+                THEN 0
+                ELSE SUM(asst_tok) * 1000
+                     // (SUM(user_tok) + SUM(asst_tok) + SUM(tool_tok))
+                END AS bigint) AS asst_share_milli
+    FROM j GROUP BY source
+    """,
+)
+def q_role_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role token budget per source: how many tokens each source spends
+    on user vs assistant vs tool turns, and the assistant's share — the
+    report an SFT loss-masking plan is priced from (only assistant
+    tokens carry gradient; a source that is mostly tool output trains
+    almost nothing). Role is ONE shared rule (_ROLE_SQL / _role_col —
+    the synthesizer's own t%3 cycle) over the shared turn rendering;
+    tokens are THE corpus unit. Float discipline: the share is ONE
+    integer division of exact bigint sums (all-empty source pins 0).
+    Shape: in-row role/token derivation on the turn stream → conv-grain
+    partial agg → equi-join to the conversation dim → O(sources) keys;
+    no corpus-constant window."""
+    turns = _turns_df(spark, sf_dir)
+    rt = turns.select(
+        "doc_id",
+        _role_col().alias("role"),
+        ntok_col("base").alias("ntok"),
+    )
+    cg = rt.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("role") == "user", F.col("ntok")).otherwise(0))
+        .alias("user_tok"),
+        F.sum(
+            F.when(F.col("role") == "assistant", F.col("ntok")).otherwise(0)
+        ).alias("asst_tok"),
+        F.sum(F.when(F.col("role") == "tool", F.col("ntok")).otherwise(0))
+        .alias("tool_tok"),
+    )
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source")
+    )
+    j = docs.join(cg, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("user_tok").cast("long").alias("user_tokens"),
+        F.sum("asst_tok").cast("long").alias("asst_tokens"),
+        F.sum("tool_tok").cast("long").alias("tool_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_convs",
+        "user_tokens",
+        "asst_tokens",
+        "tool_tokens",
+        F.expr(
+            "CASE WHEN user_tokens + asst_tokens + tool_tokens = 0 THEN 0L"
+            " ELSE asst_tokens * 1000L"
+            " div (user_tokens + asst_tokens + tool_tokens) END"
+        )
+        .cast("long")
+        .alias("asst_share_milli"),
+    )
+
+
 # --------------------------------------------- compression-ratio proxy
 # zlib level is pinned: the ratio must be bit-stable across runs and
 # across the pytest recount.

@@ -239,3 +239,87 @@ def test_mirror_attribution_reconciles_with_token_yield(spark):
         F.sum(F.col("total_tokens") - F.col("unique_tokens"))
     ).collect()[0][0]
     assert red == diff and red > 0
+
+
+def test_vocab_growth_python_recount(spark):
+    """Whole-corpus recount: per-source token/type/hapax counts from a
+    pure-Python pass over sf0.001 — every column of every row."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.corpusops import q_vocab_growth
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per: dict[str, dict] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        cnt = per.setdefault(src, {})
+        for w in text.split(" "):
+            if w != "":
+                cnt[w] = cnt.get(w, 0) + 1
+    want = {
+        src: (
+            sum(c.values()),
+            len(c),
+            sum(1 for v in c.values() if v == 1),
+        )
+        for src, c in per.items()
+        if c  # zero-token sources emit no row (explode-form row set)
+    }
+    got = {r["source"]: r for r in q_vocab_growth(spark, SF).collect()}
+    assert set(got) == set(want)
+    for src, (ntok, ntype, nhap) in want.items():
+        g = got[src]
+        assert (g["n_tokens"], g["n_types"], g["n_hapax"]) == (
+            ntok,
+            ntype,
+            nhap,
+        ), src
+        assert g["type_token_milli"] == ntype * 1000 // ntok
+
+
+def test_len_quality_grid_recount_and_bucket_edges(spark, tmp_path):
+    """Corpus recount of every grid cell, plus engineered texts pinning
+    the integer bucket edges: empty → (0,0), all-letters → decile 9
+    (capped), len exactly 100 → len bucket 1, a 50/50 letter mix →
+    decile 5, and a ≥1000-char doc capping the length axis."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.textstats import q_len_quality_grid
+
+    def cell(text):
+        n = len(text)
+        lb = min(9, n // 100)
+        letters = sum(1 for ch in text if ch.isascii() and ch.isalpha())
+        qb = 0 if n == 0 else min(9, letters * 10 // n)
+        ntok = sum(1 for w in text.split(" ") if w != "")
+        return lb, qb, ntok
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want: dict[tuple, list] = {}
+    for text in docs["text"]:
+        lb, qb, ntok = cell(text)
+        a = want.setdefault((lb, qb), [0, 0])
+        a[0] += 1
+        a[1] += ntok
+    got = {
+        (r["len_bucket"], r["q_bucket"]): (r["n_docs"], r["n_tokens"])
+        for r in q_len_quality_grid(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+    edges = ["", "abcdef", "a" * 100, ("ab12" * 25), "x" * 1500]
+    pdf = pd.DataFrame(
+        {"doc_id": range(1, len(edges) + 1), "text": edges}
+    )
+    d = str(tmp_path / "grid")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    cells = {
+        (r["len_bucket"], r["q_bucket"]): (r["n_docs"], r["n_tokens"])
+        for r in q_len_quality_grid(spark, d).collect()
+    }
+    # "" → (0,0); "abcdef" → (0,9); 100×'a' → (1,9); 50/50 mix → (1,5);
+    # 1500×'x' → (9,9) — the length cap
+    assert cells[(0, 0)][0] == 1
+    assert cells[(0, 9)] == (1, 1)
+    assert cells[(1, 9)] == (1, 1)
+    assert cells[(1, 5)] == (1, 1)
+    assert cells[(9, 9)] == (1, 1)

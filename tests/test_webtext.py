@@ -278,3 +278,50 @@ def test_tokenizer_fertility_python_recount(spark):
             0 if a["ntok"] == 0 else a["nbytes"] * 1000 // a["ntok"]
         )
         assert g["bytes_per_token_milli"] == want_milli
+
+
+def test_role_token_share_recount_and_turnlen_reconciliation(spark):
+    """Replay the turn slices and the t%3 role cycle in pure Python per
+    source, then reconcile across operators: the role-share token total
+    must equal q_turnlen_profile's total_tokens sum — both describe the
+    SAME turn stream through different rollups."""
+    from documentai_ocr_spark.queries.webtext import (
+        q_role_token_share,
+        q_turnlen_profile,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per: dict[str, dict] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        tk = text.split(" ")
+        a = per.setdefault(
+            src, {"n_convs": 0, "user": 0, "assistant": 0, "tool": 0}
+        )
+        a["n_convs"] += 1
+        for t in range(12):
+            lo = (t * 29) % max(1, len(tk))
+            base = " ".join(tk[lo : lo + 8])
+            ntok = sum(1 for w in base.split(" ") if w != "")
+            a[("user", "assistant", "tool")[t % 3]] += ntok
+    got = {r["source"]: r for r in q_role_token_share(spark, SF).collect()}
+    assert set(got) == set(per)
+    for src, a in per.items():
+        g = got[src]
+        assert (
+            g["n_convs"],
+            g["user_tokens"],
+            g["asst_tokens"],
+            g["tool_tokens"],
+        ) == (a["n_convs"], a["user"], a["assistant"], a["tool"]), src
+        tot = a["user"] + a["assistant"] + a["tool"]
+        assert g["asst_share_milli"] == (
+            0 if tot == 0 else a["assistant"] * 1000 // tot
+        )
+    share_total = sum(
+        r["user_tokens"] + r["asst_tokens"] + r["tool_tokens"]
+        for r in got.values()
+    )
+    profile_total = sum(
+        r["total_tokens"] for r in q_turnlen_profile(spark, SF).collect()
+    )
+    assert share_total == profile_total
