@@ -3594,3 +3594,84 @@ def q_code_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("code_milli"),
     )
+
+
+# ----------------------------------------------------- hour-of-day mix
+@_q(
+    "q_hour_mix",
+    """
+    WITH h AS (SELECT ((epoch_ms(ts) // 3600000) % 24) AS hour_utc,
+                      event_type, user_id
+               FROM events)
+    SELECT CAST(hour_utc AS int) AS hour_utc, event_type,
+           CAST(COUNT(*) AS bigint) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS bigint) AS n_users
+    FROM h GROUP BY hour_utc, event_type
+    """,
+)
+def q_hour_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity histogram — the load-shaping
+    report a batch-window scheduler reads (when to run compaction, when
+    the ingest peak lands). The hour is derived from the PHYSICAL epoch
+    milliseconds by integer arithmetic ((ms // 3600000) % 24) — no
+    calendar function, no session-timezone dependence — so both engines
+    bucket the identical int64 the parquet file stores (the same
+    tz-free discipline as the clock-regression audit). Shape: in-row
+    derivation on the scan, one ≤24×|types|-key partial agg; the
+    distinct-user count shuffles (hour, type, user) partials."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    h = ev.select(ms.alias("_ms"), "event_type", "user_id").select(
+        F.expr("(_ms div 3600000) % 24").cast("int").alias("hour_utc"),
+        "event_type",
+        "user_id",
+    )
+    return h.groupBy("hour_utc", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# --------------------------------------------------- per-user activity span
+@_q(
+    "q_activity_span",
+    """
+    WITH s AS (SELECT user_id,
+                      CAST(COUNT(*) AS bigint) AS n_events,
+                      MIN(epoch_ms(ts)) AS beg_ms,
+                      MAX(epoch_ms(ts)) AS end_ms
+               FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(end_ms - beg_ms AS bigint) AS span_ms,
+           CAST(CASE WHEN end_ms = beg_ms THEN 0
+                ELSE n_events * 86400000 * 1000 // (end_ms - beg_ms) END
+             AS bigint) AS rate_per_day_milli
+    FROM s
+    """,
+)
+def q_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity span and exact integer event rate: first→last
+    observed millisecond and milli-events-per-day over that span — the
+    bot/power-user screen (a clock-dense user with an absurd rate is
+    automation; a one-event user pins the span-0 sentinel). Float
+    discipline: the rate is ONE integer division of exact epoch-ms
+    sums (n·86400000·1000 // span); single-event users define rate 0.
+    Shape: one user-grain partial agg on the scan — min/max/count all
+    combine map-side; no window, no ordering."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.unix_millis(F.col("ts").cast("timestamp"))).alias("beg_ms"),
+        F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("end_ms"),
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        (F.col("end_ms") - F.col("beg_ms")).cast("long").alias("span_ms"),
+        F.expr(
+            "CASE WHEN end_ms = beg_ms THEN 0L"
+            " ELSE n_events * 86400000L * 1000L div (end_ms - beg_ms) END"
+        )
+        .cast("long")
+        .alias("rate_per_day_milli"),
+    )

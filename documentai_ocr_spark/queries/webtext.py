@@ -547,6 +547,75 @@ def q_role_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- prefix-alive conversation funnel
+@_q(
+    "q_conv_retention",
+    f"""
+    WITH {_TURNS_SQL},
+    nt AS (SELECT doc_id, t, {ntok_sql('base')} AS ntok FROM turns),
+    ff AS (SELECT doc_id,
+                  COALESCE(MIN(CASE WHEN ntok = 0 THEN t END), 12)
+                    AS first_fail
+           FROM nt GROUP BY doc_id),
+    hb AS (SELECT first_fail, CAST(COUNT(*) AS bigint) AS c
+           FROM ff GROUP BY first_fail),
+    tot AS (SELECT CAST(COUNT(*) AS bigint) AS n_total FROM ff),
+    grid AS (SELECT g.t AS turn_idx
+             FROM unnest(generate_series(0, 11)) g(t)),
+    al AS (SELECT grid.turn_idx, COALESCE(SUM(hb.c), 0) AS n_alive
+           FROM grid LEFT JOIN hb ON hb.first_fail > grid.turn_idx
+           GROUP BY grid.turn_idx)
+    SELECT CAST(al.turn_idx AS int) AS turn_idx,
+           CAST(al.n_alive AS bigint) AS n_alive,
+           CAST(al.n_alive * 1000 // tot.n_total AS bigint)
+             AS retention_milli
+    FROM al, tot
+    """,
+)
+def q_conv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-alive conversation funnel: at each turn index t, how many
+    conversations still have NO empty turn anywhere in 0..t — the
+    monotone retention curve a turn-count cap is chosen from (unlike
+    q_turnlen_profile's per-position n_empty, this is cumulative: one
+    dead turn kills the conversation for every later index). Shape:
+    in-row token counts → conv-grain first-failure index (one partial
+    agg) → a ≤13-row failure histogram; the funnel itself is a tiny
+    grid⋈histogram suffix-sum plus a 1-row total dim — the same
+    bounded post-aggregation pattern as q_threshold_yield, never the
+    corpus. Float discipline: retention is ONE integer division of
+    exact conversation counts."""
+    turns = _turns_df(spark, sf_dir)
+    nt = turns.select("doc_id", "t", ntok_col("base").alias("ntok"))
+    ff = nt.groupBy("doc_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("ntok") == 0, F.col("t"))), F.lit(12)
+        ).alias("first_fail")
+    )
+    hb = ff.groupBy("first_fail").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = ff.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grid = spark.range(0, 12).select(
+        F.col("id").cast("int").alias("turn_idx")
+    )
+    al = (
+        grid.join(
+            F.broadcast(hb),
+            hb["first_fail"] > grid["turn_idx"],
+            "left",
+        )
+        .groupBy("turn_idx")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_alive"))
+    )
+    return al.crossJoin(F.broadcast(tot)).select(
+        "turn_idx",
+        F.col("n_alive").cast("long").alias("n_alive"),
+        F.expr("n_alive * 1000L div n_total")
+        .cast("long")
+        .alias("retention_milli"),
+    )
+
+
 # --------------------------------------------- compression-ratio proxy
 # zlib level is pinned: the ratio must be bit-stable across runs and
 # across the pytest recount.

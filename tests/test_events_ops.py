@@ -1,0 +1,58 @@
+"""Event-stream analytics: tz-free hour histogram and per-user
+activity-span rate — both recounted in pure Python from the physical
+epoch milliseconds the parquet file stores."""
+
+import pandas as pd
+
+from documentai_ocr_spark.queries.relational import (
+    q_activity_span,
+    q_hour_mix,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _epoch_ms(series):
+    # datetime64[us] → physical epoch milliseconds (the int64 the
+    # parquet stores, divided down) — no timezone interpretation.
+    return series.astype("int64") // 1000
+
+
+def test_hour_mix_python_recount(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ms = _epoch_ms(ev["ts"])
+    want: dict[tuple, list] = {}
+    for m, et, uid in zip(ms, ev["event_type"], ev["user_id"]):
+        k = (int((m // 3600000) % 24), et)
+        a = want.setdefault(k, [0, set()])
+        a[0] += 1
+        a[1].add(uid)
+    got = {
+        (r["hour_utc"], r["event_type"]): (r["n_events"], r["n_users"])
+        for r in q_hour_mix(spark, SF).collect()
+    }
+    assert got == {k: (a[0], len(a[1])) for k, a in want.items()}
+    # every hour of the synthetic day is populated
+    assert {h for h, _ in got} == set(range(24))
+
+
+def test_activity_span_python_recount(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ms = _epoch_ms(ev["ts"])
+    per: dict[int, list] = {}
+    for m, uid in zip(ms, ev["user_id"]):
+        a = per.setdefault(uid, [0, m, m])
+        a[0] += 1
+        a[1] = min(a[1], m)
+        a[2] = max(a[2], m)
+    got = {r["user_id"]: r for r in q_activity_span(spark, SF).collect()}
+    assert set(got) == set(per)
+    for uid, (n, lo, hi) in per.items():
+        g = got[uid]
+        span = hi - lo
+        rate = 0 if span == 0 else n * 86400000 * 1000 // span
+        assert (g["n_events"], g["span_ms"], g["rate_per_day_milli"]) == (
+            n,
+            int(span),
+            rate,
+        ), uid

@@ -325,3 +325,44 @@ def test_role_token_share_recount_and_turnlen_reconciliation(spark):
         r["total_tokens"] for r in q_turnlen_profile(spark, SF).collect()
     )
     assert share_total == profile_total
+
+
+def test_conv_retention_recount_and_monotone(spark):
+    """Python recount of the first-failure funnel, plus the two laws
+    that make it a funnel: monotone non-increasing in t, and the t=0
+    point reconciles with q_turnlen_profile's nonempty count."""
+    from documentai_ocr_spark.queries.webtext import (
+        q_conv_retention,
+        q_turnlen_profile,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ffs = []
+    for text in docs["text"]:
+        tk = text.split(" ")
+        ff = 12
+        for t in range(12):
+            lo = (t * 29) % max(1, len(tk))
+            base = " ".join(tk[lo : lo + 8])
+            if sum(1 for w in base.split(" ") if w != "") == 0:
+                ff = t
+                break
+        ffs.append(ff)
+    n_total = len(ffs)
+    got = {
+        r["turn_idx"]: r for r in q_conv_retention(spark, SF).collect()
+    }
+    assert set(got) == set(range(12))
+    prev = None
+    for t in range(12):
+        alive = sum(1 for f in ffs if f > t)
+        g = got[t]
+        assert g["n_alive"] == alive, t
+        assert g["retention_milli"] == alive * 1000 // n_total
+        if prev is not None:
+            assert g["n_alive"] <= prev
+        prev = g["n_alive"]
+    prof = {
+        r["turn_idx"]: r for r in q_turnlen_profile(spark, SF).collect()
+    }
+    assert got[0]["n_alive"] == prof[0]["n_turns"] - prof[0]["n_empty"]

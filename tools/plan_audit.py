@@ -38,6 +38,12 @@ GUARDED_ANCHORS = {"q_simhash_pairs", "q_embed_neardup", "q_jaccard_pairs"}
 # text alone. Each entry is (flag-prefix, reason) — the audit records
 # the note instead of failing, and any NEW flag still fails loudly.
 BOUNDED_OK = {
+    "q_conv_retention": (
+        "PRODUCT-JOIN",
+        "grid(12)⋈failure-histogram(≤13) suffix-sum non-equi join plus "
+        "the 1-row broadcast total dim — both sides are bounded "
+        "post-aggregation dims, the same pattern as q_threshold_yield",
+    ),
     "q_key_skew": (
         "PRODUCT-JOIN",
         "crossJoin of the 1-row broadcast corpus-byte-total dim — "
