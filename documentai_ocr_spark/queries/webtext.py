@@ -111,18 +111,40 @@ def _url_txt_col() -> F.Column:
 _URL_RE = "https?://[a-z0-9./-]+"
 _DOMAIN_RE = "^https?://([a-z0-9.-]+)"
 
-
-@_q(
-    "q_url_domains",
-    f"""
-    WITH {_TURNS_SQL},
-    ut AS (SELECT doc_id, t, {_URL_TXT_SQL} AS txt FROM turns),
+# ONE rendering of the decorate→extract→domain scan (turns → per-link
+# (doc_id, domain) rows) — interpolated by q_url_domains,
+# q_url_blocklist AND q_web_preflight so the link set can never drift
+# between the sizing report, the pricing report and the composed gate.
+_DOM_SQL = f"""ut AS (SELECT doc_id, t, {_URL_TXT_SQL} AS txt FROM turns),
     u AS (SELECT doc_id,
                  unnest(regexp_extract_all(txt, '{_URL_RE}')) AS url
           FROM ut),
     d AS (SELECT doc_id,
                  regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain
-          FROM u)
+          FROM u)"""
+
+
+def _domains_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DOM_SQL: per-link (doc_id, domain)."""
+    ut = _turns_df(spark, sf_dir).select(
+        "doc_id", _url_txt_col().alias("txt")
+    )
+    u = ut.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit(_URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain")
+    )
+
+
+@_q(
+    "q_url_domains",
+    f"""
+    WITH {_TURNS_SQL},
+    {_DOM_SQL}
     SELECT domain,
            CAST(COUNT(*) AS bigint) AS n_urls,
            CAST(COUNT(DISTINCT doc_id) AS bigint) AS n_convs
@@ -138,19 +160,10 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only exchange is on the O(domains) key. The txt column is the
     shared _URL_TXT_SQL decoration — the extraction regex must find
     exactly the links the rule injected, so the oracle gate doubles as
-    a regex-parity proof between java.util.regex and RE2."""
-    ut = _turns_df(spark, sf_dir).select(
-        "doc_id", _url_txt_col().alias("txt")
-    )
-    u = ut.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.col("txt"), F.lit(_URL_RE), F.lit(0))
-        ).alias("url"),
-    )
-    d = u.select(
-        "doc_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain")
-    )
+    a regex-parity proof between java.util.regex and RE2. The whole
+    decorate→extract→domain scan is ONE rendering per engine
+    (_DOM_SQL / _domains_df), shared with the blocklist family."""
+    d = _domains_df(spark, sf_dir)
     return d.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_urls"),
         F.countDistinct("doc_id").cast("long").alias("n_convs"),
@@ -158,11 +171,15 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- adjacent-turn echo
-@_q(
-    "q_echo_rate",
-    f"""
-    WITH {_TURNS_SQL},
-    w AS (SELECT doc_id, t,
+# the echo threshold (milli Jaccard) — shared by q_echo_rate's n_echo
+# column and q_web_preflight's drop rule.
+_ECHO_DROP_MILLI = 500
+
+# ONE rendering of the adjacent-pair echo computation (turns →
+# per-pair (doc_id, echo_milli)) — interpolated by q_echo_rate AND
+# q_web_preflight so the screen applies exactly the statistic the
+# report describes.
+_ECHO_PAIRS_SQL = f"""w AS (SELECT doc_id, t,
                  list_distinct({words_sql('base')}) AS ws
           FROM turns),
     p AS (SELECT doc_id, t, ws,
@@ -176,29 +193,12 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT doc_id,
                  CASE WHEN tot - inter = 0 THEN 1000
                       ELSE inter * 1000 // (tot - inter) END AS echo_milli
-          FROM j)
-    SELECT doc_id,
-           CAST(COUNT(*) AS bigint) AS n_pairs,
-           CAST(MAX(echo_milli) AS bigint) AS max_echo_milli,
-           CAST(SUM(echo_milli) // COUNT(*) AS bigint) AS mean_echo_milli,
-           CAST(COUNT(*) FILTER (WHERE echo_milli >= 500) AS bigint)
-             AS n_echo
-    FROM m GROUP BY doc_id
-    """,
-)
-def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adjacent-turn echo: distinct-word Jaccard between each turn and
-    its predecessor within a conversation, rolled up per conversation
-    (pair count, max / integer-mean milli echo, pairs ≥ 0.5). High echo
-    marks parroting/loop transcripts that SFT curation drops. Word unit
-    is THE shared corpus token rule (util.words_sql), deduplicated —
-    Jaccard is a set statistic. Float discipline: the milli ratio is
-    integer division of exact set sizes (|A∩B|·1000 // |A∪B| via
-    union = |A|+|B|−|A∩B|); both-empty pairs define echo = 1000
-    (identical empties). Shape: the lag window partitions on the
-    conversation key (≤12 rows per partition — bounded by a turn cap,
-    never by corpus size), then one conv-grain partial agg."""
-    turns = _turns_df(spark, sf_dir)
+          FROM j)"""
+
+
+def _echo_pairs_df(turns: DataFrame) -> DataFrame:
+    """Spark twin of _ECHO_PAIRS_SQL: per adjacent pair
+    (doc_id, echo_milli)."""
     w = turns.select(
         "doc_id",
         "t",
@@ -215,20 +215,53 @@ def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("ws", "prev")).alias("inter"),
         (F.size("ws") + F.size("prev")).alias("tot"),
     )
-    m = j.select(
+    return j.select(
         "doc_id",
         F.expr(
             "CASE WHEN tot - inter = 0 THEN 1000L"
             " ELSE inter * 1000L div (tot - inter) END"
         ).alias("echo_milli"),
     )
+
+
+@_q(
+    "q_echo_rate",
+    f"""
+    WITH {_TURNS_SQL},
+    {_ECHO_PAIRS_SQL}
+    SELECT doc_id,
+           CAST(COUNT(*) AS bigint) AS n_pairs,
+           CAST(MAX(echo_milli) AS bigint) AS max_echo_milli,
+           CAST(SUM(echo_milli) // COUNT(*) AS bigint) AS mean_echo_milli,
+           CAST(COUNT(*) FILTER (WHERE echo_milli >= {_ECHO_DROP_MILLI})
+                AS bigint) AS n_echo
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_echo_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn echo: distinct-word Jaccard between each turn and
+    its predecessor within a conversation, rolled up per conversation
+    (pair count, max / integer-mean milli echo, pairs ≥ 0.5). High echo
+    marks parroting/loop transcripts that SFT curation drops. Word unit
+    is THE shared corpus token rule (util.words_sql), deduplicated —
+    Jaccard is a set statistic. Float discipline: the milli ratio is
+    integer division of exact set sizes (|A∩B|·1000 // |A∪B| via
+    union = |A|+|B|−|A∩B|); both-empty pairs define echo = 1000
+    (identical empties). Shape: the lag window partitions on the
+    conversation key (≤12 rows per partition — bounded by a turn cap,
+    never by corpus size), then one conv-grain partial agg. The pair
+    statistic is ONE rendering per engine (_ECHO_PAIRS_SQL /
+    _echo_pairs_df), shared with the composed preflight gate."""
+    m = _echo_pairs_df(_turns_df(spark, sf_dir))
     return m.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.max("echo_milli").cast("long").alias("max_echo_milli"),
         F.expr("sum(echo_milli) div count(1)")
         .cast("long")
         .alias("mean_echo_milli"),
-        F.count_if(F.col("echo_milli") >= 500).cast("long").alias("n_echo"),
+        F.count_if(F.col("echo_milli") >= _ECHO_DROP_MILLI)
+        .cast("long")
+        .alias("n_echo"),
     )
 
 
@@ -256,22 +289,30 @@ def _blocked_col(col) -> F.Column:
     )
 
 
-@_q(
-    "q_url_blocklist",
-    f"""
-    WITH {_TURNS_SQL},
-    ut AS (SELECT doc_id, t, {_URL_TXT_SQL} AS txt FROM turns),
-    u AS (SELECT doc_id,
-                 unnest(regexp_extract_all(txt, '{_URL_RE}')) AS url
-          FROM ut),
-    d AS (SELECT doc_id,
-                 regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain
-          FROM u),
+# ONE rendering of the per-conversation link accounting (domain scan →
+# (doc_id, n_links, n_blocked)) — interpolated by q_url_blocklist AND
+# q_web_preflight.
+_LINKS_SQL = f"""{_DOM_SQL},
     f AS (SELECT doc_id,
                  COUNT(*) AS n_links,
                  COUNT(*) FILTER (WHERE {_blocked_sql('domain')})
                    AS n_blocked
-          FROM d GROUP BY doc_id),
+          FROM d GROUP BY doc_id)"""
+
+
+def _link_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _LINKS_SQL: (doc_id, n_links, n_blocked)."""
+    return _domains_df(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_if(_blocked_col("domain")).alias("n_blocked"),
+    )
+
+
+@_q(
+    "q_url_blocklist",
+    f"""
+    WITH {_TURNS_SQL},
+    {_LINKS_SQL},
     c AS (SELECT dd.source,
                  COALESCE(f.n_links, 0) AS n_links,
                  COALESCE(f.n_blocked, 0) AS n_blocked
@@ -300,23 +341,10 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_milli is integer division of exact conversation counts.
     Shape: in-row regexp scan → URL-grain explode (bounded per turn) →
     conv-grain partial agg → left join back to the conversation dim →
-    O(sources)-key agg; no corpus-constant window, no collect."""
-    ut = _turns_df(spark, sf_dir).select(
-        "doc_id", _url_txt_col().alias("txt")
-    )
-    u = ut.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.col("txt"), F.lit(_URL_RE), F.lit(0))
-        ).alias("url"),
-    )
-    d = u.select(
-        "doc_id", F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain")
-    )
-    f = d.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_links"),
-        F.count_if(_blocked_col("domain")).alias("n_blocked"),
-    )
+    O(sources)-key agg; no corpus-constant window, no collect. The
+    link accounting is ONE rendering per engine (_LINKS_SQL /
+    _link_counts_df), shared with the composed preflight gate."""
+    f = _link_counts_df(spark, sf_dir)
     docs = spread(
         load(spark, sf_dir, "documents").select("doc_id", "source")
     )
@@ -613,6 +641,98 @@ def q_conv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_alive * 1000L div n_total")
         .cast("long")
         .alias("retention_milli"),
+    )
+
+
+# ------------------------------------------- composed web-preflight gate
+@_q(
+    "q_web_preflight",
+    f"""
+    WITH {_TURNS_SQL},
+    {_LINKS_SQL},
+    {_ECHO_PAIRS_SQL},
+    e AS (SELECT doc_id, MAX(echo_milli) AS max_echo
+          FROM m GROUP BY doc_id),
+    c AS (SELECT dd.source, {ntok_sql('dd.text')} AS ntok,
+                 COALESCE(f.n_blocked, 0) > 0 AS url_drop,
+                 COALESCE(e.max_echo, 0) >= {_ECHO_DROP_MILLI}
+                   AS echo_bad
+          FROM documents dd
+          LEFT JOIN f USING (doc_id)
+          LEFT JOIN e USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(COUNT(*) FILTER (WHERE url_drop) AS bigint) AS drop_url,
+           CAST(COUNT(*) FILTER (WHERE NOT url_drop AND echo_bad)
+                AS bigint) AS drop_echo,
+           CAST(COUNT(*) FILTER (WHERE NOT url_drop AND NOT echo_bad)
+                AS bigint) AS n_kept,
+           CAST(COALESCE(SUM(ntok) FILTER
+                  (WHERE NOT url_drop AND NOT echo_bad), 0) AS bigint)
+             AS kept_tokens,
+           CAST(COUNT(*) FILTER (WHERE NOT url_drop AND NOT echo_bad)
+                * 1000 // COUNT(*) AS bigint) AS kept_milli
+    FROM c GROUP BY source
+    """,
+)
+def q_web_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-corpus preflight: blocklist drop → echo screen →
+    per-source yield, as ONE pipeline — the end-to-end answer to "what
+    survives if we enforce both policies", with waterfall accounting
+    (a conversation dropped by the blocklist is NOT double-counted by
+    the echo stage). Every stage rule is the SAME rendering its
+    standalone report uses: link accounting _LINKS_SQL/_link_counts_df
+    (so drop_url reconciles EXACTLY with q_url_blocklist.n_dropped),
+    the echo pair statistic _ECHO_PAIRS_SQL/_echo_pairs_df and the
+    shared _ECHO_DROP_MILLI threshold (so the screen applies exactly
+    what q_echo_rate reports), and THE corpus token unit for the kept
+    yield. Float discipline: kept_milli is ONE integer division of
+    exact counts. Shape: two conv-grain partial aggs left-joined to
+    the conversation dim, then O(sources) keys — the composition adds
+    no exchange the standalone reports don't already run."""
+    f = _link_counts_df(spark, sf_dir)
+    e = (
+        _echo_pairs_df(_turns_df(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(F.max("echo_milli").alias("max_echo"))
+    )
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    c = (
+        docs.join(f, "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .select(
+            "source",
+            ntok_col("text").alias("ntok"),
+            (F.coalesce("n_blocked", F.lit(0)) > 0).alias("url_drop"),
+            (
+                F.coalesce("max_echo", F.lit(0)) >= _ECHO_DROP_MILLI
+            ).alias("echo_bad"),
+        )
+    )
+    kept = ~F.col("url_drop") & ~F.col("echo_bad")
+    agg = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.count_if(F.col("url_drop")).cast("long").alias("drop_url"),
+        F.count_if(~F.col("url_drop") & F.col("echo_bad"))
+        .cast("long")
+        .alias("drop_echo"),
+        F.count_if(kept).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("ntok"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_convs",
+        "drop_url",
+        "drop_echo",
+        "n_kept",
+        "kept_tokens",
+        F.expr("n_kept * 1000L div n_convs")
+        .cast("long")
+        .alias("kept_milli"),
     )
 
 

@@ -366,3 +366,61 @@ def test_conv_retention_recount_and_monotone(spark):
         r["turn_idx"]: r for r in q_turnlen_profile(spark, SF).collect()
     }
     assert got[0]["n_alive"] == prof[0]["n_turns"] - prof[0]["n_empty"]
+
+
+def test_web_preflight_reconciles_with_standalone_stages(spark):
+    """The composed gate's waterfall must reconcile EXACTLY with the
+    standalone reports its stages share renderings with: drop_url ==
+    q_url_blocklist.n_dropped per source; drop_echo == the echo-bad
+    convs (q_echo_rate.max_echo_milli ≥ 500) among blocklist
+    survivors; kept counts and token yield close the accounting."""
+    from documentai_ocr_spark.queries.webtext import (
+        _ECHO_DROP_MILLI,
+        q_echo_rate,
+        q_url_blocklist,
+        q_web_preflight,
+    )
+
+    got = {r["source"]: r for r in q_web_preflight(spark, SF).collect()}
+    ub = {r["source"]: r for r in q_url_blocklist(spark, SF).collect()}
+    assert set(got) == set(ub)
+    for src in got:
+        assert got[src]["n_convs"] == ub[src]["n_convs"]
+        assert got[src]["drop_url"] == ub[src]["n_dropped"], src
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    src_of = dict(zip(docs["doc_id"], docs["source"]))
+    ntok_of = {
+        d: sum(1 for w in t.split(" ") if w != "")
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    echo_bad = {
+        r["doc_id"]
+        for r in q_echo_rate(spark, SF).collect()
+        if r["max_echo_milli"] >= _ECHO_DROP_MILLI
+    }
+    # url-dropped conv set from a python replay of the blocklist coins
+    url_drop = set()
+    for doc in docs["doc_id"]:
+        for t in range(12):
+            if (doc + t) % 3 == 0 and ((doc * 7 + t) % 23) % 5 == 0:
+                url_drop.add(doc)
+            if (doc + t) % 7 == 2 and ((doc * 11 + t) % 13) % 5 == 0:
+                url_drop.add(doc)
+    per: dict[str, list] = {}
+    for doc in docs["doc_id"]:
+        a = per.setdefault(src_of[doc], [0, 0, 0])  # echo, kept, tok
+        if doc in url_drop:
+            continue
+        if doc in echo_bad:
+            a[0] += 1
+        else:
+            a[1] += 1
+            a[2] += ntok_of[doc]
+    for src, (d_echo, n_kept, tok) in per.items():
+        g = got[src]
+        assert g["drop_echo"] == d_echo, src
+        assert g["n_kept"] == n_kept, src
+        assert g["kept_tokens"] == tok, src
+        assert g["n_convs"] == g["drop_url"] + d_echo + n_kept
+        assert g["kept_milli"] == n_kept * 1000 // g["n_convs"]
