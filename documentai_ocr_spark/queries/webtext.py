@@ -124,11 +124,15 @@ _DOM_SQL = f"""ut AS (SELECT doc_id, t, {_URL_TXT_SQL} AS txt FROM turns),
           FROM u)"""
 
 
-def _domains_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _DOM_SQL: per-link (doc_id, domain)."""
-    ut = _turns_df(spark, sf_dir).select(
-        "doc_id", _url_txt_col().alias("txt")
-    )
+def _domains_df(
+    spark: SparkSession, sf_dir: str, turns: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of _DOM_SQL: per-link (doc_id, domain). Pass an
+    existing turns frame to share the scan lineage with other stages
+    (the composed preflight does)."""
+    if turns is None:
+        turns = _turns_df(spark, sf_dir)
+    ut = turns.select("doc_id", _url_txt_col().alias("txt"))
     u = ut.select(
         "doc_id",
         F.explode(
@@ -300,9 +304,11 @@ _LINKS_SQL = f"""{_DOM_SQL},
           FROM d GROUP BY doc_id)"""
 
 
-def _link_counts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _link_counts_df(
+    spark: SparkSession, sf_dir: str, turns: DataFrame | None = None
+) -> DataFrame:
     """Spark twin of _LINKS_SQL: (doc_id, n_links, n_blocked)."""
-    return _domains_df(spark, sf_dir).groupBy("doc_id").agg(
+    return _domains_df(spark, sf_dir, turns).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_links"),
         F.count_if(_blocked_col("domain")).alias("n_blocked"),
     )
@@ -689,10 +695,12 @@ def q_web_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield. Float discipline: kept_milli is ONE integer division of
     exact counts. Shape: two conv-grain partial aggs left-joined to
     the conversation dim, then O(sources) keys — the composition adds
-    no exchange the standalone reports don't already run."""
-    f = _link_counts_df(spark, sf_dir)
+    no exchange the standalone reports don't already run, and both
+    stages derive from ONE turns frame (shared scan lineage)."""
+    turns = _turns_df(spark, sf_dir)
+    f = _link_counts_df(spark, sf_dir, turns)
     e = (
-        _echo_pairs_df(_turns_df(spark, sf_dir))
+        _echo_pairs_df(turns)
         .groupBy("doc_id")
         .agg(F.max("echo_milli").alias("max_echo"))
     )
@@ -786,3 +794,153 @@ def _x_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x_compression_ratio"] = _x_compression_ratio
+
+
+# ------------------------------------------------ within-conv word novelty
+@_q(
+    "q_turn_novelty",
+    f"""
+    WITH {_TURNS_SQL},
+    tw AS (SELECT doc_id, t, unnest(list_distinct({words_sql('base')}))
+             AS w
+           FROM turns),
+    fo AS (SELECT doc_id, w, MIN(t) AS first_t
+           FROM tw GROUP BY doc_id, w),
+    per AS (SELECT tw.doc_id, tw.t,
+                   COUNT(*) AS n_words,
+                   COUNT(*) FILTER (WHERE fo.first_t = tw.t) AS n_new
+            FROM tw JOIN fo ON tw.doc_id = fo.doc_id AND tw.w = fo.w
+            GROUP BY tw.doc_id, tw.t)
+    SELECT CAST(t AS int) AS turn_idx,
+           CAST(COUNT(*) AS bigint) AS n_turns,
+           CAST(SUM(n_words) AS bigint) AS n_words,
+           CAST(SUM(n_new) AS bigint) AS n_new,
+           CAST(SUM(n_new) * 1000 // SUM(n_words) AS bigint)
+             AS novelty_milli
+    FROM per GROUP BY t
+    """,
+)
+def q_turn_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation vocabulary novelty by turn position: of the
+    distinct words a turn uses, how many appear for the FIRST time in
+    that conversation — the new-information rate that separates
+    conversations that go somewhere from loops (q_echo_rate reads
+    adjacent-pair similarity; this reads global within-conv novelty).
+    Word unit is THE shared corpus rule, deduplicated per turn. Float
+    discipline: novelty is ONE integer division of exact counts per
+    position. Shape: turn-grain distinct-word explode (bounded by 8
+    words/turn) → (conv, word) first-occurrence partial agg → equi-join
+    back → 12-key rollup; every exchange keys on conv or (conv, word),
+    never a corpus-constant column. Turns with zero words contribute
+    no row (per-grain explode), so n_turns counts word-bearing turns —
+    same convention on both engines."""
+    turns = _turns_df(spark, sf_dir)
+    tw = turns.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("base", " "), lambda x: x != "")
+            )
+        ).alias("w"),
+    )
+    fo = tw.groupBy("doc_id", "w").agg(F.min("t").alias("first_t"))
+    per = (
+        tw.join(fo, ["doc_id", "w"])
+        .groupBy("doc_id", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.count_if(F.col("first_t") == F.col("t")).alias("n_new"),
+        )
+    )
+    return (
+        per.groupBy(F.col("t").cast("int").alias("turn_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_new").cast("long").alias("n_new"),
+        )
+        .select(
+            "turn_idx",
+            "n_turns",
+            "n_words",
+            "n_new",
+            F.expr("n_new * 1000L div n_words")
+            .cast("long")
+            .alias("novelty_milli"),
+        )
+    )
+
+
+# ------------------------------------------------ drift from the opening turn
+@_q(
+    "q_topic_drift",
+    f"""
+    WITH {_TURNS_SQL},
+    w AS (SELECT doc_id, t,
+                 list_distinct({words_sql('base')}) AS ws
+          FROM turns),
+    a AS (SELECT doc_id, t, ws,
+                 first_value(ws) OVER (PARTITION BY doc_id ORDER BY t)
+                   AS anchor
+          FROM w),
+    j AS (SELECT doc_id, t,
+                 len(list_filter(ws, x -> list_contains(anchor, x)))
+                   AS inter,
+                 len(ws) + len(anchor) AS tot
+          FROM a WHERE t > 0),
+    m AS (SELECT doc_id, t,
+                 CASE WHEN tot - inter = 0 THEN 1000
+                      ELSE inter * 1000 // (tot - inter) END AS sim_milli
+          FROM j)
+    SELECT CAST(t AS int) AS turn_idx,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(SUM(sim_milli) // COUNT(*) AS bigint) AS mean_sim_milli,
+           CAST(COUNT(*) FILTER (WHERE sim_milli = 0) AS bigint)
+             AS n_disjoint
+    FROM m GROUP BY t
+    """,
+)
+def q_topic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic drift from the opening turn: distinct-word Jaccard between
+    each later turn and turn 0, aggregated by position — the curve that
+    shows how fast conversations leave their opening topic (flat-high =
+    on-task or looping, falling = drift, n_disjoint = turns sharing
+    NOTHING with the opener). Complements q_echo_rate (adjacent pairs)
+    and q_turn_novelty (first occurrences) over the SAME turn rendering
+    and THE same word unit, with the same both-empty=1000 convention
+    and integer-milli set arithmetic. Shape: the anchor is a
+    first_value window over the conversation key (≤12 rows per
+    partition), then one 11-key rollup."""
+    turns = _turns_df(spark, sf_dir)
+    w = turns.select(
+        "doc_id",
+        "t",
+        F.array_distinct(
+            F.filter(F.split("base", " "), lambda x: x != "")
+        ).alias("ws"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("t")
+    a = w.withColumn("anchor", F.first("ws").over(win)).where(
+        F.col("t") > 0
+    )
+    j = a.select(
+        "doc_id",
+        "t",
+        F.size(F.array_intersect("ws", "anchor")).alias("inter"),
+        (F.size("ws") + F.size("anchor")).alias("tot"),
+    )
+    m = j.select(
+        "t",
+        F.expr(
+            "CASE WHEN tot - inter = 0 THEN 1000L"
+            " ELSE inter * 1000L div (tot - inter) END"
+        ).alias("sim_milli"),
+    )
+    return m.groupBy(F.col("t").cast("int").alias("turn_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.expr("sum(sim_milli) div count(1)")
+        .cast("long")
+        .alias("mean_sim_milli"),
+        F.count_if(F.col("sim_milli") == 0).cast("long").alias("n_disjoint"),
+    )

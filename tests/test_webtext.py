@@ -424,3 +424,83 @@ def test_web_preflight_reconciles_with_standalone_stages(spark):
         assert g["kept_tokens"] == tok, src
         assert g["n_convs"] == g["drop_url"] + d_echo + n_kept
         assert g["kept_milli"] == n_kept * 1000 // g["n_convs"]
+
+
+def _turn_words(docs):
+    """Python replay of the shared turn rendering: (doc_id, t) ->
+    the turn's distinct word set (the 8-word base slice, empties
+    dropped) for t in 0..11."""
+    out = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        tk = text.split(" ")
+        for t in range(12):
+            lo = (t * 29) % max(1, len(tk))
+            out[(doc_id, t)] = {w for w in tk[lo : lo + 8] if w != ""}
+    return out
+
+
+def test_turn_novelty_python_recount(spark):
+    """Whole-corpus exactness: first-occurrence novelty per position
+    equals a pure-Python replay of the turn rendering, and turn 0 is
+    all-new by construction (novelty_milli == 1000)."""
+    from documentai_ocr_spark.queries.webtext import q_turn_novelty
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ws = _turn_words(docs)
+    agg: dict[int, list] = {}  # t -> [n_turns, n_words, n_new]
+    for doc_id in docs["doc_id"]:
+        first: dict[str, int] = {}
+        for t in range(12):
+            s = ws[(doc_id, t)]
+            if not s:
+                continue  # empty explode -> no row, same as the query
+            n_new = 0
+            for w in s:
+                if w not in first:
+                    first[w] = t
+                if first[w] == t:
+                    n_new += 1
+            a = agg.setdefault(t, [0, 0, 0])
+            a[0] += 1
+            a[1] += len(s)
+            a[2] += n_new
+    got = {r["turn_idx"]: r for r in q_turn_novelty(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for t, (n_turns, n_words, n_new) in agg.items():
+        g = got[t]
+        assert (g["n_turns"], g["n_words"], g["n_new"]) == (
+            n_turns,
+            n_words,
+            n_new,
+        ), t
+        assert g["novelty_milli"] == n_new * 1000 // n_words
+    assert got[0]["n_new"] == got[0]["n_words"]
+    assert got[0]["novelty_milli"] == 1000
+
+
+def test_topic_drift_python_recount(spark):
+    """Whole-corpus exactness: the per-position Jaccard-to-opener curve
+    equals a pure-Python replay (set arithmetic over the same turn
+    rendering), including the both-empty=1000 convention."""
+    from documentai_ocr_spark.queries.webtext import q_topic_drift
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ws = _turn_words(docs)
+    agg: dict[int, list] = {}  # t -> [n_convs, sim_sum, n_disjoint]
+    for doc_id in docs["doc_id"]:
+        anchor = ws[(doc_id, 0)]
+        for t in range(1, 12):
+            s = ws[(doc_id, t)]
+            union = len(s | anchor)
+            sim = 1000 if union == 0 else len(s & anchor) * 1000 // union
+            a = agg.setdefault(t, [0, 0, 0])
+            a[0] += 1
+            a[1] += sim
+            a[2] += 1 if sim == 0 else 0
+    got = {r["turn_idx"]: r for r in q_topic_drift(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for t, (n_convs, sim_sum, n_disjoint) in agg.items():
+        g = got[t]
+        assert g["n_convs"] == n_convs, t
+        assert g["mean_sim_milli"] == sim_sum // n_convs, t
+        assert g["n_disjoint"] == n_disjoint, t
