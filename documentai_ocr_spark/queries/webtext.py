@@ -944,3 +944,203 @@ def q_topic_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_sim_milli"),
         F.count_if(F.col("sim_milli") == 0).cast("long").alias("n_disjoint"),
     )
+
+
+# --------------------------------------------- domain reputation gate
+# Per-conversation quality in integer milli — letters·1000 // chars,
+# empty text pinned to 0. ONE rendering per engine; the finer-grid
+# sibling of textstats' decile rule (_q_bucket_sql: letters·10 //
+# chars) — same exact-integer family, never a float edge.
+def _qual_milli_sql(col: str) -> str:
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0 ELSE"
+        f" (length({col}) - length(regexp_replace({col}, '[A-Za-z]',"
+        f" '', 'g'))) * 1000 // length({col}) END"
+    )
+
+
+def _qual_milli_col(col: str) -> F.Column:
+    n = F.expr(f"length({col})")
+    return (
+        F.when(n == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"(length({col}) - length(regexp_replace({col},"
+                f" '[A-Za-z]', ''))) * 1000 div length({col})"
+            )
+        )
+        .cast("long")
+    )
+
+
+# minimum linking-conversation support before a domain can be blocked
+# (below it there is no evidence either way — default allow).
+_REP_MIN_CONVS = 5
+
+# ONE rendering of the reputation table (link scan → per-domain
+# conv support, link count, mean linking-conv quality, verdict) —
+# interpolated by q_domain_reputation AND q_reputation_gate so the
+# gate blocks exactly the domains the report says it will. The
+# corpus anchor is the incidence-weighted mean (each conversation
+# counted once per domain it cites), floored to milli on BOTH
+# engines before the comparison, so the verdict is a pure integer
+# rule with no cross-engine float edge.
+_REP_SQL = f"""{_DOM_SQL},
+    q AS (SELECT doc_id, {_qual_milli_sql('text')} AS qual
+          FROM documents),
+    dl AS (SELECT domain, doc_id, COUNT(*) AS n_links
+           FROM d GROUP BY domain, doc_id),
+    rep AS (SELECT domain,
+                   COUNT(*) AS n_convs,
+                   SUM(dl.n_links) AS n_links,
+                   SUM(q.qual) AS sum_qual
+            FROM dl JOIN q USING (doc_id) GROUP BY domain),
+    tot AS (SELECT SUM(sum_qual) // SUM(n_convs) AS anchor_milli
+            FROM rep),
+    v AS (SELECT domain, n_convs, n_links,
+                 sum_qual // n_convs AS mean_qual_milli,
+                 CASE WHEN n_convs >= {_REP_MIN_CONVS}
+                       AND sum_qual // n_convs < tot.anchor_milli
+                      THEN 'block' ELSE 'allow' END AS verdict
+          FROM rep, tot)"""
+
+
+def _reputation_df(
+    spark: SparkSession, sf_dir: str, turns: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of _REP_SQL: per-domain
+    (domain, n_convs, n_links, mean_qual_milli, verdict)."""
+    d = _domains_df(spark, sf_dir, turns)
+    q = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", _qual_milli_col("text").alias("qual"))
+    dl = d.groupBy("domain", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    rep = dl.join(q, "doc_id").groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("n_links").alias("n_links"),
+        F.sum("qual").alias("sum_qual"),
+    )
+    tot = rep.agg(
+        F.expr("sum(sum_qual) div sum(n_convs)").alias("anchor_milli")
+    )
+    return rep.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.col("n_convs").cast("long").alias("n_convs"),
+        F.col("n_links").cast("long").alias("n_links"),
+        F.expr("sum_qual div n_convs").cast("long").alias(
+            "mean_qual_milli"
+        ),
+        F.when(
+            (F.col("n_convs") >= _REP_MIN_CONVS)
+            & (F.expr("sum_qual div n_convs") < F.col("anchor_milli")),
+            F.lit("block"),
+        )
+        .otherwise(F.lit("allow"))
+        .alias("verdict"),
+    )
+
+
+@_q(
+    "q_domain_reputation",
+    f"""
+    WITH {_TURNS_SQL},
+    {_REP_SQL}
+    SELECT domain, CAST(n_convs AS bigint) AS n_convs,
+           CAST(n_links AS bigint) AS n_links,
+           CAST(mean_qual_milli AS bigint) AS mean_qual_milli,
+           verdict
+    FROM v
+    """,
+)
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven domain reputation: score every cited domain by the
+    quality of the conversations that cite it, and emit a block/allow
+    verdict — the learned counterpart of q_url_blocklist's static list
+    (C4/Gopher-style domain filtering builds exactly this table before
+    a crawl-scale ingest). A domain is blocked when it has real support
+    (≥ {_REP_MIN_CONVS} linking conversations) AND its mean linking-conv
+    quality sits below the corpus anchor; thin domains default to
+    allow. Quality is the letters·1000 // chars integer rule
+    (_qual_milli_sql — the milli sibling of the decile grid rule);
+    the anchor and every mean are floored integers, so the verdict has
+    no float edge on either engine. Shape: the shared link scan
+    (_DOM_SQL) → (domain, conv) dedup agg → conv-grain equi-join to the
+    quality dim → O(domains) rollup → 1-row broadcast anchor dim; the
+    only corpus-grain exchanges key on conv or (domain, conv)."""
+    return _reputation_df(spark, sf_dir)
+
+
+@_q(
+    "q_reputation_gate",
+    f"""
+    WITH {_TURNS_SQL},
+    {_REP_SQL},
+    bd AS (SELECT domain FROM v WHERE verdict = 'block'),
+    hits AS (SELECT DISTINCT d.doc_id FROM d JOIN bd USING (domain)),
+    c AS (SELECT dd.source, {ntok_sql('dd.text')} AS ntok,
+                 (h.doc_id IS NOT NULL) AS dropped
+          FROM documents dd LEFT JOIN hits h ON dd.doc_id = h.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(COUNT(*) FILTER (WHERE dropped) AS bigint) AS n_dropped,
+           CAST(COUNT(*) FILTER (WHERE NOT dropped) AS bigint) AS n_kept,
+           CAST(COALESCE(SUM(ntok) FILTER (WHERE NOT dropped), 0)
+             AS bigint) AS kept_tokens,
+           CAST((COUNT(*) - COUNT(*) FILTER (WHERE dropped)) * 1000
+                // COUNT(*) AS bigint) AS kept_milli
+    FROM c GROUP BY source
+    """,
+)
+def q_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enforce the learned domain blocklist: drop every conversation
+    that cites a blocked domain (q_domain_reputation's verdict — the
+    SAME _REP_SQL rendering, so the gate applies exactly the table the
+    report publishes) and account the per-source yield. Conversations
+    citing nothing are kept — no evidence, no drop. Kept tokens use
+    THE corpus token unit; kept_milli is one integer division of exact
+    counts. Shape: the blocked dim is O(domains) and broadcast onto the
+    link rows; the hit set dedups on the conv key; one conv-grain
+    left join to the conversation dim; O(sources) rollup — the gate
+    adds no exchange the reputation report doesn't already run."""
+    turns = _turns_df(spark, sf_dir)
+    d = _domains_df(spark, sf_dir, turns)
+    bd = _reputation_df(spark, sf_dir, turns).where(
+        F.col("verdict") == "block"
+    ).select("domain")
+    hits = (
+        d.join(F.broadcast(bd), "domain").select("doc_id").distinct()
+    )
+    docs = spread(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    c = docs.join(
+        hits.withColumn("dropped", F.lit(True)), "doc_id", "left"
+    ).select(
+        "source",
+        ntok_col("text").alias("ntok"),
+        F.coalesce("dropped", F.lit(False)).alias("dropped"),
+    )
+    agg = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.count_if(F.col("dropped")).cast("long").alias("n_dropped"),
+        F.count_if(~F.col("dropped")).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(~F.col("dropped"), F.col("ntok"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_convs",
+        "n_dropped",
+        "n_kept",
+        "kept_tokens",
+        F.expr("(n_convs - n_dropped) * 1000L div n_convs")
+        .cast("long")
+        .alias("kept_milli"),
+    )

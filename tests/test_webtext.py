@@ -504,3 +504,93 @@ def test_topic_drift_python_recount(spark):
         assert g["n_convs"] == n_convs, t
         assert g["mean_sim_milli"] == sim_sum // n_convs, t
         assert g["n_disjoint"] == n_disjoint, t
+
+
+def test_domain_reputation_and_gate_python_replay(spark):
+    """Whole-corpus replay of the learned blocklist chain: link coins →
+    per-domain support/quality → floored-milli verdict → conv drops →
+    per-source yield. Also pins the gate/report reconciliation (the
+    gate blocks exactly the report's 'block' domains) and that both
+    verdicts actually occur, so the oracle gate never compares a
+    one-class table."""
+    from documentai_ocr_spark.queries.webtext import (
+        _REP_MIN_CONVS,
+        q_domain_reputation,
+        q_reputation_gate,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    qual = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        n = len(text)
+        letters = sum(1 for ch in text if ch.isascii() and ch.isalpha())
+        qual[doc_id] = 0 if n == 0 else letters * 1000 // n
+    # link incidences from the two deterministic coins
+    links: dict[str, dict[int, int]] = {}  # domain -> doc -> n_links
+    for doc in docs["doc_id"]:
+        for t in range(12):
+            if (doc + t) % 3 == 0:
+                dom = f"d{(doc * 7 + t) % 23}.example.com"
+                links.setdefault(dom, {})[doc] = (
+                    links.get(dom, {}).get(doc, 0) + 1
+                )
+            if (doc + t) % 7 == 2:
+                dom = f"m{(doc * 11 + t) % 13}.test.org"
+                links.setdefault(dom, {})[doc] = (
+                    links.get(dom, {}).get(doc, 0) + 1
+                )
+    rep = {}
+    tot_q = tot_c = 0
+    for dom, per in links.items():
+        n_convs = len(per)
+        sum_q = sum(qual[d] for d in per)
+        rep[dom] = [n_convs, sum(per.values()), sum_q]
+        tot_q += sum_q
+        tot_c += n_convs
+    anchor = tot_q // tot_c
+    verdict = {
+        dom: (
+            "block"
+            if n_convs >= _REP_MIN_CONVS and sum_q // n_convs < anchor
+            else "allow"
+        )
+        for dom, (n_convs, _, sum_q) in rep.items()
+    }
+    got = {r["domain"]: r for r in q_domain_reputation(spark, SF).collect()}
+    assert set(got) == set(rep)
+    for dom, (n_convs, n_links, sum_q) in rep.items():
+        g = got[dom]
+        assert (g["n_convs"], g["n_links"]) == (n_convs, n_links), dom
+        assert g["mean_qual_milli"] == sum_q // n_convs, dom
+        assert g["verdict"] == verdict[dom], dom
+    assert len(set(verdict.values())) == 2
+
+    blocked = {d for d, v in verdict.items() if v == "block"}
+    dropped = {
+        doc for dom in blocked for doc in links[dom]
+    }
+    src_of = dict(zip(docs["doc_id"], docs["source"]))
+    ntok_of = {
+        d: sum(1 for w in t.split(" ") if w != "")
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    per_src: dict[str, list] = {}
+    for doc in docs["doc_id"]:
+        a = per_src.setdefault(src_of[doc], [0, 0, 0, 0])
+        a[0] += 1
+        if doc in dropped:
+            a[1] += 1
+        else:
+            a[2] += 1
+            a[3] += ntok_of[doc]
+    gate = {r["source"]: r for r in q_reputation_gate(spark, SF).collect()}
+    assert set(gate) == set(per_src)
+    for src, (n_convs, n_drop, n_kept, tok) in per_src.items():
+        g = gate[src]
+        assert (g["n_convs"], g["n_dropped"], g["n_kept"]) == (
+            n_convs,
+            n_drop,
+            n_kept,
+        ), src
+        assert g["kept_tokens"] == tok, src
+        assert g["kept_milli"] == (n_convs - n_drop) * 1000 // n_convs

@@ -44,6 +44,16 @@ BOUNDED_OK = {
         "the 1-row broadcast total dim — both sides are bounded "
         "post-aggregation dims, the same pattern as q_threshold_yield",
     ),
+    "q_domain_reputation": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast corpus-quality anchor dim "
+        "onto the O(domains) reputation rollup — scalar broadcast",
+    ),
+    "q_reputation_gate": (
+        "PRODUCT-JOIN",
+        "same 1-row anchor dim via the shared _REP_SQL rendering; the "
+        "blocked-domain dim itself is a broadcast equi-join",
+    ),
     "q_key_skew": (
         "PRODUCT-JOIN",
         "crossJoin of the 1-row broadcast corpus-byte-total dim — "
