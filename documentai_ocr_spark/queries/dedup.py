@@ -209,22 +209,24 @@ _MH_BAND_CTE = f"""
              FROM sig GROUP BY doc_id, seed // {_MH_ROWS_PER_BAND})"""
 
 
-def _mh_band_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bh): MinHash LSH band buckets. ONE md5 digest per
-    shingle; the 8 permutations are linear maps (a·h + b) mod p of its
-    60-bit prefix (see _MH_AB) — digesting is the corpus-linear cost,
-    the maps are free. The signature builds in ONE groupBy(doc_id) with
-    8 parallel min aggregates (columns, not exploded seed rows) —
-    map-side partial mins do all the work; band ids/hashes are then
-    pure projections. Shingles are NOT deduped first: MIN is
-    duplicate-insensitive, so the distinct()'s shuffle of the raw
-    shingle stream would buy nothing (the oracle SQL keeps its
-    DISTINCT — same mins either way)."""
+def _mh_sig_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s7): the 8-component MinHash signature, wide form.
+    ONE md5 digest per shingle; the 8 permutations are linear maps
+    (a·h + b) mod p of its 60-bit prefix (see _MH_AB) — digesting is
+    the corpus-linear cost, the maps are free. Builds in ONE
+    groupBy(doc_id) with 8 parallel min aggregates (columns, not
+    exploded seed rows) — map-side partial mins do all the work.
+    Shingles are NOT deduped first: MIN is duplicate-insensitive, so
+    the distinct()'s shuffle of the raw shingle stream would buy
+    nothing (the oracle SQL keeps its DISTINCT — same mins either
+    way). Shared by the band builder and q_minhash_calibration, so the
+    candidate generator and its accuracy audit can never disagree
+    about what a signature is."""
     sh = _word_shingles(docs, _JACCARD_K, distinct=False)
     hh = sh.select(
         "doc_id", (_hex60(F.col("sh")) % _MH_P).alias("h")
     )
-    sig = hh.groupBy("doc_id").agg(
+    return hh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(
                 f"s{s}"
@@ -232,6 +234,12 @@ def _mh_band_df(docs: DataFrame) -> DataFrame:
             for s, (a, b) in enumerate(_MH_AB)
         ]
     )
+
+
+def _mh_band_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): MinHash LSH band buckets — pure projections
+    over the shared signature frame (_mh_sig_df)."""
+    sig = _mh_sig_df(docs)
     n_bands = _MH_SEEDS // _MH_ROWS_PER_BAND
     band_structs = F.array(
         *[
@@ -291,6 +299,149 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+@_q(
+    "q_minhash_calibration",
+    f"""
+    WITH {_MH_BAND_CTE},
+    bp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM band a JOIN band b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    nm AS (SELECT bp.doc_a, bp.doc_b,
+                  CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                       AS int) AS n_match
+           FROM bp
+           JOIN sig sa ON sa.doc_id = bp.doc_a
+           JOIN sig sb ON sb.doc_id = bp.doc_b AND sb.seed = sa.seed
+           GROUP BY 1, 2),
+    card AS (SELECT doc_id, CAST(COUNT(*) AS bigint) AS n
+             FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS bigint) AS n_common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pj AS (SELECT nm.n_match,
+                  1000 * COALESCE(i.n_common, 0)
+                    // (ca.n + cb.n - COALESCE(i.n_common, 0)) AS jac_milli
+           FROM nm
+           LEFT JOIN inter i
+             ON i.doc_a = nm.doc_a AND i.doc_b = nm.doc_b
+           JOIN card ca ON ca.doc_id = nm.doc_a
+           JOIN card cb ON cb.doc_id = nm.doc_b)
+    SELECT n_match,
+           CAST(n_match AS bigint) * 125 AS est_milli,
+           CAST(COUNT(*) AS bigint) AS n_pairs,
+           CAST(SUM(jac_milli) AS bigint) // COUNT(*) AS mean_jac_milli,
+           MIN(jac_milli) AS min_jac_milli,
+           MAX(jac_milli) AS max_jac_milli
+    FROM pj GROUP BY n_match
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair (the
+    SAME band buckets q_minhash_lsh_pairs emits — shared _mh_band_df /
+    _MH_BAND_CTE rendering), compare the signature-level similarity
+    estimate (matching components / 8, exact in eighths → est_milli =
+    n_match × 125) against the TRUE shingle Jaccard (integer-milli set
+    algebra, floored — the q_jaccard_pairs arithmetic), grouped into a
+    ≤9-row accuracy table: at k matching components, how similar are
+    pairs really? This is the audit a curation team runs before trusting
+    a banding config: it turns "4 bands of 2" from a folklore setting
+    into a measured precision curve (mean/min/max true similarity per
+    estimate level).
+
+    Scale: every join is candidate-bounded or bucket-bounded — band
+    pairs via the band equi-join (never n²), signature match via two
+    hash joins on doc_id against the 8-column sig frame, and the exact
+    Jaccard is computed ONLY for docs that survived banding: the
+    shingle stream is semi-joined down to candidate docs before the
+    shingle equi-join, so the expensive exact set intersection touches
+    the (tiny) near-dup cohort, not the corpus. COALESCE(n_common, 0)
+    keeps the row even in the measure-zero case where equal linear-map
+    mins came from a 60-bit md5-prefix collision rather than a shared
+    shingle. Final rollup is 9 groups — one exchange of a few counters.
+    """
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sig = _mh_sig_df(docs)
+    band = _mh_band_df(docs)
+    a = band.alias("a")
+    b = band.alias("b")
+    bp = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    n_match = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(_MH_SEEDS)
+    ).cast("int")
+    nm = (
+        bp.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    # exact Jaccard only over the candidate cohort: semi-join the
+    # shingle stream down to docs that appear in any candidate pair
+    cand_docs = (
+        bp.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(bp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _word_shingles(docs, _JACCARD_K).join(cand_docs, "doc_id", "semi")
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    pj = (
+        nm.join(inter, ["doc_a", "doc_b"], "left")
+        .join(card.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(card.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n", "nb")
+        .select(
+            "n_match",
+            F.expr(
+                "1000 * COALESCE(n_common, 0L)"
+                " div (na + nb - COALESCE(n_common, 0L))"
+            ).alias("jac_milli"),
+        )
+    )
+    return (
+        pj.groupBy("n_match")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(SUM(jac_milli) AS bigint) div COUNT(*)").alias(
+                "mean_jac_milli"
+            ),
+            F.min("jac_milli").alias("min_jac_milli"),
+            F.max("jac_milli").alias("max_jac_milli"),
+        )
+        .select(
+            "n_match",
+            (F.col("n_match").cast("long") * 125).alias("est_milli"),
+            "n_pairs",
+            "mean_jac_milli",
+            "min_jac_milli",
+            "max_jac_milli",
+        )
     )
 
 

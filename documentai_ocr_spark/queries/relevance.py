@@ -817,3 +817,118 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             raw * F.count(F.lit(1)).over(wall) / F.sum(raw).over(wall), 6
         ).alias("weight"),
     )
+
+
+# --------------------------------------------------- reference-vocab gate
+# CCNet-flavored perplexity-proxy filter (Wenzek et al., 2020): score
+# every document by how much of it is UNSEEN under a language model
+# built from a trusted reference slice, drop the worst. The LM here is
+# the cheapest one with cross-engine-exact semantics — a word-BIGRAM
+# vocabulary (bigrams with >= _OOV_MIN_CNT occurrences in the slice) —
+# so the score is an integer OOV rate, not a float perplexity: same
+# decision boundary on both engines by construction. The reference
+# slice is the deterministic 1/7 coin doc_id % 7 == 0 (stand-in for
+# "the wiki slice" a production run would point at).
+_OOV_REF_MOD = 7     # reference slice: doc_id % 7 == 0
+_OOV_MIN_CNT = 5     # bigram enters the vocab at >= 5 slice occurrences
+_OOV_DROP_MILLI = 600  # drop docs with >= 60.0% OOV bigrams
+
+
+@_q(
+    "q_oov_gate",
+    f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '')
+                        AS wl
+               FROM documents),
+    bg AS (SELECT doc_id, wl[i] || ' ' || wl[i+1] AS bg
+           FROM w, unnest(generate_series(1, len(wl) - 1)) g(i)),
+    vocab AS (SELECT bg FROM bg WHERE doc_id % {_OOV_REF_MOD} = 0
+              GROUP BY bg HAVING COUNT(*) >= {_OOV_MIN_CNT}),
+    per_doc AS (SELECT b.doc_id,
+                       CAST(COUNT(*) AS bigint) AS n_bg,
+                       CAST(SUM(CASE WHEN v.bg IS NULL THEN 1 ELSE 0 END)
+                            AS bigint) AS n_oov
+                FROM bg b LEFT JOIN vocab v ON b.bg = v.bg
+                GROUP BY b.doc_id)
+    SELECT d.doc_id, d.source,
+           CAST({ntok_sql('text')} AS bigint) AS n_toks,
+           COALESCE(p.n_bg, 0) AS n_bg,
+           COALESCE(p.n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(p.n_bg, 0) = 0 THEN 1000
+                ELSE 1000 * p.n_oov // p.n_bg END AS oov_milli,
+           CASE WHEN COALESCE(p.n_bg, 0) = 0 THEN false
+                WHEN 1000 * p.n_oov // p.n_bg >= {_OOV_DROP_MILLI}
+                  THEN false ELSE true END AS kept
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-vocabulary OOV gate: per-document out-of-vocabulary
+    bigram rate against a vocabulary learned from the doc_id % 7 == 0
+    reference slice, with the keep/drop verdict at _OOV_DROP_MILLI.
+    Documents too short to have a bigram score 1000 (nothing verifiable
+    → dropped) — the explicit-sentinel convention every gate here uses.
+
+    Scale: the vocabulary is one (bigram → count) aggregation over the
+    slice, HAVING-pruned before it leaves the exchange, then joined to
+    the corpus bigram stream; per-doc scores are one doc-grain partial
+    aggregation. The vocab join is key-hashed, NOT broadcast: at web
+    scale a min-count bigram vocabulary is millions of rows — a dim you
+    exchange once, not ship to every executor (a production config
+    would also cap it to top-K + UNK, the sampled-vocab note of
+    textstats' bigram LM). No window, no per-row Python, nothing
+    quadratic; the decision boundary is pure integer milli arithmetic
+    so both engines agree on every verdict by construction."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    wl = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(wl)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg_list = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(wl, i), F.element_at(wl, i + F.lit(1))
+        ),
+    )
+    bg = docs.select(
+        "doc_id", F.explode(bg_list).alias("bg")
+    )
+    vocab = (
+        bg.where(F.col("doc_id") % _OOV_REF_MOD == 0)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _OOV_MIN_CNT)
+        .select("bg")
+    )
+    per_doc = (
+        bg.join(vocab.withColumn("in_v", F.lit(1)), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bg"),
+            F.sum(
+                F.when(F.col("in_v").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    oov_milli = F.when(
+        F.coalesce(F.col("n_bg"), F.lit(0)) == 0, F.lit(1000).cast("long")
+    ).otherwise(F.expr("1000 * n_oov div n_bg"))
+    return (
+        docs.select("doc_id", "source", ntok_col("text").cast("long").alias("n_toks"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.coalesce("n_bg", F.lit(0).cast("long")).alias("n_bg"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+            oov_milli.alias("oov_milli"),
+            (oov_milli < _OOV_DROP_MILLI).alias("kept"),
+        )
+    )

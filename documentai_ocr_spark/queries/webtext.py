@@ -1144,3 +1144,107 @@ def q_reputation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_milli"),
     )
+
+
+# --------------------------------------------- context-window truncation
+# SFT/RL context assembly keeps the LAST turns that fit the model's
+# window; everything earlier is silently cut. This audit prices that
+# cut before a training run pays it: per source, how many conversations
+# fit whole, how many trailing turns survive on average, and how many
+# tokens the truncation throws away. Budget in THE shared token unit.
+_CTX_BUDGET = 32  # tokens of tail context the window can hold
+
+
+@_q(
+    "q_context_budget",
+    f"""
+    WITH {_TURNS_SQL},
+    n AS (SELECT doc_id, t, {ntok_sql('base')} AS ntok FROM turns),
+    c AS (SELECT doc_id, t, ntok,
+                 SUM(ntok) OVER (PARTITION BY doc_id ORDER BY t DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+          FROM n),
+    conv AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN cum <= {_CTX_BUDGET} THEN 1 ELSE 0
+                             END) AS bigint) AS turns_kept,
+                    CAST(SUM(CASE WHEN cum <= {_CTX_BUDGET} THEN ntok
+                             ELSE 0 END) AS bigint) AS tok_kept,
+                    CAST(SUM(ntok) AS bigint) AS tok_total
+             FROM c GROUP BY doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(SUM(CASE WHEN conv.turns_kept = 12 THEN 1 ELSE 0 END)
+                AS bigint) AS convs_full,
+           CAST(SUM(conv.turns_kept) AS bigint) AS sum_turns_kept,
+           CAST(SUM(conv.turns_kept) * 1000 // COUNT(*) AS bigint)
+             AS mean_turns_kept_milli,
+           CAST(SUM(conv.tok_total) AS bigint) AS tok_total,
+           CAST(SUM(conv.tok_kept) AS bigint) AS tok_kept,
+           CAST(SUM(conv.tok_total - conv.tok_kept) AS bigint)
+             AS tok_dropped
+    FROM conv JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation audit: keep the suffix of each
+    conversation whose running token total (counted from the LAST turn
+    backwards) fits in _CTX_BUDGET — exactly the assembly rule an SFT
+    loader applies — then report per source how much survives: whole
+    conversations that fit, mean trailing turns kept (integer milli),
+    and the token volume truncation destroys. Zero-token tail turns
+    cost nothing, so they are always "kept" on both engines (cum is
+    unchanged); a conversation fits whole iff all 12 turn slots fit.
+
+    Scale: the suffix sum is a window bounded by the CONVERSATION (12
+    rows per key — the bounded-window class every conv-grain operator
+    here rides; never a per-source or global sort), the conv rollup is
+    one doc-grain partial agg, and the source join is doc-grain
+    equi-join onto the documents scan. Final exchange is O(sources).
+    Token unit is THE shared corpus rule (util.ntok_sql / ntok_col)
+    over the shared turn rendering (_TURNS_SQL / _turns_df)."""
+    turns = _turns_df(spark, sf_dir)
+    n = turns.select("doc_id", "t", ntok_col("base").alias("ntok"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = n.withColumn("cum", F.sum("ntok").over(w))
+    fits = F.col("cum") <= _CTX_BUDGET
+    conv = c.groupBy("doc_id").agg(
+        F.sum(F.when(fits, 1).otherwise(0)).cast("long").alias(
+            "turns_kept"
+        ),
+        F.sum(F.when(fits, F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("tok_kept"),
+        F.sum("ntok").cast("long").alias("tok_total"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        conv.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum(F.when(F.col("turns_kept") == 12, 1).otherwise(0))
+            .cast("long")
+            .alias("convs_full"),
+            F.sum("turns_kept").cast("long").alias("sum_turns_kept"),
+            F.sum("tok_total").cast("long").alias("tok_total"),
+            F.sum("tok_kept").cast("long").alias("tok_kept"),
+        )
+        .select(
+            "source",
+            "n_convs",
+            "convs_full",
+            "sum_turns_kept",
+            F.expr("sum_turns_kept * 1000L div n_convs")
+            .cast("long")
+            .alias("mean_turns_kept_milli"),
+            "tok_total",
+            "tok_kept",
+            (F.col("tok_total") - F.col("tok_kept")).alias("tok_dropped"),
+        )
+    )

@@ -171,3 +171,73 @@ def test_component_split_has_zero_leakage(spark):
     assert leaks == 0
     frac = s.where(F.col("split") == "train").count() / s.count()
     assert 0.55 < frac < 0.85
+
+
+def test_minhash_calibration_python_recount(spark):
+    """Whole-corpus replay of q_minhash_calibration on sf0.001: re-run
+    the CURRENT signature math (one md5 digest per shingle, _MH_AB
+    linear maps mod _MH_P), banding, candidate pairing, component
+    matching and exact integer-milli Jaccard in pure Python — every
+    row of the ≤9-row accuracy table must match. Also pins the
+    structural invariant n_match >= ROWS_PER_BAND (a shared band means
+    both of its components match)."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.dedup import (
+        _MH_AB,
+        _MH_P,
+        q_minhash_calibration,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = {}
+    shingle_sets = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        shs = {
+            " ".join(toks[i : i + _JACCARD_K])
+            for i in range(len(toks) - (_JACCARD_K - 1))
+        }
+        if not shs:
+            continue
+        shingle_sets[doc_id] = shs
+        hs = [int(_md5(sh)[:15], 16) % _MH_P for sh in shs]
+        sig[doc_id] = [min((a * h + b) % _MH_P for h in hs) for a, b in _MH_AB]
+
+    n_bands = _MH_SEEDS // _MH_ROWS_PER_BAND
+    buckets = {}
+    for d, s in sig.items():
+        for b in range(n_bands):
+            key = (b, tuple(s[_MH_ROWS_PER_BAND * b : _MH_ROWS_PER_BAND * (b + 1)]))
+            buckets.setdefault(key, []).append(d)
+    pairs = set()
+    for ds in buckets.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs.add((ds[i], ds[j]))
+
+    table = {}
+    for a, b in pairs:
+        n_match = sum(x == y for x, y in zip(sig[a], sig[b]))
+        assert n_match >= _MH_ROWS_PER_BAND, (a, b)
+        inter = len(shingle_sets[a] & shingle_sets[b])
+        union = len(shingle_sets[a] | shingle_sets[b])
+        jm = 1000 * inter // union
+        t = table.setdefault(n_match, [])
+        t.append(jm)
+
+    got = {
+        r["n_match"]: r
+        for r in q_minhash_calibration(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(table)
+    for n_match, jms in table.items():
+        g = got[n_match]
+        assert g["est_milli"] == n_match * 125
+        assert g["n_pairs"] == len(jms)
+        assert g["mean_jac_milli"] == sum(jms) // len(jms)
+        assert g["min_jac_milli"] == min(jms)
+        assert g["max_jac_milli"] == max(jms)

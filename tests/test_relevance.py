@@ -311,3 +311,109 @@ def test_bpe_encode_spec_and_corpus_recount(spark):
         if nt < nc:
             changed += 1
     assert changed > 0  # the merge table actually compresses something
+
+
+def test_oov_gate_python_recount(spark):
+    """Whole-corpus replay on sf0.001: rebuild the reference-slice
+    bigram vocabulary and every per-doc OOV verdict in pure Python —
+    all columns of all rows must match."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relevance import (
+        _OOV_DROP_MILLI,
+        _OOV_MIN_CNT,
+        _OOV_REF_MOD,
+        q_oov_gate,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def bigrams(text):
+        w = [x for x in text.split(" ") if x != ""]
+        return [f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+
+    cnt = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if doc_id % _OOV_REF_MOD == 0:
+            for bg in bigrams(text):
+                cnt[bg] = cnt.get(bg, 0) + 1
+    vocab = {bg for bg, c in cnt.items() if c >= _OOV_MIN_CNT}
+
+    got = {
+        r["doc_id"]: r
+        for r in q_oov_gate(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == len(docs)
+    for doc_id, source, text in zip(
+        docs["doc_id"], docs["source"], docs["text"]
+    ):
+        bgs = bigrams(text)
+        n_oov = sum(1 for bg in bgs if bg not in vocab)
+        if not bgs:
+            milli, kept = 1000, False
+        else:
+            milli = 1000 * n_oov // len(bgs)
+            kept = milli < _OOV_DROP_MILLI
+        g = got[doc_id]
+        assert (
+            g["source"],
+            g["n_toks"],
+            g["n_bg"],
+            g["n_oov"],
+            g["oov_milli"],
+            g["kept"],
+        ) == (
+            source,
+            sum(1 for w in text.split(" ") if w != ""),
+            len(bgs),
+            n_oov,
+            milli,
+            kept,
+        ), doc_id
+
+
+def test_oov_gate_engineered_verdicts(spark, tmp_path):
+    """Edge corpus through the real Spark path AND the registered
+    oracle: in-vocab text kept, all-unseen text dropped at 1000,
+    sub-bigram and empty docs pinned to the 1000/dropped sentinel."""
+    import duckdb
+    import pandas as pd
+
+    from documentai_ocr_spark.queries import ORACLES
+    from documentai_ocr_spark.queries.relevance import q_oov_gate
+
+    ref = " ".join(["a b"] * 8)  # bigrams 'a b' x8, 'b a' x7 in slice
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 7, 1, 2, 3, 4],
+            "source": ["s"] * 6,
+            "text": [ref, ref, "a b a b a", "zz qq ww zz qq", "solo", ""],
+        }
+    )
+    d = str(tmp_path / "oov")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in q_oov_gate(spark, d).collect()}
+    assert rows[1]["oov_milli"] == 0 and rows[1]["kept"]
+    assert rows[2]["oov_milli"] == 1000 and not rows[2]["kept"]
+    assert rows[3]["n_bg"] == 0 and rows[3]["oov_milli"] == 1000
+    assert not rows[3]["kept"] and not rows[4]["kept"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    ora = {
+        r[0]: r
+        for r in con.sql(ORACLES["q_oov_gate"]).fetchall()
+    }
+    for doc_id, r in rows.items():
+        assert tuple(ora[doc_id]) == (
+            r["doc_id"],
+            r["source"],
+            r["n_toks"],
+            r["n_bg"],
+            r["n_oov"],
+            r["oov_milli"],
+            r["kept"],
+        ), doc_id

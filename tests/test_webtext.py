@@ -594,3 +594,57 @@ def test_domain_reputation_and_gate_python_replay(spark):
         ), src
         assert g["kept_tokens"] == tok, src
         assert g["kept_milli"] == (n_convs - n_drop) * 1000 // n_convs
+
+
+def test_context_budget_python_recount(spark):
+    """Whole-corpus recount: replay the turn slice rule, THE token
+    unit, and the suffix-budget rule in pure Python over sf0.001 —
+    every per-source column must match, and per-conversation kept
+    tokens can never exceed the budget."""
+    from documentai_ocr_spark.queries.webtext import (
+        _CTX_BUDGET,
+        q_context_budget,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    agg = {}
+    for doc_id, source, text in zip(
+        docs["doc_id"], docs["source"], docs["text"]
+    ):
+        tk = text.split(" ")
+        ntoks = []
+        for t in range(12):
+            lo = (t * 29) % max(1, len(tk))
+            base = " ".join(tk[lo : lo + 8])
+            ntoks.append(sum(1 for w in base.split(" ") if w != ""))
+        cum = 0
+        turns_kept = tok_kept = 0
+        for t in range(11, -1, -1):
+            cum += ntoks[t]
+            if cum <= _CTX_BUDGET:
+                turns_kept += 1
+                tok_kept += ntoks[t]
+        assert tok_kept <= _CTX_BUDGET
+        a = agg.setdefault(
+            source,
+            {"n": 0, "full": 0, "tk": 0, "tot": 0, "kept": 0},
+        )
+        a["n"] += 1
+        a["full"] += turns_kept == 12
+        a["tk"] += turns_kept
+        a["tot"] += sum(ntoks)
+        a["kept"] += tok_kept
+
+    got = {r["source"]: r for r in q_context_budget(spark, SF).collect()}
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        g = got[src]
+        assert (
+            g["n_convs"],
+            g["convs_full"],
+            g["sum_turns_kept"],
+            g["tok_total"],
+            g["tok_kept"],
+            g["tok_dropped"],
+        ) == (a["n"], a["full"], a["tk"], a["tot"], a["kept"], a["tot"] - a["kept"]), src
+        assert g["mean_turns_kept_milli"] == a["tk"] * 1000 // a["n"]
