@@ -24,7 +24,15 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load, ntok_col, ntok_sql, spread, words_sql
+from .util import (
+    content_hash_col,
+    content_hash_sql,
+    load,
+    ntok_col,
+    ntok_sql,
+    spread,
+    words_sql,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -329,7 +337,7 @@ def x_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh crawl).
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    ch = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")))
+    ch = content_hash_col()
     corpus = d.select(ch.alias("h"))
     sketch = bloom_build(corpus, "h")
 
@@ -1238,7 +1246,7 @@ def _mirrored_text():
       FROM documents
     ),
     c AS (
-      SELECT md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+      SELECT {content_hash_sql()}
                AS ch,
              COUNT(*) AS sz
       FROM decorated GROUP BY 1
@@ -1265,7 +1273,7 @@ def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     ).select(raw.alias("text"))
-    h = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")))
+    h = content_hash_col()
     c = docs.groupBy(h.alias("ch")).agg(F.count(F.lit(1)).alias("sz"))
     return c.groupBy("sz").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
@@ -2389,4 +2397,91 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_types * 1000L div n_tokens")
         .cast("long")
         .alias("type_token_milli"),
+    )
+
+
+# ---------------------------------------------------------- dataset card
+@_q(
+    "q_dataset_card",
+    f"""
+    WITH h AS (SELECT source, doc_id, lang,
+                      {content_hash_sql()} AS ch,
+                      CAST({ntok_sql('text')} AS bigint) AS ntok
+               FROM documents),
+    g AS (SELECT ch, MIN(doc_id) AS keeper FROM h GROUP BY ch)
+    SELECT h.source,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(SUM(h.ntok) AS bigint) AS tok_total,
+           CAST(SUM(h.ntok) * 1000 // COUNT(*) AS bigint)
+             AS mean_ntok_milli,
+           CAST(COUNT(*) FILTER (WHERE h.ntok = 0) AS bigint) AS n_empty,
+           CAST(COUNT(DISTINCT h.lang) AS bigint) AS n_langs,
+           CAST(COUNT(*) FILTER (WHERE h.doc_id <> g.keeper) AS bigint)
+             AS n_redundant,
+           CAST(SUM(CASE WHEN h.doc_id <> g.keeper THEN h.ntok ELSE 0 END)
+                AS bigint) AS redundant_tok,
+           CAST(COUNT(*) FILTER (WHERE h.doc_id <> g.keeper) * 1000
+                // COUNT(*) AS bigint) AS dup_milli
+    FROM h JOIN g USING (ch)
+    GROUP BY h.source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-row-per-source datasheet a
+    corpus release ships (Datasheets for Datasets, Gebru et al., 2021):
+    volume (docs, tokens via THE shared unit, mean length in milli),
+    hygiene (empty docs, exact-dup redundancy under THE shared
+    content-hash rule with earliest-doc_id keeper election — the same
+    normalization q_dedup_exact / q_curation_gate apply, one rendering
+    per engine), and language spread. Dup accounting is CORPUS-global
+    (a mirror in another source still marks this source's copy
+    redundant), matching q_mirror_attribution's attribution rule.
+
+    Scale: one scan computes hash + token count in-row; keeper election
+    is one groupBy on the 16-byte hash (text never moves); the join
+    back is hash-keyed; the final rollup exchanges O(sources) rows.
+    Every statistic is exact integer arithmetic — no float crosses the
+    engine boundary."""
+    d = spread(
+        load(spark, sf_dir, "documents").select(
+            "source", "doc_id", "lang", "text"
+        )
+    )
+    h = d.select(
+        "source",
+        "doc_id",
+        "lang",
+        content_hash_col().alias("ch"),
+        ntok_col("text").cast("long").alias("ntok"),
+    )
+    g = h.groupBy("ch").agg(F.min("doc_id").alias("keeper"))
+    red = F.col("doc_id") != F.col("keeper")
+    return (
+        h.join(g, "ch")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("tok_total"),
+            F.count_if(F.col("ntok") == 0).cast("long").alias("n_empty"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.count_if(red).cast("long").alias("n_redundant"),
+            F.sum(F.when(red, F.col("ntok")).otherwise(0))
+            .cast("long")
+            .alias("redundant_tok"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tok_total",
+            F.expr("tok_total * 1000L div n_docs")
+            .cast("long")
+            .alias("mean_ntok_milli"),
+            "n_empty",
+            "n_langs",
+            "n_redundant",
+            "redundant_tok",
+            F.expr("n_redundant * 1000L div n_docs")
+            .cast("long")
+            .alias("dup_milli"),
+        )
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import guard_allpairs, load, spread
+from .util import content_hash_col, content_hash_sql, guard_allpairs, load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -70,8 +70,8 @@ def _word_shingles(
 # ------------------------------------------------------------------- exact
 @_q(
     "q_dedup_exact",
-    """
-    SELECT md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))
+    f"""
+    SELECT {content_hash_sql()}
              AS content_hash,
            CAST(COUNT(*) AS bigint) AS n_dups,
            CAST(MIN(doc_id) AS bigint) AS canonical_id
@@ -85,7 +85,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Whitespace class is EXPLICIT, not \\s: Java \\s includes \\x0B, RE2's
     does not — the explicit class hashes identically on both engines."""
     docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    h = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")))
+    h = content_hash_col()
     return docs.groupBy(h.alias("content_hash")).agg(
         F.count(F.lit(1)).cast("long").alias("n_dups"),
         F.min("doc_id").cast("long").alias("canonical_id"),

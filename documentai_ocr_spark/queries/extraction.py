@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .util import content_hash_col
 from ..extract import (
     assemble_conversations,
     extract_turns,
@@ -94,7 +95,7 @@ def x_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per conversation."""
     t = transcripts_from_documents(spark, sf_dir)
     convs = assemble_conversations(extract_turns(t))
-    h = F.md5(F.lower(F.regexp_replace("doc_text", r"[ \t\n\x0B\f\r]+", " ")))
+    h = content_hash_col("doc_text")
     return (
         convs.select("conv_id", h.alias("content_hash"))
         .groupBy("content_hash")
@@ -154,9 +155,7 @@ def x_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("empty_frac")
     )
     convs = assemble_conversations(ext)
-    h = F.md5(
-        F.lower(F.regexp_replace("doc_text", r"[ \t\n\x0B\f\r]+", " "))
-    )
+    h = content_hash_col("doc_text")
     scored = convs.select(
         "conv_id",
         F.length("doc_text").cast("long").alias("n_chars"),

@@ -932,3 +932,77 @@ def q_oov_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (oov_milli < _OOV_DROP_MILLI).alias("kept"),
         )
     )
+
+
+# ------------------------------------------------- source KL divergence
+@_q(
+    "q_source_kl",
+    f"""
+    WITH w AS (SELECT source,
+                      unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS w
+               FROM documents),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS bigint) AS c
+           FROM w GROUP BY source, w),
+    st AS (SELECT source, CAST(SUM(c) AS bigint) AS t
+           FROM sw GROUP BY source),
+    cw AS (SELECT w, CAST(SUM(c) AS bigint) AS cc FROM sw GROUP BY w),
+    ct AS (SELECT CAST(SUM(c) AS bigint) AS tc FROM sw)
+    SELECT sw.source,
+           CAST(COUNT(*) AS bigint) AS n_words,
+           CAST(MIN(st.t) AS bigint) AS n_toks,
+           ROUND(SUM((CAST(sw.c AS double) / st.t)
+                     * ln((CAST(sw.c AS double) * ct.tc)
+                          / (CAST(st.t AS double) * cw.cc))), 6) AS kl
+    FROM sw JOIN st USING (source) JOIN cw USING (w) CROSS JOIN ct
+    GROUP BY sw.source
+    """,
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the distribution-shift audit a mixing run consults before
+    reweighting: a source whose word distribution has drifted far from
+    the corpus (high KL) is either a genuinely different domain or a
+    contamination/crawl-bug signal. KL(source ‖ corpus) = Σ_w p_s(w) ·
+    ln(p_s(w)/p_c(w)) over words the source actually uses (p_s > 0;
+    p_c > 0 always, since the corpus marginal includes every source's
+    counts — no smoothing needed, the estimator is exact).
+
+    Float discipline (the q_unigram_logprob precedent): every term is
+    derived once from four exact integers — (c·tc)/(t·cc) inside one
+    ln, weighted by c/t — and ROUND(…, 6) is applied once after the
+    per-source sum. Scale: one (source, word) partial agg (map-side
+    combined), then the source-totals and corpus-word dims — O(sources)
+    and O(vocab) — join back; the corpus total is a 1-row broadcast.
+    Final exchange is O(sources × vocab-per-source), never the token
+    stream."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("source", "text")
+    )
+    w = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    sw = w.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    st = sw.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    cw = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cc"))
+    ct = sw.agg(F.sum("c").cast("long").alias("tc"))
+    term = (F.col("c").cast("double") / F.col("t")) * F.log(
+        (F.col("c").cast("double") * F.col("tc"))
+        / (F.col("t").cast("double") * F.col("cc"))
+    )
+    return (
+        sw.join(F.broadcast(st), "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.min("t").cast("long").alias("n_toks"),
+            F.round(F.sum(term), 6).alias("kl"),
+        )
+    )

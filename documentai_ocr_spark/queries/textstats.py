@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .util import load, ntok_col, ntok_sql, spread
+from .util import content_hash_col, content_hash_sql, load, ntok_col, ntok_sql, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -283,7 +283,7 @@ def q_model_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ curation gate
 @_q(
     "q_curation_gate",
-    """
+    f"""
     WITH f AS (
       SELECT doc_id,
              length(text) AS n,
@@ -291,7 +291,7 @@ def q_model_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN length(text) > 0 THEN
                CAST(length(regexp_replace(text, '[^0-9A-Za-z一-龥]', '', 'g'))
                     AS double) / length(text) ELSE 0.0 END AS dens,
-             md5(lower(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS h
+             {content_hash_sql()} AS h
       FROM documents
     ),
     canon AS (
@@ -328,7 +328,7 @@ def q_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / n,
     ).otherwise(F.lit(0.0))
-    h = F.md5(F.lower(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")))
+    h = content_hash_col()
     f = docs.select(
         "doc_id",
         n.alias("n"),

@@ -77,3 +77,26 @@ def ntok_col(col):
 
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.filter(F.split(c, " "), lambda x: x != ""))
+
+
+# -------------------------------------------- shared content-hash rule
+# THE normalized-content dedup hash — md5 of lowercase text with runs
+# of the EXPLICIT whitespace class [ \t\n\x0B\f\r] collapsed to one
+# space (explicit, not \s: Java's \s includes \x0B, RE2's does not —
+# the explicit class hashes identically on both engines). ONE rendering
+# per engine, shared by exact dedup, the curation gate, dup inflation,
+# the bloom probe front door, conversation-grain dedup and the dataset
+# card — a change to the normalization edits these two functions and
+# nothing else.
+def content_hash_sql(col: str = "text") -> str:
+    """DuckDB rendering of the normalized-content hash of ``col``."""
+    return (
+        "md5(lower(regexp_replace(" + col + ", '[ \t\n\x0B\f\r]+', ' ', 'g')))"
+    )
+
+
+def content_hash_col(col: str = "text"):
+    """Spark rendering of the normalized-content hash of ``col``."""
+    from pyspark.sql import functions as F
+
+    return F.md5(F.lower(F.regexp_replace(col, r"[ \t\n\x0B\f\r]+", " ")))

@@ -466,3 +466,65 @@ def test_bloom_merge_law_across_snapshots(spark):
     a = bloom_build(docs.where(F.col("doc_id") % 2 == 0).select(col), "h")
     b = bloom_build(docs.where(F.col("doc_id") % 2 == 1).select(col), "h")
     assert [x | y for x, y in zip(a, b)] == full
+
+
+def test_dataset_card_python_recount_and_dedup_reconciliation(spark):
+    """Whole-corpus python replay of every dataset-card column on
+    sf0.001 (shared content-hash rule, THE token unit, global keeper
+    election), plus the cross-operator reconciliation: redundancy
+    summed over sources equals n_docs - distinct content hashes — the
+    same quantity q_dedup_exact's cluster table implies."""
+    import re
+
+    import hashlib
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.corpusops import q_dataset_card
+    from documentai_ocr_spark.queries.dedup import q_dedup_exact
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+
+    def ch(text):
+        norm = re.sub("[ \t\n\x0b\f\r]+", " ", text).lower()
+        return hashlib.md5(norm.encode()).hexdigest()
+
+    hashes = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        hashes.setdefault(ch(text), []).append(doc_id)
+    keeper = {h: min(ids) for h, ids in hashes.items()}
+
+    agg = {}
+    for doc_id, source, lang, text in zip(
+        docs["doc_id"], docs["source"], docs["lang"], docs["text"]
+    ):
+        ntok = sum(1 for w in text.split(" ") if w != "")
+        a = agg.setdefault(
+            source,
+            {"n": 0, "tok": 0, "empty": 0, "langs": set(), "red": 0,
+             "redtok": 0},
+        )
+        a["n"] += 1
+        a["tok"] += ntok
+        a["empty"] += ntok == 0
+        a["langs"].add(lang)
+        if doc_id != keeper[ch(text)]:
+            a["red"] += 1
+            a["redtok"] += ntok
+
+    got = {r["source"]: r for r in q_dataset_card(spark, sf).collect()}
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        g = got[src]
+        assert (
+            g["n_docs"], g["tok_total"], g["n_empty"], g["n_langs"],
+            g["n_redundant"], g["redundant_tok"],
+        ) == (a["n"], a["tok"], a["empty"], len(a["langs"]), a["red"],
+              a["redtok"]), src
+        assert g["mean_ntok_milli"] == a["tok"] * 1000 // a["n"]
+        assert g["dup_milli"] == a["red"] * 1000 // a["n"]
+
+    dedup = q_dedup_exact(spark, sf).collect()
+    n_clusters = len(dedup)
+    n_docs = sum(r["n_dups"] for r in dedup)
+    assert sum(g["n_redundant"] for g in got.values()) == n_docs - n_clusters

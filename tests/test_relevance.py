@@ -417,3 +417,51 @@ def test_oov_gate_engineered_verdicts(spark, tmp_path):
             r["oov_milli"],
             r["kept"],
         ), doc_id
+
+
+def test_source_kl_python_recount_and_gibbs(spark):
+    """Whole-corpus replay of the KL estimator in pure Python over
+    sf0.001 (agreement to the 6-decimal published precision) plus the
+    Gibbs inequality: every per-source KL to the corpus marginal is
+    >= 0, and a single-source corpus is exactly 0."""
+    import math
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relevance import q_source_kl
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    sw, st, cw = {}, {}, {}
+    for source, text in zip(docs["source"], docs["text"]):
+        for w in text.split(" "):
+            if w == "":
+                continue
+            sw[(source, w)] = sw.get((source, w), 0) + 1
+            st[source] = st.get(source, 0) + 1
+            cw[w] = cw.get(w, 0) + 1
+    tc = sum(cw.values())
+    kl = {}
+    nw = {}
+    for (source, w), c in sw.items():
+        t = st[source]
+        kl[source] = kl.get(source, 0.0) + (c / t) * math.log(
+            (c * tc) / (t * cw[w])
+        )
+        nw[source] = nw.get(source, 0) + 1
+
+    got = {r["source"]: r for r in q_source_kl(spark, sf).collect()}
+    assert set(got) == set(kl)
+    for src in kl:
+        g = got[src]
+        assert (g["n_words"], g["n_toks"]) == (nw[src], st[src])
+        assert abs(g["kl"] - round(kl[src], 6)) <= 2e-6, src
+        assert g["kl"] >= 0.0, src  # Gibbs: KL to the marginal
+
+    one = docs[docs["source"] == docs["source"].iloc[0]]
+    # single-source corpus: source marginal IS the corpus marginal
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        one.to_parquet(os.path.join(d, "documents.parquet"))
+        solo = q_source_kl(spark, d).collect()
+        assert len(solo) == 1 and solo[0]["kl"] == 0.0
