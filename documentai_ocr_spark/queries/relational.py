@@ -3675,3 +3675,74 @@ def q_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rate_per_day_milli"),
     )
+
+
+# ------------------------------------------------- event-type audience overlap
+@_q(
+    "q_event_overlap",
+    """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    c AS (SELECT event_type, CAST(COUNT(*) AS bigint) AS n
+          FROM tu GROUP BY event_type),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS bigint) AS n_both
+          FROM tu a JOIN tu b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both,
+           ca.n AS n_a, cb.n AS n_b,
+           1000 * n_both // (ca.n + cb.n - n_both) AS jaccard_milli
+    FROM p JOIN c ca ON ca.event_type = p.type_a
+           JOIN c cb ON cb.event_type = p.type_b
+    """,
+)
+def q_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every co-observed pair
+    of event types, the exact Jaccard (integer milli) of their user
+    sets — the feature-adoption / cannibalization matrix a product
+    analytics team reads, and for a training pipeline the signal for
+    which interaction modes share an audience (pairs with zero common
+    users emit no row — there is nothing to measure). Set algebra is
+    exact integers end to end.
+
+    Scale: one (event_type, user) dedup exchange, then a user-keyed
+    self-equi-join whose per-user expansion is bounded by the number of
+    DISTINCT event types (a fixed product-schema constant, like
+    q_engine_winrate's in-row pair expansion — never n² in users); the
+    type-cardinality dim is O(types) and broadcast back onto the
+    O(types²) pair frame."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    tu = ev.distinct()
+    c = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = tu.alias("a")
+    b = tu.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("1000 * n_both div (n_a + n_b - n_both)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )

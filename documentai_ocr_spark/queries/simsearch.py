@@ -1366,3 +1366,97 @@ def q_neardup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hamming")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+# ----------------------------------------------------- split-half drift
+@_q(
+    "q_embed_drift",
+    """
+    WITH h AS (SELECT label, CAST(vec_id % 2 AS int) AS half, embedding
+               FROM embeddings),
+    m AS (SELECT label, half, CAST(g.i - 1 AS int) AS dim,
+                 ROUND(SUM(CAST(embedding[i] AS double)) / COUNT(*), 6)
+                   AS mu,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM h, unnest(generate_series(1, len(embedding))) g(i)
+          GROUP BY label, half, g.i),
+    j AS (SELECT a.label, a.dim,
+                 a.mu AS ma, b.mu AS mb, a.n AS na, b.n AS nb
+          FROM m a JOIN m b
+            ON a.label = b.label AND a.dim = b.dim
+           AND a.half = 0 AND b.half = 1)
+    SELECT label,
+           CAST(MIN(na) AS bigint) AS n_a,
+           CAST(MIN(nb) AS bigint) AS n_b,
+           CAST(round(sqrt(list_reduce(
+                  list((ma - mb) * (ma - mb) ORDER BY dim),
+                  (x, y) -> x + y)) * 1000) AS bigint) AS drift_milli
+    FROM j GROUP BY label
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half embedding drift per label: the train/serve-skew audit
+    — halve each label's vectors by the vec_id parity coin, compute both
+    halves' centroids (the SAME per-(label,dim) mean rule as
+    CENTROID_CTE: one double division, rounded once at 6), and report
+    the Euclidean distance between them in integer milli. On an i.i.d.
+    corpus the halves estimate the same mean, so drift ≈ 0 up to
+    sampling noise; a pipeline bug that routes systematically different
+    vectors into one path shows up as a label whose halves disagree.
+    Labels present in only one half have no comparison and emit no row.
+
+    Float discipline: half-centroids are rounded-6 doubles derived from
+    identical integers+floats on both engines; the cross-dim sum runs
+    as an ORDERED left fold over the dim-sorted diff list (seeded 0.0 ==
+    DuckDB's seedless list_reduce — 0.0 + x is exact), so the final
+    ×1000 round can never straddle engines. Scale: one (label, half,
+    dim) partial agg — O(labels × 2 × dims) output — then dims-bounded
+    joins; nothing touches the vector corpus twice."""
+    e = spread(load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding"))
+    h = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        "embedding",
+    )
+    m = (
+        h.select(
+            "label", "half", F.posexplode("embedding").alias("dim", "x")
+        )
+        .groupBy("label", "half", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("mu"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    a = m.where(F.col("half") == 0).select(
+        "label", "dim", F.col("mu").alias("ma"), F.col("n").alias("na")
+    )
+    b = m.where(F.col("half") == 1).select(
+        "label", "dim", F.col("mu").alias("mb"), F.col("n").alias("nb")
+    )
+    j = a.join(b, ["label", "dim"]).select(
+        "label",
+        "dim",
+        "na",
+        "nb",
+        ((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias(
+            "sq"
+        ),
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "sq"))),
+            lambda s: s.sq,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return j.groupBy("label").agg(
+        F.min("na").cast("long").alias("n_a"),
+        F.min("nb").cast("long").alias("n_b"),
+        F.round(F.sqrt(fold) * 1000)
+        .cast("long")
+        .alias("drift_milli"),
+    )

@@ -56,3 +56,46 @@ def test_activity_span_python_recount(spark):
             int(span),
             rate,
         ), uid
+
+
+def test_event_overlap_python_recount(spark):
+    """Whole-corpus set-algebra replay of q_event_overlap on sf0.001:
+    exact user-set Jaccard per co-observed type pair, canonical pair
+    orientation, and the subset bound n_both <= min(n_a, n_b)."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.relational import q_event_overlap
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    users = {}
+    for t, u in zip(ev["event_type"], ev["user_id"]):
+        users.setdefault(t, set()).add(u)
+    types = sorted(users)
+    want = {}
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            both = len(users[ta] & users[tb])
+            if both == 0:
+                continue
+            union = len(users[ta] | users[tb])
+            want[(ta, tb)] = (
+                both,
+                len(users[ta]),
+                len(users[tb]),
+                1000 * both // union,
+            )
+
+    rows = q_event_overlap(spark, "/root/testdata/sf0.001").collect()
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_both"],
+            r["n_a"],
+            r["n_b"],
+            r["jaccard_milli"],
+        )
+        for r in rows
+    }
+    assert got == want
+    for (ta, tb), (both, na, nb, _) in got.items():
+        assert ta < tb
+        assert both <= min(na, nb)

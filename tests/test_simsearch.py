@@ -375,3 +375,47 @@ def test_neardup_hist_reconciles_with_banded_pairs(spark):
     assert all(0 <= r.hamming <= _SIMHASH_HAMMING_MAX for r in hist)
     n_pairs = q_simhash_pairs_banded(spark, sf).count()
     assert sum(r.n_pairs for r in hist) == n_pairs
+
+
+def test_embed_drift_python_recount(spark):
+    """Whole-corpus replay of q_embed_drift on sf0.001: numpy
+    half-centroids (rounded once at 6), ordered cross-dim fold,
+    HALF_UP milli quantization — every label row must match. Also the
+    i.i.d. sanity bound: parity halves of one label estimate the same
+    mean, so drift is small relative to the embedding scale."""
+    import math
+
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.simsearch import q_embed_drift
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    halves = {}
+    for vec_id, label, v in zip(
+        emb["vec_id"], emb["label"], emb["embedding"]
+    ):
+        halves.setdefault((label, vec_id % 2), []).append(
+            [float(x) for x in v]
+        )
+    want = {}
+    labels = {lb for lb, _ in halves}
+    for lb in labels:
+        if (lb, 0) not in halves or (lb, 1) not in halves:
+            continue
+        va, vb = halves[(lb, 0)], halves[(lb, 1)]
+        dims = len(va[0])
+        ma = [round(sum(v[d] for v in va) / len(va), 6) for d in range(dims)]
+        mb = [round(sum(v[d] for v in vb) / len(vb), 6) for d in range(dims)]
+        acc = 0.0
+        for d in range(dims):  # ordered fold, dim ascending
+            acc = acc + (ma[d] - mb[d]) * (ma[d] - mb[d])
+        drift = math.floor(math.sqrt(acc) * 1000 + 0.5)
+        want[lb] = (len(va), len(vb), drift)
+
+    got = {
+        r["label"]: (r["n_a"], r["n_b"], r["drift_milli"])
+        for r in q_embed_drift(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want
+    for _, _, drift in got.values():
+        assert drift < 1000  # halves of an i.i.d. label stay close

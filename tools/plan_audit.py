@@ -68,6 +68,12 @@ BOUNDED_OK = {
         "PRODUCT-JOIN",
         "crossJoin of a 1-row broadcast doc-count dim — scalar broadcast",
     ),
+    "q_source_kl": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast corpus-token-total dim onto "
+        "the (source, word) count frame — scalar broadcast, constant "
+        "fan-out (the q_bm25 pattern)",
+    ),
     "q_unigram_logprob": (
         "PRODUCT-JOIN",
         "crossJoin of a 1-row broadcast corpus-token-total dim",
