@@ -2485,3 +2485,83 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_milli"),
         )
     )
+
+
+# ----------------------------------------------------- vocab coverage curve
+# "How big must the vocabulary be?" — the coverage curve a tokenizer
+# design reads: fraction of the corpus token stream covered by the top-K
+# word types, on a fixed K grid. The curve's knee sets the vocab size /
+# UNK-rate trade-off before a BPE run is paid for.
+_VCOV_GRID = (1, 2, 4, 8, 16, 32)
+_VCOV_KMAX = max(_VCOV_GRID)
+
+
+@_q(
+    "q_vocab_coverage",
+    f"""
+    WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS w
+               FROM documents),
+    c AS (SELECT w, CAST(COUNT(*) AS bigint) AS cnt FROM w GROUP BY w),
+    t AS (SELECT CAST(SUM(cnt) AS bigint) AS total FROM c),
+    top AS (SELECT w, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, w) AS r
+            FROM c ORDER BY cnt DESC, w LIMIT {_VCOV_KMAX}),
+    grid(k) AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in _VCOV_GRID)}) g(k))
+    SELECT CAST(g.k AS int) AS k,
+           CAST(COUNT(top.w) AS bigint) AS n_types,
+           CAST(COALESCE(SUM(top.cnt), 0) AS bigint) AS covered_tokens,
+           CAST(1000 * COALESCE(SUM(top.cnt), 0) // MIN(t.total)
+                AS bigint) AS coverage_milli
+    FROM grid g LEFT JOIN top ON top.r <= g.k CROSS JOIN t
+    GROUP BY g.k
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K vocabulary coverage curve over THE shared word unit: for
+    each K on the fixed grid, how many token occurrences the K most
+    frequent word types cover (exact integer milli). Ties in count are
+    broken by the word itself, so the ranking — and therefore every
+    point of the published curve — is deterministic on both engines.
+    A corpus with fewer than K types reports all of them (n_types <
+    k, coverage still exact).
+
+    Scale: one (word) partial agg builds the vocab dim, the global
+    top-K_max is a TakeOrderedAndProject (heap per partition + K_max-row
+    merge on the driver — NEVER a full sort of the vocab dim), and
+    everything after runs on ≤{_VCOV_KMAX} rows: the rank window, the
+    {len(_VCOV_GRID)}-row grid join (bounded non-equi — the
+    q_conv_retention post-agg pattern), and the 1-row total dim."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    w = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w")
+    )
+    c = w.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = c.agg(F.sum("cnt").cast("long").alias("total"))
+    top = (
+        c.orderBy(F.desc("cnt"), "w")
+        .limit(_VCOV_KMAX)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("cnt"), "w")
+            ),
+        )
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(k,) for k in _VCOV_GRID], "k int"
+    )
+    j = grid.join(top, F.col("r") <= F.col("k"), "left").crossJoin(
+        F.broadcast(t)
+    )
+    return j.groupBy("k").agg(
+        F.count("w").cast("long").alias("n_types"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.expr(
+            "CAST(1000 * COALESCE(SUM(cnt), 0L) div MIN(total) AS bigint)"
+        ).alias("coverage_milli"),
+    )

@@ -261,17 +261,17 @@ def _mh_band_df(docs: DataFrame) -> DataFrame:
     )
 
 
-@_q(
-    "q_minhash_lsh_pairs",
-    f"""
+MINHASH_PAIRS_SQL = f"""
     WITH {_MH_BAND_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS bigint) AS n_shared_bands
     FROM band a JOIN band b
       ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@_q("q_minhash_lsh_pairs", MINHASH_PAIRS_SQL)
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle → 8 minhash signatures (min of a
     seeded md5 = one random permutation each) → 4 bands of 2 → candidate
@@ -1061,4 +1061,60 @@ def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 7, F.lit("train"))
         .otherwise(F.lit("val"))
         .alias("split"),
+    )
+
+
+# --------------------------------------------- near-dup method agreement
+@_q(
+    "q_neardup_agreement",
+    f"""
+    WITH mh AS (SELECT doc_a, doc_b, 1 AS m
+                FROM ({MINHASH_PAIRS_SQL}) zmh),
+    sh AS (SELECT DISTINCT doc_a, doc_b, 1 AS s
+           FROM ({SIMHASH_WIDE_PAIRS_SQL}) zsh),
+    j AS (SELECT m, s FROM mh FULL JOIN sh USING (doc_a, doc_b))
+    SELECT CASE WHEN m IS NOT NULL AND s IS NOT NULL THEN 'both'
+                WHEN m IS NOT NULL THEN 'minhash_only'
+                ELSE 'simhash_only' END AS method,
+           CAST(COUNT(*) AS bigint) AS n_pairs
+    FROM j GROUP BY 1
+    """,
+)
+def q_neardup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the two banded near-dup detectors:
+    the MinHash-LSH candidate pairs (shingle-set similarity — THE
+    q_minhash_lsh_pairs output, same code path) against the 120-bit
+    banded SimHash pairs at hamming ≤ {_SIMHASH_W_HAMMING_MAX}
+    (token-multiset similarity — THE q_simhash_wide_banded output).
+    The ≤3-row both / minhash_only / simhash_only breakdown is the
+    estimator-ensemble diagnostic a curation team reads before picking
+    one detector or requiring consensus: the two measure DIFFERENT
+    similarity notions (3-gram shingle Jaccard vs weighted token
+    hamming), so disjoint tails are expected — what matters is the
+    'both' core and which tail each method owns.
+
+    Scale: both inputs are the already-bounded banded pair sets
+    (bucket equi-joins, never n²); the full outer join keys on the
+    pair id and the final rollup is 3 groups. Maximal reuse: this op
+    calls the registered queries' own builders, so its verdict is
+    definitionally about the production detectors, not a re-derivation
+    that could drift."""
+    mh = (
+        q_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("m", F.lit(1))
+    )
+    sh = (
+        q_simhash_wide_banded(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("s", F.lit(1))
+    )
+    j = mh.join(sh, ["doc_a", "doc_b"], "full")
+    method = (
+        F.when(F.col("m").isNotNull() & F.col("s").isNotNull(), "both")
+        .when(F.col("m").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    return j.groupBy(method.alias("method")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
     )

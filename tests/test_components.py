@@ -241,3 +241,26 @@ def test_minhash_calibration_python_recount(spark):
         assert g["mean_jac_milli"] == sum(jms) // len(jms)
         assert g["min_jac_milli"] == min(jms)
         assert g["max_jac_milli"] == max(jms)
+
+
+def test_neardup_agreement_reconciles_with_both_detectors(spark):
+    """The agreement table's margins must equal the production
+    detectors' own pair counts: both+minhash_only == |minhash pairs|,
+    both+simhash_only == |simhash pairs| — by construction it CALLS
+    those detectors, so a drift here means the composition broke."""
+    from documentai_ocr_spark.queries.dedup import (
+        q_minhash_lsh_pairs,
+        q_neardup_agreement,
+        q_simhash_wide_banded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["method"]: r["n_pairs"]
+            for r in q_neardup_agreement(spark, sf).collect()}
+    n_mh = q_minhash_lsh_pairs(spark, sf).count()
+    n_sh = q_simhash_wide_banded(spark, sf).select(
+        "doc_a", "doc_b"
+    ).distinct().count()
+    both = rows.get("both", 0)
+    assert both + rows.get("minhash_only", 0) == n_mh
+    assert both + rows.get("simhash_only", 0) == n_sh

@@ -528,3 +528,42 @@ def test_dataset_card_python_recount_and_dedup_reconciliation(spark):
     n_clusters = len(dedup)
     n_docs = sum(r["n_dups"] for r in dedup)
     assert sum(g["n_redundant"] for g in got.values()) == n_docs - n_clusters
+
+
+def test_vocab_coverage_python_recount_and_monotone(spark):
+    """Whole-corpus recount of the coverage curve on sf0.001 (exact
+    word counts, deterministic (-cnt, word) tie-break, integer-milli
+    points), plus curve shape: coverage is non-decreasing in K and
+    reaches 1000 once K exceeds the type count."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.corpusops import (
+        _VCOV_GRID,
+        q_vocab_coverage,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cnt = {}
+    for text in docs["text"]:
+        for w in text.split(" "):
+            if w != "":
+                cnt[w] = cnt.get(w, 0) + 1
+    total = sum(cnt.values())
+    ranked = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))
+
+    got = {
+        r["k"]: r
+        for r in q_vocab_coverage(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(_VCOV_GRID)
+    prev = -1
+    for k in sorted(_VCOV_GRID):
+        top = ranked[:k]
+        cov = sum(c for _, c in top)
+        g = got[k]
+        assert (g["n_types"], g["covered_tokens"]) == (len(top), cov), k
+        assert g["coverage_milli"] == 1000 * cov // total
+        assert g["coverage_milli"] >= prev
+        prev = g["coverage_milli"]
+    if len(ranked) <= max(_VCOV_GRID):
+        assert got[max(_VCOV_GRID)]["coverage_milli"] == 1000

@@ -156,6 +156,13 @@ BOUNDED_OK = {
         "suffix-cumulative retention over the fixed 20-row "
         "threshold-grid frame post-aggregation",
     ),
+    "q_vocab_coverage": (
+        ("EMPTY-WINDOW", "PRODUCT-JOIN"),
+        "rank window and grid non-equi join both run AFTER the global "
+        "top-K_max LIMIT (TakeOrderedAndProject) — ≤32-row frame × "
+        "6-row grid plus the 1-row total dim; the vocab dim itself is "
+        "never globally sorted",
+    ),
 }
 
 
@@ -262,7 +269,12 @@ def main() -> int:
         notes = []
         if name in BOUNDED_OK:
             pfx, why = BOUNDED_OK[name]
-            kept = [fl for fl in flags if not fl.startswith(pfx)]
+            prefixes = pfx if isinstance(pfx, tuple) else (pfx,)
+            kept = [
+                fl
+                for fl in flags
+                if not any(fl.startswith(p) for p in prefixes)
+            ]
             if len(kept) < len(flags):
                 notes.append(f"bounded-ok: {why}")
             flags = kept
