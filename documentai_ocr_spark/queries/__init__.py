@@ -51,4 +51,69 @@ for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(getattr(_m, "ORACLES", {}))
 
-__all__ = ["QUERIES", "ORACLES"]
+# Governance registry for the rows-only entries: every query WITHOUT a
+# DuckDB oracle must be listed here with the reason it cannot be
+# SQL-gated AND the check that gates it instead. Enforced by
+# tests/test_guards.py: a new rows-only query without a reason (or a
+# stale reason for a query that gained an oracle) fails the suite.
+# Naming contract: q_* ⇒ oracled, x_* ⇒ rows-only.
+_SYNTH_INPUT = (
+    "consumes the mapInPandas-synthesized transcripts — no DuckDB view "
+    "can reproduce the input; semantics separately oracled via "
+    "q_extract_plain_runs / q_pdfish_line_decode / q_span_stats_plain / "
+    "q_agreement_vote and the golden byte-equality suite"
+)
+_RECALL_GATED = (
+    "approximate by design — gated by a recall floor against the exact "
+    "kNN anchor (tests/test_simsearch.py)"
+)
+_SKETCH_GATED = (
+    "fixed-size sketch — gated by its error bound (FPR / overcount / "
+    "relative-sd) and the merge laws (tests/test_corpusops.py, "
+    "test_property.py)"
+)
+ROWS_ONLY = {
+    "x_extract_turns": _SYNTH_INPUT,
+    "x_assemble_convs": _SYNTH_INPUT,
+    "x_conv_dedup": _SYNTH_INPUT,
+    "x_corpus_curate": _SYNTH_INPUT,
+    "x_transcript_curate": _SYNTH_INPUT,
+    "x_extract_fused": _SYNTH_INPUT,
+    "x_extract_vote": _SYNTH_INPUT,
+    "x_extract_ab_diff": _SYNTH_INPUT,
+    "x_word_boxes": _SYNTH_INPUT,
+    "x_span_stats": _SYNTH_INPUT,
+    "x_knn_lsh": _RECALL_GATED,
+    "x_knn_ivf": _RECALL_GATED,
+    "x_knn_ivf_sq8": _RECALL_GATED,
+    "x_ann_rerank": _RECALL_GATED,
+    "x_semdedup": (
+        "iterative k-means clustering — gated by a 0.95 recall floor "
+        "against the all-pairs anchor (tests/test_simsearch.py)"
+    ),
+    "x_canonical_election": (
+        "iterative PageRank keeper election — pinned against a numpy "
+        "power-iteration reference (tests/test_simsearch.py)"
+    ),
+    "x_neardup_centrality": (
+        "iterative PageRank over the near-dup graph — pinned against "
+        "numpy (tests/test_simsearch.py)"
+    ),
+    "x_bloom_dedup": _SKETCH_GATED,
+    "x_cms_heavyhitters": _SKETCH_GATED,
+    "x_hll_cardinality": _SKETCH_GATED,
+    "x_length_quantiles_approx": (
+        "percentile_approx sketch — bracket-pinned against the exact "
+        "q_length_quantiles order statistics (tests/test_relevance.py)"
+    ),
+    "x_bpe_encode": (
+        "iterative merge-table application — whole-corpus pure-Python "
+        "recount (tests/test_transcript_ops.py)"
+    ),
+    "x_compression_ratio": (
+        "zlib byte counts — DuckDB has no zlib; whole-corpus "
+        "pure-Python recount (tests/test_webtext.py)"
+    ),
+}
+
+__all__ = ["QUERIES", "ORACLES", "ROWS_ONLY"]

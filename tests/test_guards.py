@@ -357,3 +357,20 @@ def test_length_quantiles_exact_is_guarded(spark, monkeypatch):
     monkeypatch.setattr(util, "ALLPAIRS_MAX_ROWS", 3)
     with pytest.raises(RuntimeError, match="capped"):
         q_length_quantiles(spark, "/root/testdata/sf0.001")
+
+
+def test_rows_only_registry_is_exhaustive_and_named():
+    """Governance: the oracle surface can only shrink LOUDLY. Every
+    registered query either has a DuckDB oracle (and is named q_*) or
+    appears in ROWS_ONLY with the reason it cannot be SQL-gated and
+    the check that gates it instead (and is named x_*). A new
+    rows-only query without a reason — or a stale reason for a query
+    that gained an oracle or left the registry — fails here."""
+    from documentai_ocr_spark.queries import ORACLES, QUERIES, ROWS_ONLY
+
+    non_oracled = set(QUERIES) - set(ORACLES)
+    assert non_oracled == set(ROWS_ONLY)
+    for name in QUERIES:
+        assert name.startswith("x_" if name in ROWS_ONLY else "q_"), name
+    for name, reason in ROWS_ONLY.items():
+        assert "tests/" in reason or "oracled via" in reason, name
