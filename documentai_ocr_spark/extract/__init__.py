@@ -5,6 +5,7 @@ from .core import (
     assemble_conversations,
     extract_batch,
     extract_turns,
+    extract_turns_arrow,
     extract_word_boxes,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "assemble_conversations",
     "extract_batch",
     "extract_turns",
+    "extract_turns_arrow",
     "extract_word_boxes",
 ]

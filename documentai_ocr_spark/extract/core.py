@@ -143,6 +143,66 @@ def extract_turns(
     return src.mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
+def extract_turns_arrow(
+    transcripts: DataFrame, plain_variant: str = "density"
+) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_turns`: identical kernel,
+    identical output (byte-equal — pinned by tests/test_extract_units),
+    but the Python boundary exchanges ``pyarrow.RecordBatch`` directly
+    instead of round-tripping each batch through a pandas block
+    manager. The classify/extract math already runs on Arrow buffers
+    and numpy (classify_payload_batch builds a ``pa.array`` first
+    thing), so the pandas frame in the middle is pure conversion
+    overhead — this path hands the kernel the batch Arrow gave us and
+    serializes the result straight back (one ``from_pandas`` on the
+    OUTPUT columns only, with an explicit schema so list<struct> spans
+    never infer). Same narrow no-shuffle plan: scan → project →
+    MapInArrow. Use whichever boundary profiles faster on the target
+    wheel; the contract is that both exist and agree byte-for-byte."""
+    import pyarrow as pa
+
+    if plain_variant not in PLAIN_VARIANTS:
+        raise ValueError(f"unknown plain_variant {plain_variant!r}")
+    src = transcripts.select("conv_id", "turn_idx", "role", "text")
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("payload_kind", pa.string()),
+            ("text", pa.string()),
+            (
+                "spans",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("beg", pa.int32()),
+                            ("end", pa.int32()),
+                            ("kind", pa.string()),
+                            ("score", pa.float64()),
+                        ]
+                    )
+                ),
+            ),
+            ("n_spans", pa.int32()),
+        ]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from .textops import pin_arrow_pools
+
+        pin_arrow_pools()
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            out = extract_batch(rb.to_pandas(), plain_variant)
+            yield pa.RecordBatch.from_pandas(
+                out, schema=out_schema, preserve_index=False
+            )
+
+    return src.mapInArrow(run, schema=EXTRACT_SCHEMA)
+
+
 WORD_BOX_SCHEMA = (
     "conv_id string, turn_idx int, line_no int, word_no int, "
     "beg_px double, end_px double"
