@@ -3746,3 +3746,94 @@ def q_event_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- activity concentration
+_GINI_BUCKETS = 64
+
+
+@_q(
+    "q_gini_activity",
+    """
+    WITH cnt AS (SELECT event_type, user_id, CAST(COUNT(*) AS bigint) AS x
+                 FROM events GROUP BY event_type, user_id),
+    r AS (SELECT event_type, x,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY x, user_id) AS r
+          FROM cnt)
+    SELECT event_type,
+           CAST(COUNT(*) AS bigint) AS n_users,
+           CAST(SUM(x) AS bigint) AS n_events,
+           CAST((1000 * (2 * SUM(r * x) - (COUNT(*) + 1) * SUM(x)))
+                // (COUNT(*) * SUM(x)) AS bigint) AS gini_milli
+    FROM r GROUP BY event_type
+    """,
+)
+def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Gini) per event type: how unequal the
+    per-user event distribution is — the bot/whale screen a pipeline
+    reads before trusting engagement counts (uniform usage → 0;
+    one-user dominance → →1000). Exact integer milli from the rank
+    formula G = (2·Σ r·x − (n+1)·Σx)/(n·Σx) over users ranked
+    ascending by (count, user_id) — ties broken deterministically, no
+    floats anywhere.
+
+    Scale — ranks WITHOUT a whole-type window (the q_score_calibration
+    / q_epoch_shuffle two-phase): the oracle's `row_number() OVER
+    (PARTITION BY event_type ORDER BY x)` would sort every user of a
+    type in ONE task, and there are O(5) types. Instead (1) bucket
+    users by equal-width VALUE ranges of x (monotone in x, ties share
+    a bucket), (2) a tiny per-(type, bucket) count dim yields each
+    bucket's exclusive prefix via an O(types×buckets) post-agg window,
+    (3) row_number runs within (type, bucket) — ~1/64 of a type per
+    task — plus the prefix offset. Identical ranks to the single
+    window, oracle-gated. The (type,user) count agg is the only
+    corpus-scale exchange."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    lo, hi = cnt.agg(F.min("x"), F.max("x")).first()
+    lo, hi = (lo or 0), (hi or 0)
+    width = max(1, (hi - lo + _GINI_BUCKETS) // _GINI_BUCKETS)
+    cnt = cnt.withColumn(
+        "vbucket", ((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    cdim = cnt.groupBy("event_type", "vbucket").agg(
+        F.count(F.lit(1)).alias("bcnt")
+    )
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("vbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdim = cdim.select(
+        "event_type",
+        "vbucket",
+        F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("roff"),
+    )
+    wrk = Window.partitionBy("event_type", "vbucket").orderBy(
+        "x", "user_id"
+    )
+    ranked = cnt.join(F.broadcast(cdim), ["event_type", "vbucket"]).select(
+        "event_type",
+        "x",
+        (F.col("roff") + F.row_number().over(wrk)).cast("long").alias("r"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("x").cast("long").alias("n_events"),
+            F.sum(F.col("r") * F.col("x")).cast("long").alias("srx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            F.expr(
+                "CAST((1000 * (2 * srx - (n_users + 1) * n_events))"
+                " div (n_users * n_events) AS bigint)"
+            ).alias("gini_milli"),
+        )
+    )

@@ -99,3 +99,64 @@ def test_event_overlap_python_recount(spark):
     for (ta, tb), (both, na, nb, _) in got.items():
         assert ta < tb
         assert both <= min(na, nb)
+
+
+def test_gini_activity_python_recount_and_bounds(spark):
+    """Whole-corpus replay of the exact rank-formula Gini on sf0.001
+    plus the degenerate bound: an engineered uniform corpus reads
+    exactly 0, a one-whale corpus reads near 1000."""
+    from documentai_ocr_spark.queries.relational import q_gini_activity
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cnt = {}
+    for t, u in zip(ev["event_type"], ev["user_id"]):
+        cnt[(t, u)] = cnt.get((t, u), 0) + 1
+    per_type = {}
+    for (t, u), x in cnt.items():
+        per_type.setdefault(t, []).append((x, u))
+    want = {}
+    for t, xs in per_type.items():
+        xs.sort()
+        n = len(xs)
+        tot = sum(x for x, _ in xs)
+        srx = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        want[t] = (n, tot, (1000 * (2 * srx - (n + 1) * tot)) // (n * tot))
+
+    got = {
+        r["event_type"]: (r["n_users"], r["n_events"], r["gini_milli"])
+        for r in q_gini_activity(spark, SF).collect()
+    }
+    assert got == want
+    for _, _, g in got.values():
+        assert 0 <= g < 1000
+
+
+def test_gini_activity_degenerate_corpora(spark, tmp_path):
+    """Uniform usage pins gini_milli == 0 exactly; a single whale among
+    minimal users drives it high — through the real two-phase path."""
+    import datetime as dt
+
+    from documentai_ocr_spark.queries.relational import q_gini_activity
+
+    rows = []
+    ts = dt.datetime(2024, 1, 1)
+    eid = 0
+    for u in range(10):  # uniform: 10 users x 3 events
+        for _ in range(3):
+            rows.append((eid, ts, u, "uni", 0.0, "{}")); eid += 1
+    for u in range(9):   # whale type: 9 users x 1 + 1 user x 91
+        rows.append((eid, ts, 100 + u, "whale", 0.0, "{}")); eid += 1
+    for _ in range(91):
+        rows.append((eid, ts, 999, "whale", 0.0, "{}")); eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = str(tmp_path / "gini")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    got = {r["event_type"]: r for r in q_gini_activity(spark, d).collect()}
+    assert got["uni"]["gini_milli"] == 0
+    # whale: n=10, tot=100, sorted x = [1]*9 + [91]
+    srx = sum((i + 1) * 1 for i in range(9)) + 10 * 91
+    expect = (1000 * (2 * srx - 11 * 100)) // (10 * 100)
+    assert got["whale"]["gini_milli"] == expect and expect > 700
