@@ -76,9 +76,12 @@ def classify_payload_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index)
 
 
-def extract_batch(pdf: pd.DataFrame, plain_variant: str = "density") -> pd.DataFrame:
-    """One Arrow batch of transcript turns → extracted rows (same order)."""
-    texts = pdf["text"].reset_index(drop=True)
+def _extract_arrays(texts: pd.Series, plain_variant: str):
+    """The ONE extraction kernel core, shared by both Python boundaries
+    (:func:`extract_batch` for mapInPandas, :func:`extract_turns_arrow`
+    for mapInArrow): a text Series in, plain output arrays out —
+    (kinds Series, text object-array, spans object-array, n_spans
+    int64-array), all batch-ordered."""
     kinds = classify_payload_batch(texts)
 
     n = len(texts)
@@ -102,7 +105,15 @@ def extract_batch(pdf: pd.DataFrame, plain_variant: str = "density") -> pd.DataF
         text_out[pos] = sub["text"].to_numpy()
         spans_out[pos] = sub["spans"].to_numpy()
         n_spans_out[pos] = sub["n_spans"].to_numpy()
+    return kinds, text_out, spans_out, n_spans_out
 
+
+def extract_batch(pdf: pd.DataFrame, plain_variant: str = "density") -> pd.DataFrame:
+    """One Arrow batch of transcript turns → extracted rows (same order)."""
+    texts = pdf["text"].reset_index(drop=True)
+    kinds, text_out, spans_out, n_spans_out = _extract_arrays(
+        texts, plain_variant
+    )
     return pd.DataFrame(
         {
             "conv_id": pdf["conv_id"].to_numpy(),
@@ -153,12 +164,16 @@ def extract_turns_arrow(
     manager. The classify/extract math already runs on Arrow buffers
     and numpy (classify_payload_batch builds a ``pa.array`` first
     thing), so the pandas frame in the middle is pure conversion
-    overhead — this path hands the kernel the batch Arrow gave us and
-    serializes the result straight back (one ``from_pandas`` on the
-    OUTPUT columns only, with an explicit schema so list<struct> spans
-    never infer). Same narrow no-shuffle plan: scan → project →
-    MapInArrow. Use whichever boundary profiles faster on the target
-    wheel; the contract is that both exist and agree byte-for-byte."""
+    overhead — this path shares the array-level core
+    (:func:`_extract_arrays`) with the pandas boundary: only the text
+    column is lifted to a bare Series (the kernel's masked dispatch is
+    pandas-shaped), conv_id/role pass through as the input's own Arrow
+    arrays untouched, and the output RecordBatch is assembled with
+    ``from_arrays`` against an explicit schema (no output DataFrame, no
+    ``from_pandas``, list<struct> spans never infer). Same narrow
+    no-shuffle plan: scan → project → MapInArrow. Use whichever
+    boundary profiles faster on the target wheel; the contract is that
+    both exist and agree byte-for-byte."""
     import pyarrow as pa
 
     if plain_variant not in PLAIN_VARIANTS:
@@ -188,16 +203,39 @@ def extract_turns_arrow(
         ]
     )
 
+    spans_type = out_schema.field("spans").type
+
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.compute as pc
+
         from .textops import pin_arrow_pools
 
         pin_arrow_pools()
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            out = extract_batch(rb.to_pandas(), plain_variant)
-            yield pa.RecordBatch.from_pandas(
-                out, schema=out_schema, preserve_index=False
+            cols = {
+                name: rb.column(rb.schema.get_field_index(name))
+                for name in ("conv_id", "turn_idx", "role", "text")
+            }
+            # only the text column touches pandas, as a bare Series
+            # (the kernel's masked sub-batch dispatch is pandas-shaped);
+            # no input DataFrame, no block manager
+            texts = cols["text"].to_pandas()
+            kinds, text_out, spans_out, n_spans_out = _extract_arrays(
+                texts, plain_variant
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["conv_id"],  # zero-copy passthrough
+                    pc.cast(cols["turn_idx"], pa.int32()),
+                    cols["role"],  # zero-copy passthrough
+                    pa.array(kinds.to_numpy(), type=pa.string()),
+                    pa.array(text_out, type=pa.string()),
+                    pa.array(spans_out.tolist(), type=spans_type),
+                    pa.array(n_spans_out, type=pa.int32()),
+                ],
+                schema=out_schema,
             )
 
     return src.mapInArrow(run, schema=EXTRACT_SCHEMA)

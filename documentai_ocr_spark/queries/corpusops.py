@@ -1606,7 +1606,7 @@ def q_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
       SELECT source, len({_WORDS_OF}) AS tok,
-             row_number() OVER (PARTITION BY md5(text)
+             row_number() OVER (PARTITION BY {content_hash_sql()}
                                 ORDER BY doc_id) AS rn
       FROM decorated
     )
@@ -1631,7 +1631,7 @@ def q_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", raw.alias("text")
     )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = Window.partitionBy(content_hash_col()).orderBy("doc_id")
     d = docs.select(
         "source",
         _tok_col().alias("tok"),
@@ -1841,8 +1841,8 @@ def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
       SELECT source, doc_id, len({_WORDS_OF}) AS tok,
-             md5(text) AS h,
-             row_number() OVER (PARTITION BY md5(text)
+             {content_hash_sql()} AS h,
+             row_number() OVER (PARTITION BY {content_hash_sql()}
                                 ORDER BY doc_id) AS rn
       FROM decorated
     ),
@@ -1870,7 +1870,7 @@ def q_mirror_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         _tok_col().alias("tok"),
-        F.md5("text").alias("h"),
+        content_hash_col().alias("h"),
     ).withColumn("rn", F.row_number().over(w))
     canon = d.where(F.col("rn") == 1).select(
         "h", F.col("source").alias("canonical_source")

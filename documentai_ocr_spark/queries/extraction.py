@@ -245,33 +245,19 @@ def x_transcript_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary."""
     from .relational import (
         _RETRY_DELAY_MS,
-        _RETRY_MOD,
         _SFT_MIN_TURNS,
         _TURNS_PER_CONV,
         _gate_stats,
         _loss_coin,
+        _retry_coin,
     )
 
     t = transcripts_from_documents(spark, sf_dir)
     doc_int = F.expr("substr(conv_id, 6)").cast("bigint")
 
-    # (1) retries + latest-wins resolution (payload rides the window)
-    retry_coin = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", doc_int, F.col("turn_idx"), F.lit("retry")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _RETRY_MOD
-    )
+    # (1) retries + latest-wins resolution (payload rides the window);
+    # the coin is the ONE rendering shared with q_turn_supersede
+    retry_coin = _retry_coin(doc_int, F.col("turn_idx"))
     attempts = F.when(
         retry_coin == 0, F.array(F.lit(1), F.lit(2))
     ).otherwise(F.array(F.lit(1)))

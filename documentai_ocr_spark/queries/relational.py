@@ -3796,8 +3796,9 @@ def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = cnt.agg(F.min("x"), F.max("x")).first()
     lo, hi = (lo or 0), (hi or 0)
     width = max(1, (hi - lo + _GINI_BUCKETS) // _GINI_BUCKETS)
+    # exact integer floor (`div`) — same discipline as q_token_packing
     cnt = cnt.withColumn(
-        "vbucket", ((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int")
+        "vbucket", F.expr(f"cast((x - {lo}L) div {width}L as int)")
     )
     cdim = cnt.groupBy("event_type", "vbucket").agg(
         F.count(F.lit(1)).alias("bcnt")

@@ -571,9 +571,11 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = t.agg(F.min("doc_id"), F.max("doc_id")).first()
     lo, hi = (lo or 0), (hi or 0)
     width = max(1, (hi - lo + _PACK_BUCKETS) // _PACK_BUCKETS)
+    # exact integer floor (`div`), never float `/` + cast: above 2^53
+    # adjacent long ids collapse to one double and bucket edges round
     t = t.withColumn(
         "pack_bucket",
-        ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.expr(f"cast((doc_id - {lo}L) div {width}L as int)"),
     )
     bdim = t.groupBy("source", "pack_bucket").agg(F.sum("n").alias("bsum"))
     woff = (
@@ -1091,9 +1093,10 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = d.agg(F.min("n_chars"), F.max("n_chars")).first()
     lo, hi = (lo or 0), (hi or 0)
     width = max(1, (hi - lo + _CALIB_BUCKETS) // _CALIB_BUCKETS)
+    # exact integer floor (`div`) — same discipline as q_token_packing
     d = d.withColumn(
         "vbucket",
-        ((F.col("n_chars") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.expr(f"cast((n_chars - {lo}L) div {width}L as int)"),
     )
     cdim = d.groupBy("source", "vbucket").agg(
         F.count(F.lit(1)).alias("bcnt")

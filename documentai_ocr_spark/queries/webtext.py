@@ -278,18 +278,28 @@ _BLOCKED_NUM_RE = "[0-9]+"
 
 
 def _blocked_sql(col: str) -> str:
-    """DuckDB rendering of the blocklist membership test."""
+    """DuckDB rendering of the blocklist membership test.
+
+    TRY_CAST + COALESCE(…, FALSE): a digitless domain extracts '' and
+    must read NOT BLOCKED on both engines — plain CAST('') hard-errors
+    in DuckDB while Spark's cast yields NULL, so without TRY_CAST the
+    two renderings diverge the first time a real corpus links to
+    example.com."""
     return (
-        f"CAST(regexp_extract({col}, '{_BLOCKED_NUM_RE}') AS bigint)"
-        " % 5 = 0"
+        f"COALESCE(TRY_CAST(regexp_extract({col}, '{_BLOCKED_NUM_RE}')"
+        " AS bigint) % 5 = 0, FALSE)"
     )
 
 
 def _blocked_col(col) -> F.Column:
-    """Spark twin of _blocked_sql."""
+    """Spark twin of _blocked_sql (same explicit digitless → FALSE).
+    try_cast on this side too: under ANSI mode (Spark 4 default, this
+    repo's sessions) a plain cast('') hard-errors just like DuckDB's
+    CAST."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.regexp_extract(c, _BLOCKED_NUM_RE, 0).cast("long") % 5 == 0
+    return F.coalesce(
+        F.regexp_extract(c, _BLOCKED_NUM_RE, 0).try_cast("long") % 5 == 0,
+        F.lit(False),
     )
 
 

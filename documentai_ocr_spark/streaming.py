@@ -710,8 +710,12 @@ def stream_template_detect(
             n_uses += len(pdf)
             if len(seen) < min_convs:
                 for c in pdf["conv_id"]:
+                    # coerce BEFORE the membership test: state stores
+                    # strings, so testing the raw value (e.g. int64)
+                    # would always miss and rely on the set's dedup
+                    c = str(c)
                     if c not in seen:
-                        seen.add(str(c))
+                        seen.add(c)
                         if len(seen) >= min_convs:
                             break
         convs = sorted(seen)[:min_convs]

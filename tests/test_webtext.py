@@ -732,3 +732,36 @@ def test_turn_repeat_rate_catches_pingpong_echo_misses(spark, tmp_path):
         "s", g["n_convs"], g["n_turns"], g["n_repeats"],
         g["repeat_milli"], g["n_loopy_convs"],
     )
+
+
+def test_blocklist_rule_digitless_domain_parity(spark):
+    """A domain with no digit (example.com) extracts '' from the
+    blocklist id regex; both renderings must read NOT BLOCKED instead
+    of diverging (Spark cast('' as long) -> NULL vs DuckDB CAST('')
+    hard error — the reason the rule uses TRY_CAST + COALESCE(FALSE))."""
+    from documentai_ocr_spark.queries.webtext import (
+        _blocked_col,
+        _blocked_sql,
+    )
+
+    doms = ["example.com", "d5.example.com", "d7.example.com", "m0.test.org"]
+    got = (
+        spark.createDataFrame([(d,) for d in doms], "dom string")
+        .select("dom", _blocked_col("dom").alias("b"))
+        .collect()
+    )
+    spark_verdicts = {r["dom"]: r["b"] for r in got}
+    con = duckdb.connect()
+    ora = con.sql(
+        "SELECT dom, " + _blocked_sql("dom") + " FROM (SELECT unnest("
+        f"{doms!r}) AS dom)"
+    ).fetchall()
+    duck_verdicts = dict(ora)
+    expect = {
+        "example.com": False,  # digitless: explicit allow, no crash
+        "d5.example.com": True,
+        "d7.example.com": False,
+        "m0.test.org": True,
+    }
+    assert spark_verdicts == expect
+    assert duck_verdicts == expect
