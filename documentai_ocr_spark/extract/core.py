@@ -301,7 +301,7 @@ def assemble_conversations(
     chunked = (
         extracted
         .where(F.col("n_spans") > 0)
-        .withColumn("chunk", (F.col("turn_idx") / F.lit(chunk_turns)).cast("int"))
+        .withColumn("chunk", F.expr(f"cast(turn_idx div {chunk_turns} as int)"))
         .groupBy("conv_id", "chunk")
         .agg(
             F.array_join(

@@ -96,9 +96,24 @@ def html_blocks_ref(text: str) -> list[tuple[str, int]]:
     return parser.blocks
 
 
-# one token per <!-- comment -->, <tag ...>, or text run
-_TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<[^>]*>?|[^<]+", re.DOTALL)
+# one token per <!-- comment -->, <tag ...>, or text run. A '<' opens a
+# tag token ONLY when followed by a tag-opener char (letter, '/', '!',
+# '?') — the HTMLParser/HTML5 rule; a bare '<' in prose ('a < b',
+# 'price 1 < 2', '<3') is literal text. Without that guard the scanner
+# swallowed everything from a bare '<' to the next '>' as one junk tag,
+# silently losing body text the stdlib reference parser keeps.
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)|<[a-zA-Z/!?][^>]*>?|<|[^<]+", re.DOTALL
+)
 _NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9:-]*)")
+# CDATA close finders, mirroring HTMLParser's endtagfind ('</ name >'
+# exactly — '</script foo>' does NOT end CDATA there either): inside
+# <script>/<style> the content is raw text, so '<div>' or 'a<b' in a
+# script body must not be tokenized as markup
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE)
+    for t in ("script", "style")
+}
 
 
 def html_blocks(text: str) -> list[tuple[str, int]]:
@@ -109,10 +124,9 @@ def html_blocks(text: str) -> list[tuple[str, int]]:
     Single-pass regex scanner (~8× the stdlib parser): one compiled
     pattern tokenizes the document; the state machine below mirrors
     ``_BlockParser`` (drop-tag depth, link depth, block-boundary flush,
-    void elements). Known approximations vs HTMLParser: a literal ``>``
-    inside a quoted attribute ends the tag early, and raw ``<`` math
-    inside <script> bodies tokenizes as junk tags (harmless — script
-    content is dropped either way)."""
+    void elements, script/style CDATA skip, literal bare ``<`` in
+    prose). Known approximation vs HTMLParser: a literal ``>`` inside a
+    quoted attribute ends the tag early."""
     blocks: list[tuple[str, int]] = []
     chunks: list[str] = []
     link_chars = 0
@@ -128,9 +142,12 @@ def html_blocks(text: str) -> list[tuple[str, int]]:
             chunks = []
             link_chars = 0
 
-    for m in _TOKEN_RE.finditer(text):
+    pos, n = 0, len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
         tok = m.group()
-        if tok[0] != "<":
+        pos = m.end()
+        if tok[0] != "<" or tok == "<":  # text run, or literal bare '<'
             if drop_depth:
                 continue
             if "&" in tok:  # unescape BEFORE normalizing: &nbsp; → \xa0
@@ -159,6 +176,14 @@ def html_blocks(text: str) -> list[tuple[str, int]]:
             drop_depth += 1 if not closing else -1
             if drop_depth < 0:
                 drop_depth = 0
+            if not closing and tag in _CDATA_CLOSE:
+                # CDATA: jump straight to the close tag — a '<div>' or
+                # 'a<b' inside a script body is content, not markup
+                mm = _CDATA_CLOSE[tag].search(text, pos)
+                if mm is None:
+                    break  # unterminated: rest of doc is raw CDATA
+                pos = mm.end()
+                drop_depth = max(0, drop_depth - 1)
             continue
         if tag == "a" and not selfclose:
             link_depth += 1 if not closing else -1

@@ -55,9 +55,13 @@ def _plain_exprs(min_line_len: int, density_thresh: float) -> dict[str, str]:
         f"transform(split(text, '\\n'), l -> regexp_replace(l, '{_TRIM_RE}', ''))"
     )
     # density computed ONCE per line; the boiler regex is gated behind the
-    # cheap predicates via lazy IF (same staging as the Arrow kernel)
+    # cheap predicates via lazy IF (same staging as the Arrow kernel).
+    # The length gate is the KERNEL's (>= min_line_len, not just > 0):
+    # sub-threshold lines can never flag, so their density is never
+    # read — skipping the regex on them matches the Arrow staging
+    # where half the lines never see a regex at all.
     dens_of = (
-        "CASE WHEN length(l) > 0 THEN "
+        f"CASE WHEN length(l) >= {min_line_len} THEN "
         f"cast(regexp_count(l, '{dense}') as double) / length(l) "
         "ELSE cast(0.0 as double) END"
     )
@@ -123,7 +127,7 @@ def extract_plain_sql(
     return (
         out.withColumn("text", F.expr(e["out_text"]))
         .withColumn("spans", F.expr(e["spans"]))
-        .withColumn("n_spans", F.size("spans").cast("long"))
+        .withColumn("n_spans", F.size("spans").cast("int"))
         .drop("lines", "dens", "flags", "idxs", "starts", "ends", "runs")
     )
 

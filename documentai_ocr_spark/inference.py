@@ -85,6 +85,25 @@ class RuleModel:
         return score
 
 
+_BC_CACHE: dict = {}
+
+
+def _get_broadcast(spark, weights: tuple):
+    """Driver-side twin of the worker model cache: ONE broadcast per
+    (SparkContext, weights tuple) instead of a fresh broadcast per
+    batch_classify call — a scoring loop over many DataFrames would
+    otherwise accumulate never-destroyed broadcast blocks for the
+    session's lifetime. Keyed by applicationId so a stopped/restarted
+    context never serves a stale broadcast."""
+    sc = spark.sparkContext
+    key = (sc.applicationId, weights)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = sc.broadcast(weights)
+        _BC_CACHE[key] = bc
+    return bc
+
+
 def _get_model(bc, marker_dir: str | None):
     """Lazy per-process singleton: one RuleModel per (worker process,
     model version) where the version IS the weights tuple — same weights,
@@ -122,7 +141,7 @@ def batch_classify(
     """Score every row with the per-executor model singleton, feeding it
     DataLoader-sized micro-batches. Output: (id, score, label)."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(tuple(float(v) for v in weights))
+    bc = _get_broadcast(spark, tuple(float(v) for v in weights))
     src = df.select(df[id_col].alias("id"), df[text_col].alias("text"))
     id_type = src.schema["id"].dataType.simpleString()
     schema = f"{id_col} {id_type}, score double, label int"

@@ -33,8 +33,6 @@ one bucket's work per executor.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,12 +51,24 @@ def bucket_expr(n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem of the path's OWN
+    scheme — os.path.exists would silently answer False for every
+    hdfs:// / s3a:// table, making a cluster-mode resume re-extract all
+    buckets and restart batch_id at 0 (duplicate batch ids break the
+    as-of read's monotonic-prefix assumption)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(conf).exists(hp)
+
+
 def _lineage_state(spark: SparkSession, out_dir: str) -> tuple[set[int], int]:
     """(committed buckets, next batch_id) in one lineage read. batch_id is
     a monotonic counter from the table itself — never wall-clock, so a
     replayed run is byte-reproducible and debugging can order batches."""
     path = f"{out_dir}/lineage"
-    if not os.path.exists(path):
+    if not _path_exists(spark, path):
         return set(), 0
     row = (
         spark.read.schema(LINEAGE_SCHEMA)

@@ -2391,6 +2391,11 @@ _RETRY_MOD = 5
 _RETRY_DELAY_MS = 45_000
 _TS_BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z — synth._BASE_TS
 
+# the doc_id → hour-offset wrap, ONE source of truth (synth.TS_HOUR_MOD):
+# SQL renderings that RE-DERIVE ms from doc_id must apply the same
+# modulus the generator does or they diverge past doc_id 2M
+from ..synth import TS_HOUR_MOD as _TS_HOUR_MOD  # noqa: E402
+
 
 def _retry_sql(t: str = "t") -> str:
     """The ONE DuckDB rendering of the regeneration coin: turn (doc, t)
@@ -2424,7 +2429,7 @@ def _retry_coin(doc_col, t_col):
     WITH turns AS (
       SELECT doc_id, g.t,
              ['user','assistant','tool'][g.t % 3 + 1] AS role,
-             {_TS_BASE_MS} + doc_id * 3600000 + g.t * 60000 AS ms
+             {_TS_BASE_MS} + (doc_id % {_TS_HOUR_MOD}) * 3600000 + g.t * 60000 AS ms
       FROM documents, unnest(generate_series(0, 11)) g(t)
     ),
     u AS (
@@ -2647,7 +2652,7 @@ def q_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
                ['search','browser','calculator','code_exec']
                  [('0x' || substr(md5(doc_id || ':' || g.t), 1, 8))::bigint
                   % 4 + 1] END AS tool,
-             {_TS_BASE_MS} + doc_id * 3600000 + g.t * 60000 AS ms
+             {_TS_BASE_MS} + (doc_id % {_TS_HOUR_MOD}) * 3600000 + g.t * 60000 AS ms
       FROM documents, unnest(generate_series(0, 11)) g(t)
     ),
     kept AS (

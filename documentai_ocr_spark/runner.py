@@ -50,7 +50,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from documentai_ocr_spark.lineage import run_to_completion
+    from documentai_ocr_spark.lineage import (
+        LINEAGE_SCHEMA,
+        _lineage_state,
+        run_to_completion,
+    )
     from documentai_ocr_spark.session import BASE_CONFS
     from documentai_ocr_spark.synth import transcripts_from_documents
 
@@ -65,6 +69,11 @@ def main() -> None:
     else:
         transcripts = transcripts_from_documents(spark, args.sf_dir)
 
+    # batch watermark BEFORE the run: everything at batch_id >= this is
+    # THIS run's work — resumed runs must not fold earlier batches into
+    # their own throughput
+    _, batch0 = _lineage_state(spark, args.output)
+
     t0 = time.time()
     n_buckets_done = run_to_completion(
         spark,
@@ -77,25 +86,49 @@ def main() -> None:
     )
     wall = time.time() - t0
 
-    lin = spark.read.parquet(f"{args.output}/lineage")
-    m = lin.agg(
+    lin = spark.read.schema(LINEAGE_SCHEMA).parquet(f"{args.output}/lineage")
+    # turns/chars/spans are additive and exact at any grain; n_convs is
+    # per (bucket, part_id) distinct, so its sum double-counts a
+    # conversation whose turns straddle output partitions — convs is
+    # instead counted exactly below over THIS run's buckets only
+    # (partition-pruned read; conversations never span buckets)
+    cur = lin.where(F.col("batch_id") >= batch0)
+    m = cur.agg(
         F.sum("n_turns").alias("turns"),
-        F.sum("n_convs").alias("convs"),
         F.sum("n_chars").alias("chars"),
         F.sum("n_spans").alias("spans"),
     ).collect()[0]
+    tot = lin.agg(
+        F.sum("n_turns").alias("turns"),
+        F.count_distinct("bucket").alias("buckets"),
+    ).collect()[0]
+    convs = None
+    if n_buckets_done:
+        run_buckets = [
+            r["bucket"] for r in cur.select("bucket").distinct().collect()
+        ]
+        convs = (
+            spark.read.parquet(f"{args.output}/extracted")
+            .where(F.col("bucket").isin(run_buckets))
+            .agg(F.count_distinct("conv_id"))
+            .collect()[0][0]
+        )
     print(
         json.dumps(
             {
                 "buckets_processed": n_buckets_done,
                 "wall_sec": round(wall, 2),
-                "turns": m["turns"],
-                "convs": m["convs"],
-                "chars": m["chars"],
-                "spans": m["spans"],
-                "turns_per_sec": round(m["turns"] / wall, 1)
+                # this run's own work — the only numbers wall_sec divides
+                "turns": m["turns"] or 0,
+                "convs": convs,
+                "chars": m["chars"] or 0,
+                "spans": m["spans"] or 0,
+                "turns_per_sec": round((m["turns"] or 0) / wall, 1)
                 if n_buckets_done
                 else None,
+                # all-time table state, for the resume story
+                "total_turns": tot["turns"] or 0,
+                "total_buckets_committed": tot["buckets"],
                 "parallelism": spark.sparkContext.defaultParallelism,
             }
         )

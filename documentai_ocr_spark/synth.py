@@ -30,6 +30,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 _BASE_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+# doc_id → hour offset wraps at this modulus: pandas materializes ts as
+# datetime64[ns], whose int64 range ends at year 2262 — an UNwrapped
+# hours=doc_id would overflow at doc_id ≈ 2.09M (and datetime.max at
+# 69.9M). 2M hours ≈ 228 years keeps every ts in range at any corpus
+# size while leaving all current SFs (doc_id < 2M) bit-identical.
+# The DuckDB twins of this rule (relational._TS_BASE_MS sites) apply
+# the SAME modulus — one rendering per engine.
+TS_HOUR_MOD = 2_000_000
 
 _WORDS = (
     "analysis engine pipeline extraction content density threshold span "
@@ -170,7 +178,8 @@ def synth_transcripts(
                     "role": role,
                     "text": turn_text(salt),
                     "tool": _TOOLS[salt % len(_TOOLS)] if role == "tool" else None,
-                    "ts": _BASE_TS + dt.timedelta(hours=c, minutes=t),
+                    "ts": _BASE_TS
+                    + dt.timedelta(hours=c % TS_HOUR_MOD, minutes=t),
                 }
             )
     pdf = pd.DataFrame(rows)
@@ -232,7 +241,10 @@ def transcripts_from_documents(
                         else None
                     )
                     out["ts"].append(
-                        _BASE_TS + dt.timedelta(hours=int(doc_id), minutes=t)
+                        _BASE_TS
+                        + dt.timedelta(
+                            hours=int(doc_id) % TS_HOUR_MOD, minutes=t
+                        )
                     )
             res = pd.DataFrame(out)
             res["turn_idx"] = res["turn_idx"].astype("int32")

@@ -16,12 +16,31 @@ HOSTILE = [
     "<nav><ul><li>one</li><li>two</li></ul></nav><p>body text</p>",
     "",
     "plain, no markup at all",
+    # bare '<' in prose is literal text (HTML5/HTMLParser rule) — the
+    # scanner must KEEP it, not swallow-to-next-'>' as a junk tag
+    "<p>a < b then more text here</p>",
+    "<div>price 1 < 2 and 3 > 2</div>",
+    "<p>I <3 spark</p>",
+    "<p>x <b>bold</b> y < z</p>",
+    "<p>5 &lt; 6 and raw < 7</p>",
+    "<p>a <. b</p>",
+    "<p><a href=x>link < text</a> out</p>",
+    "<", "<>", "a <> b",
+    # script/style are CDATA: markup-looking content inside must not
+    # disturb tag state, and ONLY an exact '</ name >' ends the element
+    "<script>if (a<b) {x}</script><p>kept</p>",
+    "<style>a>b{color:red}</style><p>styled</p>",
+    "<script>document.write('</div>')</script><p>after</p>",
+    "<script>never closed <p>gone</p>",
+    "<SCRIPT>UP</script ><p>case</p>",
+    "<script>x</script foo></script><p>attrs</p>",
 ]
 
-# degenerate: a bare '<' at EOF. HTMLParser emits it as data; the
-# scanner's semantic (markup junk → dropped) is pinned here as canonical
-# (both engine and oracle share the scanner, so parity is structural).
-DEGENERATE = ["<", "<>", "<p"]
+# degenerate: a TRUNCATED tag at EOF ('<p' with no '>'). HTMLParser
+# flushes it as data on close(); the scanner's semantic (markup junk →
+# dropped) is pinned here as canonical (both engine and oracle share
+# the scanner, so parity is structural).
+DEGENERATE = ["<p"]
 
 
 def test_scanner_matches_reference_on_corpus():

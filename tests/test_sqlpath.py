@@ -33,8 +33,16 @@ def _key(df_rows):
 
 def test_hybrid_equals_kernel_bitwise(spark, fixture_pdf):
     df = spark.createDataFrame(fixture_pdf).repartition(5)
-    a = _key(extract_turns(df).collect())
-    b = _key(extract_turns_hybrid(df).collect())
+    ka = extract_turns(df)
+    kb = extract_turns_hybrid(df)
+    # the contract is byte-for-byte INCLUDING the physical schema: a
+    # widened n_spans (bigint vs int) would break readers that re-apply
+    # EXTRACT_SCHEMA on written output (the lineage.py pattern)
+    assert [(f.name, f.dataType) for f in ka.schema.fields] == [
+        (f.name, f.dataType) for f in kb.schema.fields
+    ]
+    a = _key(ka.collect())
+    b = _key(kb.collect())
     assert a == b
 
 
