@@ -156,6 +156,92 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- containment
+# Jaccard is symmetric, so a short document wholly quoted inside a long
+# one scores LOW (|A∩B|/|A∪B| is dragged down by the big doc's size) and
+# slips every symmetric near-dup screen. Containment |A∩B|/|A| is the
+# asymmetric statistic that catches subset/quote relations — the reason
+# dedup literature (e.g. Broder's original shingling paper) keeps both.
+_CONTAIN_MILLI = 500  # keep pairs where either side is >=50% contained
+
+
+@_q(
+    "q_containment_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+           FROM toks, unnest(generate_series(1, len(tk) - 2)) g(i)),
+    card AS (SELECT doc_id, CAST(COUNT(*) AS bigint) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS bigint) AS n_common
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common * 1000 // ca.n AS bigint) AS cont_a_milli,
+           CAST(n_common * 1000 // cb.n AS bigint) AS cont_b_milli
+    FROM inter JOIN card ca ON doc_a = ca.doc_id
+               JOIN card cb ON doc_b = cb.doc_id
+    WHERE GREATEST(n_common * 1000 // ca.n, n_common * 1000 // cb.n)
+          >= {_CONTAIN_MILLI}
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: for doc pairs meeting on a
+    shared word 3-gram, emit |A∩B|/|A| and |A∩B|/|B| as exact integer
+    milli (n_common*1000 div |side| — pure bigint arithmetic, no float
+    can straddle engines) and keep pairs where EITHER side is at least
+    {_CONTAIN_MILLI}/1000 contained. This is the subset/quote detector
+    the symmetric q_jaccard_pairs provably misses: a doc fully quoted
+    inside a 10x-longer one has containment 1000 but Jaccard ~0.09.
+    Same reference idempotence generalization as the rest of the dedup
+    family (/root/reference/ocrclient/redisdata.py:106-108).
+
+    Scale: identical plan shape to q_jaccard_pairs — candidate pairs
+    come only from the shingle equi-join (docs sharing a shingle),
+    never an all-pairs product; cardinalities re-attach by broadcast
+    dim joins. The milli screen prunes before any output shuffle."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return containment_pairs(docs)
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_containment_pairs` over any (doc_id, text)
+    frame — split out so tests can drive engineered subset/quote
+    fixtures through the exact production path."""
+    sh = _word_shingles(docs, _JACCARD_K)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont_a = F.expr("n_common * 1000 div na").cast("long")
+    cont_b = F.expr("n_common * 1000 div nb").cast("long")
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn("cont_a_milli", cont_a)
+        .withColumn("cont_b_milli", cont_b)
+        .where(
+            F.greatest("cont_a_milli", "cont_b_milli") >= _CONTAIN_MILLI
+        )
+        .select(
+            "doc_a", "doc_b", "n_common", "cont_a_milli", "cont_b_milli"
+        )
+    )
+
+
 # ----------------------------------------------------------------- minhash
 _MH_SEEDS = 8
 _MH_ROWS_PER_BAND = 2  # 4 bands of 2
@@ -1061,6 +1147,78 @@ def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 7, F.lit("train"))
         .otherwise(F.lit("val"))
         .alias("split"),
+    )
+
+
+# --------------------------------------------- duplicate-cap sampling
+_CLUSTER_CAP = 2  # keep at most this many docs per near-dup component
+
+
+@_q(
+    "q_cluster_cap_sample",
+    f"""
+    WITH RECURSIVE {_MH_BAND_CTE},
+    mn AS (SELECT band, bh, MIN(doc_id) AS mn FROM band GROUP BY band, bh),
+    edges AS (SELECT DISTINCT b.doc_id AS u, m.mn AS v
+              FROM band b JOIN mn m ON b.band = m.band AND b.bh = m.bh
+              WHERE b.doc_id <> m.mn),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach(u, v) AS (
+        SELECT doc_id AS u, doc_id AS v FROM documents
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT doc_id, component,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY component
+                ORDER BY md5(CAST(doc_id AS varchar)), doc_id
+           ) AS int) AS keep_rank,
+           ROW_NUMBER() OVER (
+                PARTITION BY component
+                ORDER BY md5(CAST(doc_id AS varchar)), doc_id
+           ) <= {_CLUSTER_CAP} AS kept
+    FROM comp
+    """,
+)
+def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CAP curation: keep at most {_CLUSTER_CAP} documents per
+    near-dup component — the standard middle ground between "keep all"
+    (duplicates over-weight their content, see q_dup_inflation) and
+    "keep one canonical" (q_dedup_components / x_canonical_election
+    discard natural-paraphrase diversity). Keeper order inside a
+    component is the md5 coin on doc_id (deterministic, unbiased by
+    insertion order — ordering by raw doc_id would systematically keep
+    the OLDEST copies and bias the corpus toward early crawls), with
+    doc_id as the total-order tie-break.
+
+    Oracle: the same recursive-closure CTE as q_dedup_components plus
+    the identical md5 rank — both engines sort lowercase-hex digests,
+    so the keeper SET can never straddle engines.
+
+    Scale: the rank window partitions by component — bounded by dup-
+    group size, the exact bound q_dedup_components' n_docs window
+    already carries; no corpus-wide sort. The clustering itself is the
+    star-edge + min-label-propagation path (O(log n) rounds)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return cluster_cap_sample(docs)
+
+
+def cluster_cap_sample(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_cluster_cap_sample` over any (doc_id, text)
+    frame — split out so tests can drive crafted dup storms through the
+    exact production clustering + md5-rank path."""
+    labels, _ = min_label_components(
+        docs.select("doc_id"), _lsh_star_edges(docs)
+    )
+    cwin = Window.partitionBy("component").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return labels.select(
+        "doc_id",
+        "component",
+        F.row_number().over(cwin).cast("int").alias("keep_rank"),
+        (F.row_number().over(cwin) <= _CLUSTER_CAP).alias("kept"),
     )
 
 

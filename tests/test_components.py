@@ -264,3 +264,62 @@ def test_neardup_agreement_reconciles_with_both_detectors(spark):
     both = rows.get("both", 0)
     assert both + rows.get("minhash_only", 0) == n_mh
     assert both + rows.get("simhash_only", 0) == n_sh
+
+
+def test_cluster_cap_ranks_replay(spark):
+    """q_cluster_cap_sample's keep_rank must equal a pure-python md5
+    re-ranking of q_dedup_components' own component assignment — dense
+    1..n per component, kept == (rank <= cap)."""
+    import hashlib
+
+    from documentai_ocr_spark.queries.dedup import (
+        _CLUSTER_CAP,
+        q_cluster_cap_sample,
+        q_dedup_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in q_dedup_components(spark, sf).collect()
+    }
+    groups = {}
+    for doc, c in comp.items():
+        groups.setdefault(c, []).append(doc)
+    expect = {}
+    for c, docs in groups.items():
+        docs.sort(key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        for i, d in enumerate(docs, start=1):
+            expect[d] = (c, i, i <= _CLUSTER_CAP)
+    out = q_cluster_cap_sample(spark, sf).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        assert expect[r["doc_id"]] == (
+            r["component"],
+            r["keep_rank"],
+            r["kept"],
+        ), r
+
+
+def test_cluster_cap_dup_storm_unbiased_keepers(spark):
+    """100 identical docs collapse to ONE component; exactly _CLUSTER_CAP
+    survive, and the survivors are the md5-order minima ({27, 63} for
+    ids 0..99) — NOT the insertion-order prefix {0, 1}, pinning that the
+    coin de-biases keeper choice away from oldest-copy-wins."""
+    from documentai_ocr_spark.queries.dedup import (
+        _CLUSTER_CAP,
+        cluster_cap_sample,
+    )
+
+    text = " ".join(WORDS[:24])
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(100)], "doc_id long, text string"
+    )
+    out = cluster_cap_sample(docs).collect()
+    assert all(r["component"] == 0 for r in out)
+    kept = {r["doc_id"] for r in out if r["kept"]}
+    assert len(kept) == _CLUSTER_CAP
+    assert kept == {27, 63}
+    assert kept != {0, 1}
+    ranks = sorted(r["keep_rank"] for r in out)
+    assert ranks == list(range(1, 101))

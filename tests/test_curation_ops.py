@@ -323,3 +323,81 @@ def test_len_quality_grid_recount_and_bucket_edges(spark, tmp_path):
     assert cells[(1, 9)] == (1, 1)
     assert cells[(1, 5)] == (1, 1)
     assert cells[(9, 9)] == (1, 1)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """Engineered quote fixture: a 10-word doc fully contained in a
+    32-word doc has containment exactly 1000 milli (kept by the >=500
+    screen) while its symmetric Jaccard is 8/30 ~ 0.27 — the asymmetric
+    statistic detects what a 0.5-Jaccard screen provably cannot. The
+    unrelated third doc must produce no pair."""
+    from documentai_ocr_spark.queries.dedup import (
+        _CONTAIN_MILLI,
+        containment_pairs,
+    )
+
+    words = (
+        "w%02d" % i for i in range(32)
+    )
+    big = " ".join(words)
+    small = " ".join(big.split()[:10])
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, "zz aa bb cc dd ee ff gg hh")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["n_common"] == 8  # small has 10 words -> 8 shingles, all in big
+    assert r["cont_b_milli"] == 1000  # small side fully contained
+    assert r["cont_a_milli"] == 8 * 1000 // 30
+    jac = r["n_common"] / (30 + 8 - r["n_common"])
+    assert jac < _CONTAIN_MILLI / 1000  # symmetric screen would drop it
+
+
+def test_containment_pairs_python_replay(spark):
+    """Brute-force shingle-set replay over the whole sf0.001 corpus:
+    the banded-free equi-join output must equal exact all-pairs
+    containment at the same threshold, row for row."""
+    from documentai_ocr_spark.queries.dedup import (
+        _CONTAIN_MILLI,
+        _JACCARD_K,
+        q_containment_pairs,
+    )
+    from documentai_ocr_spark.queries.util import load
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    sh = {}
+    for d, t in docs.items():
+        tk = t.split(" ")
+        sh[d] = {
+            " ".join(tk[i : i + _JACCARD_K])
+            for i in range(len(tk) - (_JACCARD_K - 1))
+        }
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = len(sh[a] & sh[b])
+            if n == 0:
+                continue
+            ca = n * 1000 // len(sh[a])
+            cb = n * 1000 // len(sh[b])
+            if max(ca, cb) >= _CONTAIN_MILLI:
+                expect[(a, b)] = (n, ca, cb)
+    out = q_containment_pairs(spark, sf).collect()
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"],
+            r["cont_a_milli"],
+            r["cont_b_milli"],
+        )
+        for r in out
+    }
+    assert got == expect
+    assert expect, "fixture corpus produced no containment pairs"
