@@ -1940,3 +1940,200 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["x_bpe_encode"] = _q_bpe_encode
+
+
+# --------------------------------------------------- character entropy
+# Per-document character-level Shannon entropy — the classic cheap
+# gibberish / keyboard-mash / base64-blob screen (low entropy = one
+# key held down or a template constant; implausibly high = encoded
+# binary). Counts come from a FIXED 27-symbol alphabet (a-z, space)
+# plus one "other" bucket, each count an in-row length difference —
+# no char-grain explode exists anywhere, so the operator is a pure
+# map over the corpus (zero shuffles; doc-grain output). Float
+# discipline: every ln() argument is an exact integer count, the
+# per-doc term chain is written as the SAME left-associated sum in
+# both engines, and ROUND(.., 6) is applied once at the end (the
+# q_source_kl precedent); the is_low verdict compares the UNROUNDED
+# double, identical on both sides.
+_ENT_CHARS = "abcdefghijklmnopqrstuvwxyz "
+_ENT_FLOOR = 2.0  # nats; word-salad English sits ~2.8-3.0
+
+
+def _entropy_sql() -> str:
+    cnt = {
+        c: f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in _ENT_CHARS
+    }
+    known = " + ".join(cnt.values())
+    terms = []
+    for c in _ENT_CHARS:
+        terms.append(
+            f"CASE WHEN {cnt[c]} > 0 THEN {cnt[c]} * ln({cnt[c]}) "
+            "ELSE 0.0 END"
+        )
+    terms.append(
+        f"CASE WHEN length(text) - ({known}) > 0 THEN "
+        f"(length(text) - ({known})) * ln(length(text) - ({known})) "
+        "ELSE 0.0 END"
+    )
+    s = " + ".join(terms)
+    ent = f"CASE WHEN length(text) = 0 THEN 0.0 " \
+          f"ELSE ln(length(text)) - ({s}) / length(text) END"
+    return f"""
+    SELECT doc_id,
+           CAST(length(text) AS bigint) AS n_chars,
+           ROUND({ent}, 6) AS entropy,
+           ({ent}) < {_ENT_FLOOR} AS is_low
+    FROM documents
+    """
+
+
+@_q("q_char_entropy", None)  # SQL attached below (generated rendering)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character entropy over the fixed a-z+space alphabet plus
+    an "other" bucket, flagging is_low below {_ENT_FLOOR} nats.
+
+    Scale: the entire operator is in-row expression work — 28 length
+    differences and 28 ln() terms per document, no explode, no join,
+    no aggregation, no shuffle. At 100 TB this is a single map stage
+    fused into whole-stage codegen; output is doc-grain and writes
+    straight through. The "other" bucket keeps the partition exact:
+    counts always sum to length(text), so H is the true character
+    entropy, not an alphabet-restricted approximation."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    n = F.length("text")
+    cnts = [
+        n - F.length(F.replace(F.col("text"), F.lit(c))) for c in _ENT_CHARS
+    ]
+    known = cnts[0]
+    for c in cnts[1:]:
+        known = known + c
+    cnts = cnts + [n - known]
+    term = lambda c: F.when(  # noqa: E731
+        c > 0, c.cast("double") * F.log(c.cast("double"))
+    ).otherwise(F.lit(0.0))
+    s = term(cnts[0])
+    for c in cnts[1:]:
+        s = s + term(c)
+    ent = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.log(n.cast("double")) - s / n.cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.round(ent, 6).alias("entropy"),
+        (ent < _ENT_FLOOR).alias("is_low"),
+    )
+
+
+ORACLES["q_char_entropy"] = _entropy_sql()
+
+
+# ----------------------------------------------- Gopher line-shape screen
+# The Gopher rule family that is LINE-shaped rather than char-shaped
+# (q_quality_score carries the char/word ratios): fraction of lines
+# that are bullets, fraction that trail off in an ellipsis, and the
+# within-document duplicate-line fraction. Runs over the shared
+# synthetic line table (relational._synth_lines / _lines_sql — the
+# same contract the hysteresis, plain-run and boilerplate-frequency
+# operators are gated on) with a deterministic bullet/ellipsis
+# decoration so the detectors have something real to find; ONE
+# rendering of the decoration per engine, the no-drift discipline.
+_SHAPE_BULLET_MAX = 900  # Gopher: drop if >90% bullet lines
+_SHAPE_ELLIPSIS_MAX = 300  # Gopher: drop if >30% ellipsis lines
+_SHAPE_DUP_MAX = 300  # Gopher-style: >30% duplicate lines
+
+
+def _shape_line_sql() -> str:
+    """DuckDB rendering of the decorated line (over lines(doc_id,li,s))."""
+    return (
+        "(CASE WHEN (doc_id + 2 * li) % 5 = 0 THEN '- ' || s ELSE s END)"
+        " || (CASE WHEN (doc_id + 3 * li) % 7 = 1 THEN '...' ELSE '' END)"
+    )
+
+
+def _shape_line_col() -> F.Column:
+    """Spark rendering of _shape_line_sql."""
+    bullet = F.when(
+        (F.col("doc_id") + 2 * F.col("li")) % 5 == 0,
+        F.concat(F.lit("- "), F.col("s")),
+    ).otherwise(F.col("s"))
+    return F.concat(
+        bullet,
+        F.when(
+            (F.col("doc_id") + 3 * F.col("li")) % 7 == 1, F.lit("...")
+        ).otherwise(F.lit("")),
+    )
+
+
+def _shape_sql() -> str:
+    from .relational import _lines_sql
+
+    return f"""
+    WITH {_lines_sql()},
+    shaped AS (
+      SELECT doc_id, {_shape_line_sql()} AS s2 FROM lines
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS bigint) AS n_lines,
+             CAST(SUM(CASE WHEN s2 LIKE '- %' THEN 1 ELSE 0 END)
+                  AS bigint) AS n_bullet,
+             CAST(SUM(CASE WHEN s2 LIKE '%...' THEN 1 ELSE 0 END)
+                  AS bigint) AS n_ellipsis,
+             CAST(COUNT(*) - COUNT(DISTINCT s2) AS bigint) AS n_dup
+      FROM shaped GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines,
+           CAST(1000 * n_bullet // n_lines AS bigint) AS bullet_milli,
+           CAST(1000 * n_ellipsis // n_lines AS bigint) AS ellipsis_milli,
+           CAST(1000 * n_dup // n_lines AS bigint) AS dup_milli,
+           (1000 * n_bullet // n_lines <= {_SHAPE_BULLET_MAX}
+            AND 1000 * n_ellipsis // n_lines <= {_SHAPE_ELLIPSIS_MAX}
+            AND 1000 * n_dup // n_lines <= {_SHAPE_DUP_MAX}) AS pass
+    FROM per
+    """
+
+
+@_q("q_gopher_lineshape", None)  # SQL attached below (composes _lines_sql)
+def q_gopher_lineshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher line-shape screen: bullet-line, ellipsis-line and
+    within-doc duplicate-line milli-fractions, with the pass verdict at
+    the Gopher thresholds (bullet ≤ 900‰, ellipsis ≤ 300‰, dup ≤ 300‰).
+
+    All three ratios are exact integer-milli (1000·x div n_lines — the
+    integer-div rule, never float '/'+cast). Scale: line generation is
+    an in-row transform + bounded explode (lines per doc ≤ len/5), the
+    only exchange is the doc-keyed partial aggregation — document-
+    bounded, never corpus-keyed; COUNT DISTINCT of line text within a
+    doc is bounded by that doc's own line count. Output is doc-grain."""
+    from .relational import _synth_lines
+
+    lines = _synth_lines(spark, sf_dir).select(
+        "doc_id", _shape_line_col().alias("s2")
+    )
+    n = F.count(F.lit(1)).cast("long")
+    nb = F.sum(F.when(F.col("s2").startswith("- "), 1).otherwise(0))
+    ne = F.sum(F.when(F.col("s2").endswith("..."), 1).otherwise(0))
+    per = lines.groupBy("doc_id").agg(
+        n.alias("n_lines"),
+        nb.cast("long").alias("n_bullet"),
+        ne.cast("long").alias("n_ellipsis"),
+        (n - F.countDistinct("s2")).cast("long").alias("n_dup"),
+    )
+    milli = lambda c: F.expr(f"1000 * {c} div n_lines")  # noqa: E731
+    return per.select(
+        "doc_id",
+        "n_lines",
+        milli("n_bullet").alias("bullet_milli"),
+        milli("n_ellipsis").alias("ellipsis_milli"),
+        milli("n_dup").alias("dup_milli"),
+        (
+            (milli("n_bullet") <= _SHAPE_BULLET_MAX)
+            & (milli("n_ellipsis") <= _SHAPE_ELLIPSIS_MAX)
+            & (milli("n_dup") <= _SHAPE_DUP_MAX)
+        ).alias("pass"),
+    )
+
+
+ORACLES["q_gopher_lineshape"] = _shape_sql()

@@ -1400,3 +1400,121 @@ def q_turn_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_loopy_convs",
         )
     )
+
+
+# ------------------------------------------- URL canonicalization dedup
+# The crawl-frontier / re-crawl dedup rule: one page reachable under k
+# raw spellings (tracking params, fragments, trailing slash, host case)
+# must collapse to ONE canonical URL before fetch scheduling or
+# dedup-by-URL accounting. The raw spellings are injected
+# deterministically over the shared link scan (ONE rendering per
+# engine, the _URL_TXT_SQL discipline); canonicalization is
+# lowercase → strip '?query'/'#fragment' → strip trailing '/'.
+# Honest boundary: production canonicalization lowercases scheme+host
+# only — the synthetic URL grammar has no case-sensitive path
+# segments, so whole-URL lowercasing is exact here (and identical on
+# both engines), noted rather than hidden.
+_RAW_URL_SQL = (
+    "url"
+    " || CASE WHEN (doc_id + t) % 6 = 1 THEN '/' ELSE '' END"
+    " || CASE WHEN (doc_id + t) % 4 = 0 THEN"
+    " '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS varchar)"
+    " ELSE '' END"
+    " || CASE WHEN (doc_id + t) % 5 = 3 THEN '#sec-' || CAST(t AS varchar)"
+    " ELSE '' END"
+)
+
+
+def _raw_url_col() -> F.Column:
+    """Spark rendering of _RAW_URL_SQL over (doc_id, t, url); the
+    upper-case variant is applied by the caller (one more coin)."""
+    return F.concat(
+        F.col("url"),
+        F.when(
+            (F.col("doc_id") + F.col("t")) % 6 == 1, F.lit("/")
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") + F.col("t")) % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            (F.col("doc_id") + F.col("t")) % 5 == 3,
+            F.concat(F.lit("#sec-"), F.col("t").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+@_q(
+    "q_url_canonical",
+    f"""
+    WITH {_TURNS_SQL},
+    ut AS (SELECT doc_id, t, {_URL_TXT_SQL} AS txt FROM turns),
+    u AS (SELECT doc_id, t,
+                 unnest(regexp_extract_all(txt, '{_URL_RE}')) AS url
+          FROM ut),
+    r0 AS (SELECT doc_id, t, {_RAW_URL_SQL} AS r FROM u),
+    raw AS (SELECT CASE WHEN (doc_id + t) % 9 = 4 THEN upper(r) ELSE r END
+                     AS raw
+            FROM r0),
+    c AS (SELECT raw,
+                 regexp_replace(regexp_replace(lower(raw), '[?#].*$', ''),
+                                '/$', '') AS canon
+          FROM raw)
+    SELECT regexp_extract(canon, '{_DOMAIN_RE}', 1) AS domain,
+           CAST(COUNT(*) AS bigint) AS n_links,
+           CAST(COUNT(DISTINCT raw) AS bigint) AS n_raw,
+           CAST(COUNT(DISTINCT canon) AS bigint) AS n_canonical,
+           CAST(1000 * COUNT(DISTINCT raw) // COUNT(DISTINCT canon)
+                AS bigint) AS inflation_milli
+    FROM c GROUP BY 1
+    """,
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL-spelling inflation after canonicalization:
+    n_links raw link instances collapse to n_raw distinct spellings
+    and n_canonical distinct canonical URLs; inflation_milli =
+    1000·n_raw div n_canonical prices how much the frontier shrinks.
+
+    Scale: URL-grain work is in-row (regexp scan bounded by links per
+    turn, string decoration, two regexp_replace + lower); the single
+    exchange is the domain-keyed rollup. The two DISTINCTs expand the
+    rollup input ×2 (Spark Expand) — still domain-keyed partial
+    aggregation, bounded by links per domain, never a corpus-constant
+    key. Output is O(domains)."""
+    ut = _turns_df(spark, sf_dir).select(
+        "doc_id", "t", _url_txt_col().alias("txt")
+    )
+    u = ut.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit(_URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    r0 = u.select("doc_id", "t", _raw_url_col().alias("r"))
+    raw = r0.select(
+        F.when(
+            (F.col("doc_id") + F.col("t")) % 9 == 4, F.upper("r")
+        )
+        .otherwise(F.col("r"))
+        .alias("raw")
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower("raw"), r"[?#].*$", ""), r"/$", ""
+    )
+    c = raw.select("raw", canon.alias("canon"))
+    nr = F.countDistinct("raw")
+    nc = F.countDistinct("canon")
+    return c.groupBy(
+        F.regexp_extract("canon", _DOMAIN_RE, 1).alias("domain")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        nr.cast("long").alias("n_raw"),
+        nc.cast("long").alias("n_canonical"),
+        F.expr(
+            "1000 * count(distinct raw) div count(distinct canon)"
+        ).alias("inflation_milli"),
+    )

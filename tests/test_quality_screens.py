@@ -1,0 +1,181 @@
+"""Quality screens: character entropy (pure-Python recount + engineered
+separation corpus), Gopher line-shape (whole-corpus replay of the
+decoration coins + discriminative-verdict evidence), and URL
+canonicalization dedup (closed-form python replay of the injection)."""
+
+import math
+
+import pandas as pd
+
+from documentai_ocr_spark.queries.textstats import (
+    _ENT_CHARS,
+    _ENT_FLOOR,
+    _SHAPE_BULLET_MAX,
+    _SHAPE_DUP_MAX,
+    _SHAPE_ELLIPSIS_MAX,
+    q_char_entropy,
+    q_gopher_lineshape,
+)
+from documentai_ocr_spark.queries.webtext import q_url_canonical
+
+SF = "/root/testdata/sf0.001"
+
+
+def _entropy(text: str) -> float:
+    n = len(text)
+    if n == 0:
+        return 0.0
+    counts = [text.count(c) for c in _ENT_CHARS]
+    counts.append(n - sum(counts))
+    s = sum(c * math.log(c) for c in counts if c > 0)
+    return math.log(n) - s / n
+
+
+def test_char_entropy_python_recount(spark):
+    """Whole-corpus exactness: every (n_chars, entropy, is_low) row
+    equals the pure-Python recount of the same fixed-alphabet formula
+    (identical IEEE doubles; the rounded column is compared at 1e-9)."""
+    got = {
+        r["doc_id"]: r for r in q_char_entropy(spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(got) == len(docs)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        h = _entropy(text)
+        r = got[doc_id]
+        assert r["n_chars"] == len(text)
+        assert abs(r["entropy"] - round(h, 6)) < 1e-9, doc_id
+        assert r["is_low"] == (h < _ENT_FLOOR), doc_id
+
+
+def test_char_entropy_separates_mash_from_text(spark, tmp_path):
+    """The property the screen exists for: a held-down key scores 0,
+    repetitive two-token spam scores far below varied prose, and both
+    land under the floor while real word-salad stays above it."""
+    varied = " ".join(
+        chr(97 + i % 26)
+        + chr(97 + (i * 7 + 3) % 26)
+        + chr(97 + (i * 13 + 11) % 26)
+        for i in range(120)
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a" * 500, "ab " * 160, varied, ""],
+        }
+    )
+    d = str(tmp_path / "ent")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in q_char_entropy(spark, d).collect()}
+    assert rows[1]["entropy"] == 0.0 and rows[1]["is_low"]
+    assert rows[2]["is_low"] and rows[2]["entropy"] < rows[3]["entropy"] / 2
+    assert not rows[3]["is_low"]
+    assert rows[4]["n_chars"] == 0 and rows[4]["entropy"] == 0.0
+
+
+def _synth_lines_py(doc_id: int, text: str):
+    """Python replica of relational._synth_lines + the line-shape
+    decoration — independent of both engines."""
+    tk = text.split(" ")
+    nl = math.ceil(len(tk) / 5.0)
+    out = []
+    for li in range(nl):
+        if (doc_id + li) % 7 == 5:
+            s = "ok"
+        elif (doc_id + li) % 4 == 3:
+            s = "*** !!! *** ???"
+        else:
+            s = " ".join(tk[li * 5 : li * 5 + 5])
+        if (doc_id + 2 * li) % 5 == 0:
+            s = "- " + s
+        if (doc_id + 3 * li) % 7 == 1:
+            s = s + "..."
+        out.append(s)
+    return out
+
+
+def test_gopher_lineshape_python_replay(spark):
+    """Whole-corpus replay: the bullet/ellipsis/dup milli-fractions and
+    the pass verdict equal a pure-Python rerun of the synth-line
+    generator + decoration coins + integer-div rule."""
+    got = {
+        r["doc_id"]: r for r in q_gopher_lineshape(spark, SF).collect()
+    }
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert len(got) == len(docs)
+    n_pass = n_fail = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        lines = _synth_lines_py(doc_id, text)
+        n = len(lines)
+        nb = sum(1 for s in lines if s.startswith("- "))
+        ne = sum(1 for s in lines if s.endswith("..."))
+        nd = n - len(set(lines))
+        bm, em, dm = 1000 * nb // n, 1000 * ne // n, 1000 * nd // n
+        ok = (
+            bm <= _SHAPE_BULLET_MAX
+            and em <= _SHAPE_ELLIPSIS_MAX
+            and dm <= _SHAPE_DUP_MAX
+        )
+        r = got[doc_id]
+        assert (
+            r["n_lines"],
+            r["bullet_milli"],
+            r["ellipsis_milli"],
+            r["dup_milli"],
+            r["pass"],
+        ) == (n, bm, em, dm, ok), doc_id
+        n_pass += ok
+        n_fail += not ok
+    # the screen must discriminate on this corpus, not rubber-stamp
+    assert n_pass > 0 and n_fail > 0
+
+
+def _canon(raw: str) -> str:
+    c = raw.lower().split("?")[0].split("#")[0]
+    return c[:-1] if c.endswith("/") else c
+
+
+def test_url_canonical_closed_form_replay(spark):
+    """The injection coins are deterministic, so the per-domain report
+    has a closed form; replayed in pure Python including the raw-variant
+    decorations and the canonicalization rule."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    agg: dict[str, list] = {}
+    for doc in docs["doc_id"]:
+        for t in range(12):
+            urls = []
+            if (doc + t) % 3 == 0:
+                urls.append(
+                    f"https://d{(doc * 7 + t) % 23}.example.com/p/{t}"
+                )
+            if (doc + t) % 7 == 2:
+                urls.append(f"http://m{(doc * 11 + t) % 13}.test.org")
+            for url in urls:
+                raw = url
+                if (doc + t) % 6 == 1:
+                    raw += "/"
+                if (doc + t) % 4 == 0:
+                    raw += f"?utm_source=feed&utm_campaign=c{doc % 3}"
+                if (doc + t) % 5 == 3:
+                    raw += f"#sec-{t}"
+                if (doc + t) % 9 == 4:
+                    raw = raw.upper()
+                canon = _canon(raw)
+                dom = canon.split("//")[1].split("/")[0]
+                agg.setdefault(dom, []).append((raw, canon))
+    got = {r["domain"]: r for r in q_url_canonical(spark, SF).collect()}
+    assert set(got) == set(agg)
+    inflated = 0
+    for dom, pairs in agg.items():
+        n_raw = len({r for r, _ in pairs})
+        n_canon = len({c for _, c in pairs})
+        r = got[dom]
+        assert (
+            r["n_links"],
+            r["n_raw"],
+            r["n_canonical"],
+            r["inflation_milli"],
+        ) == (len(pairs), n_raw, n_canon, 1000 * n_raw // n_canon), dom
+        inflated += n_raw > n_canon
+    # the decorations must actually create collapsible spellings
+    assert inflated > 0
