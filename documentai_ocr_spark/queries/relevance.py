@@ -1006,3 +1006,159 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term), 6).alias("kl"),
         )
     )
+
+
+# --------------------------------------- per-source top-K vocabulary rank
+# Per-GROUP top-K without a whole-group sort — the fourth consumer of
+# the repo's "never sort a corpus slice on one reducer" discipline
+# (after epoch order, cume_dist and the Gini ranks): words with the
+# same count-DIGIT-COUNT share a value bucket (length of the decimal
+# rendering — exact integer bucketing, monotone in c, identical on
+# both engines; never float log), the ≤19-row per-source bucket
+# histogram yields each bucket's exclusive descending prefix, buckets
+# whose prefix already reaches K are dropped BEFORE any window runs,
+# and row_number orders only the surviving head. The survivor frame
+# overshoots K by at most the boundary count-decade's population — in
+# a Zipf-shaped vocabulary a head decade, orders of magnitude below
+# the vocabulary — and the oracle (a plain whole-partition rank) pins
+# that the pruning is exactly rank-preserving.
+_TOPW_K = 20
+_ZIPF_K = 200
+
+
+def _src_rank_sql() -> str:
+    """DuckDB rendering: per-source word ranks (the SPEC — a plain
+    window; the Spark side must reproduce it without the full sort)."""
+    return f"""sw AS (
+      SELECT source, w, CAST(COUNT(*) AS bigint) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY source, w
+    ),
+    rk AS (
+      SELECT source, w, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, w) AS rnk
+      FROM sw
+    )"""
+
+
+def _src_topk_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Spark rendering of _src_rank_sql's rank ≤ k frame: (source, w,
+    c, rnk) via digit-bucket histogram pruning + a survivor-only
+    window."""
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sw = sw.withColumn("vb", F.length(F.col("c").cast("string")))
+    bdim = sw.groupBy("source", "vb").agg(F.count(F.lit(1)).alias("bcnt"))
+    woff = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("vb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        bdim.select(
+            "source",
+            "vb",
+            F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("pfx"),
+        )
+        .where(F.col("pfx") < k)
+        .select("source", "vb")
+    )
+    surv = sw.join(F.broadcast(kept), ["source", "vb"])
+    wrk = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    return (
+        surv.withColumn("rnk", F.row_number().over(wrk))
+        .where(F.col("rnk") <= k)
+        .select("source", "w", "c", "rnk")
+    )
+
+
+@_q(
+    "q_source_topwords",
+    f"""
+    WITH {_src_rank_sql()}
+    SELECT source, CAST(rnk AS bigint) AS rnk, w AS word, c
+    FROM rk WHERE rnk <= {_TOPW_K}
+    """,
+)
+def q_source_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source signature vocabulary: the top {_TOPW_K} words by
+    exact count with a deterministic (count DESC, word ASC) rank — the
+    at-a-glance drift/contamination fingerprint a corpus datasheet
+    prints per domain.
+
+    Scale: see _src_topk_df — the only corpus-scale exchange is the
+    (source, word) count agg; the rank window runs on the pruned
+    survivor head, never the vocabulary."""
+    return _src_topk_df(spark, sf_dir, _TOPW_K).select(
+        "source",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("w").alias("word"),
+        "c",
+    )
+
+
+@_q(
+    "q_zipf_slope",
+    f"""
+    WITH {_src_rank_sql()},
+    f AS (SELECT source, ln(rnk) AS x, ln(c) AS y
+          FROM rk WHERE rnk <= {_ZIPF_K})
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_fit,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6) AS slope,
+           ROUND((SUM(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                           / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                           * SUM(x)) / COUNT(*), 6) AS intercept
+    FROM f GROUP BY source HAVING COUNT(*) >= 2
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: OLS slope/intercept of ln(count) on
+    ln(rank) over the top {_ZIPF_K} words — the crawl-health statistic
+    (natural language sits near slope −1; template spam and scraped
+    boilerplate bend it sharply away).
+
+    Float discipline: x=ln(rank), y=ln(count) each from one exact
+    integer; the closed-form slope is computed once from the five
+    per-source sums and ROUND(…, 6) applied at the end (the
+    q_source_kl precedent — the ≤{_ZIPF_K}-term sums are far inside
+    round-6 tolerance for any aggregation order). Scale: the fit frame
+    is the _src_topk_df survivor head (O(K) per source), so the five
+    sums aggregate a dim, not the vocabulary."""
+    f = _src_topk_df(spark, sf_dir, _ZIPF_K).select(
+        "source",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.where(F.col("n_fit") >= 2).select(
+        "source",
+        "n_fit",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n_fit"), 6
+        ).alias("intercept"),
+    )

@@ -179,3 +179,80 @@ def test_url_canonical_closed_form_replay(spark):
         inflated += n_raw > n_canon
     # the decorations must actually create collapsible spellings
     assert inflated > 0
+
+
+# ---------------------------------------- per-source top-K / Zipf fit
+def test_source_topwords_python_recount(spark):
+    """The digit-bucket pruned rank equals a plain Counter-based
+    top-K replay (count DESC, word ASC) for every source."""
+    from collections import Counter
+
+    from documentai_ocr_spark.queries.relevance import (
+        _TOPW_K,
+        q_source_topwords,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_src: dict[str, Counter] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        per_src.setdefault(src, Counter()).update(
+            w for w in text.split(" ") if w
+        )
+    got: dict[tuple, tuple] = {}
+    for r in q_source_topwords(spark, SF).collect():
+        got[(r["source"], r["rnk"])] = (r["word"], r["c"])
+    for src, cnt in per_src.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (w, c) in enumerate(ranked[:_TOPW_K], start=1):
+            assert got[(src, i)] == (w, c), (src, i)
+    assert len(got) == sum(
+        min(_TOPW_K, len(c)) for c in per_src.values()
+    )
+
+
+def test_topk_pruning_survives_single_digit_bucket(spark, tmp_path):
+    """Adversarial boundary: every word count shares ONE digit bucket
+    (all two-digit counts), so pruning keeps everything and the
+    survivor window must still cut the exact deterministic top-K."""
+    from documentai_ocr_spark.queries.relevance import _src_topk_df
+
+    words = []
+    # 60 words, counts 10..69 — all in digit bucket 2
+    for i in range(60):
+        words += [f"w{i:02d}"] * (10 + i)
+    text = " ".join(words)
+    pdf = pd.DataFrame({"doc_id": [1], "source": ["s"], "text": [text]})
+    d = str(tmp_path / "tb")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    rows = _src_topk_df(spark, d, 20).collect()
+    assert len(rows) == 20
+    exp = [(f"w{i:02d}", 10 + i) for i in range(59, 39, -1)]
+    got = sorted(
+        [(r["w"], r["c"], r["rnk"]) for r in rows], key=lambda x: x[2]
+    )
+    assert [(w, c) for w, c, _ in got] == exp
+
+
+def test_zipf_slope_recovers_minus_one(spark, tmp_path):
+    """A synthetic exact-Zipf corpus (count(rank r) = C // r) must fit
+    slope ≈ −1; a uniform corpus (all counts equal) must fit slope 0."""
+    from documentai_ocr_spark.queries.relevance import q_zipf_slope
+
+    zipf_words, uni_words = [], []
+    for r in range(1, 81):
+        zipf_words += [f"z{r:03d}"] * (4000 // r)
+    for r in range(80):
+        uni_words += [f"u{r:03d}"] * 50
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["zipf", "uniform"],
+            "text": [" ".join(zipf_words), " ".join(uni_words)],
+        }
+    )
+    d = str(tmp_path / "zipf")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    rows = {r["source"]: r for r in q_zipf_slope(spark, d).collect()}
+    assert abs(rows["zipf"]["slope"] + 1.0) < 0.05
+    assert abs(rows["uniform"]["slope"]) < 1e-9
+    assert rows["zipf"]["n_fit"] == 80 and rows["uniform"]["n_fit"] == 80

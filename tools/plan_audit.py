@@ -163,6 +163,19 @@ BOUNDED_OK = {
         "6-row grid plus the 1-row total dim; the vocab dim itself is "
         "never globally sorted",
     ),
+    "q_source_topwords": (
+        "LOW-CARD-WINDOW",
+        "the rank window runs on the digit-bucket survivor head "
+        "(O(K) rows per source after histogram-prefix pruning), and "
+        "the offset window on the ≤19-rows-per-source bucket dim — "
+        "the vocabulary itself is never sorted per source "
+        "(relevance._src_topk_df)",
+    ),
+    "q_zipf_slope": (
+        "LOW-CARD-WINDOW",
+        "same _src_topk_df survivor-head windows as q_source_topwords "
+        "— O(K) rows per source, never the vocabulary",
+    ),
 }
 
 
