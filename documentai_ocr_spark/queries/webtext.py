@@ -1518,3 +1518,104 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000 * count(distinct raw) div count(distinct canon)"
         ).alias("inflation_milli"),
     )
+
+
+# --------------------------------------------------- refusal-rate audit
+# The SFT-curation refusal screen: what fraction of assistant turns
+# are canned refusals ("i cannot help with…")? Over-represented
+# refusals teach a model to refuse; a per-source refusal-rate table is
+# the standard pre-mix audit. Refusal turns are injected
+# deterministically (ONE rendering per engine — the echo/template
+# discipline: the detector must REDISCOVER the injection through the
+# production regex, and the word-salad base text cannot collide with
+# the phrase list).
+_REFUSAL_TEMPLATES = [
+    "i cannot help with that request. ",
+    "i am sorry, but i cannot assist with this. ",
+    "as an ai language model i cannot do that. ",
+]
+_REFUSAL_RE = (
+    "^(i cannot help|i am sorry, but i cannot|as an ai language model)"
+)
+_REFUSAL_ARR_SQL = (
+    "['" + "','".join(_REFUSAL_TEMPLATES) + "']"
+)
+_REFUSAL_HIGH_MILLI = 100
+
+
+@_q(
+    "q_refusal_rate",
+    f"""
+    WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                FROM documents),
+    turns AS (
+      SELECT doc_id, source, g.t, {_TURN_BASE_SQL} AS base
+      FROM tk, unnest(generate_series(0, 11)) g(t)
+      WHERE g.t % 3 = 1
+    ),
+    dec AS (
+      SELECT doc_id, source,
+             CASE WHEN (doc_id * 5 + t) % 13 = 3 THEN
+               {_REFUSAL_ARR_SQL}[(doc_id % 3) + 1] || base
+             ELSE base END AS txt
+      FROM turns
+    ),
+    f AS (SELECT doc_id, source,
+                 CASE WHEN regexp_matches(txt, '{_REFUSAL_RE}')
+                      THEN 1 ELSE 0 END AS hit
+          FROM dec)
+    SELECT source,
+           CAST(COUNT(*) AS bigint) AS n_asst_turns,
+           CAST(SUM(hit) AS bigint) AS n_refusals,
+           CAST(1000 * SUM(hit) // COUNT(*) AS bigint) AS refusal_milli,
+           CAST(COUNT(DISTINCT CASE WHEN hit = 1 THEN doc_id END)
+                AS bigint) AS n_affected_convs,
+           1000 * SUM(hit) // COUNT(*) > {_REFUSAL_HIGH_MILLI}
+             AS high_refusal
+    FROM f GROUP BY source
+    """,
+)
+def q_refusal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source assistant refusal rate (integer milli) with the
+    affected-conversation count and the >{_REFUSAL_HIGH_MILLI}‰
+    high_refusal verdict — the screen that catches a source whose
+    assistant side is dominated by canned refusals before it poisons
+    an SFT mix.
+
+    Scale: assistant turns explode in-row (4 per conversation after
+    the t%3 prune), the regex runs per turn, and the only exchange is
+    the O(sources) rollup (the DISTINCT doc_id count is source-keyed
+    partial aggregation). Output is O(sources)."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("tk"),
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("t"),
+    ).where(F.col("t") % 3 == 1)
+    base = _turn_base_col(F.col("tk"), F.col("t"))
+    tmpl = F.array(
+        *[F.lit(s) for s in _REFUSAL_TEMPLATES]
+    )[(F.col("doc_id") % 3).cast("int")]
+    txt = F.when(
+        (F.col("doc_id") * 5 + F.col("t")) % 13 == 3,
+        F.concat(tmpl, base),
+    ).otherwise(base)
+    f = t.select(
+        "doc_id",
+        "source",
+        F.when(txt.rlike(_REFUSAL_RE), 1).otherwise(0).alias("hit"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_asst_turns"),
+        F.sum("hit").cast("long").alias("n_refusals"),
+        F.expr("1000 * sum(hit) div count(1)").alias("refusal_milli"),
+        F.countDistinct(F.when(F.col("hit") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("n_affected_convs"),
+        (
+            F.expr("1000 * sum(hit) div count(1)") > _REFUSAL_HIGH_MILLI
+        ).alias("high_refusal"),
+    )

@@ -256,3 +256,50 @@ def test_zipf_slope_recovers_minus_one(spark, tmp_path):
     assert abs(rows["zipf"]["slope"] + 1.0) < 0.05
     assert abs(rows["uniform"]["slope"]) < 1e-9
     assert rows["zipf"]["n_fit"] == 80 and rows["uniform"]["n_fit"] == 80
+
+
+def test_refusal_rate_python_replay(spark):
+    """Closed-form replay of the refusal injection + detector over the
+    whole corpus: per-source turn/refusal counts, milli rate, affected
+    conversations, and the high_refusal verdict."""
+    import re
+
+    from documentai_ocr_spark.queries.webtext import (
+        _REFUSAL_HIGH_MILLI,
+        _REFUSAL_RE,
+        _REFUSAL_TEMPLATES,
+        q_refusal_rate,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rx = re.compile(_REFUSAL_RE)
+    agg: dict[str, list] = {}
+    for doc, src, text in zip(docs["doc_id"], docs["source"], docs["text"]):
+        tk = text.split(" ")
+        for t in range(12):
+            if t % 3 != 1:
+                continue
+            lo = (t * 29) % max(1, len(tk))
+            base = " ".join(tk[lo : lo + 8])
+            if (doc * 5 + t) % 13 == 3:
+                txt = _REFUSAL_TEMPLATES[doc % 3] + base
+            else:
+                txt = base
+            agg.setdefault(src, []).append((doc, bool(rx.search(txt))))
+    got = {r["source"]: r for r in q_refusal_rate(spark, SF).collect()}
+    assert set(got) == set(agg)
+    any_hit = False
+    for src, rows in agg.items():
+        n = len(rows)
+        nh = sum(1 for _, h in rows if h)
+        convs = len({d for d, h in rows if h})
+        r = got[src]
+        assert (
+            r["n_asst_turns"],
+            r["n_refusals"],
+            r["refusal_milli"],
+            r["n_affected_convs"],
+            r["high_refusal"],
+        ) == (n, nh, 1000 * nh // n, convs, 1000 * nh // n > _REFUSAL_HIGH_MILLI), src
+        any_hit = any_hit or nh > 0
+    assert any_hit  # the injection must actually fire on this corpus
