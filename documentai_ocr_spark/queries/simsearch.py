@@ -1460,3 +1460,112 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drift_milli"),
     )
+
+
+# ------------------------------------------------- label-margin audit
+# Nearest-centroid label-noise screen: a vector whose nearest OTHER
+# class prototype is closer than its own class's prototype is the
+# canonical mislabel candidate (the NearestCentroid confusion rule).
+# Reuses THE centroid rendering (CENTROID_CTE / _centroids_df) and the
+# outlier audit's exact index-ordered distance fold, so prototype and
+# metric can never drift between the outlier and margin screens.
+@_q(
+    "q_embed_label_margin",
+    f"""
+    WITH {CENTROID_CTE},
+    ca AS (
+      SELECT label, list(centroid ORDER BY dim) AS c
+      FROM cent GROUP BY label
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, ca.label AS clabel,
+             CAST(round(sqrt(list_reduce(
+               list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS double) - c[i])
+                    * (CAST(e.embedding[i] AS double) - c[i])),
+               (a, b) -> a + b)) * 1000) AS bigint) AS dist_milli
+      FROM embeddings e CROSS JOIN ca
+    ),
+    own AS (SELECT vec_id, label, dist_milli AS own_milli
+            FROM d WHERE label = clabel),
+    oth AS (
+      SELECT vec_id, clabel AS nearest_other, dist_milli AS other_milli
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist_milli, clabel) AS rn
+            FROM d WHERE label <> clabel)
+      WHERE rn = 1
+    )
+    SELECT o.vec_id, o.label, o.own_milli,
+           t.nearest_other, t.other_milli,
+           t.other_milli - o.own_milli AS margin_milli,
+           t.other_milli < o.own_milli AS suspect
+    FROM own o JOIN oth t USING (vec_id)
+    """,
+)
+def q_embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector nearest-centroid margin: distance to the own-label
+    prototype vs the nearest other-label prototype (both exact
+    milli-quantized via the q_embed_outliers fold), the margin, and
+    the suspect verdict (closer to another class than to its own) —
+    the label-noise review queue, ranked by how wrong the label looks.
+
+    Scale: the centroid dim is O(labels × 64) rows broadcast once; the
+    fact side fans out ×|labels| in-row against that broadcast (the
+    q_knn_cosine bounded-product pattern — |labels| is a schema
+    constant, never data-proportional), the nearest-other min is a
+    vec_id-keyed partial aggregation of integers, and no per-dim row
+    of the fact table ever shuffles. Output is vector-grain."""
+    e = spread(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    ca = (
+        _centroids_df(e)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("clabel"), "c")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("c"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist_milli = (
+        F.round(
+            F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda a, x: a + x))
+            * 1000
+        )
+        .cast("long")
+        .alias("dist_milli")
+    )
+    d = e.crossJoin(F.broadcast(ca)).select(
+        "vec_id", "label", "clabel", dist_milli
+    )
+    own = d.where(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("dist_milli").alias("own_milli")
+    )
+    oth = (
+        d.where(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist_milli", "clabel")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.clabel").alias("nearest_other"),
+            F.col("m.dist_milli").alias("other_milli"),
+        )
+    )
+    return own.join(oth, "vec_id").select(
+        "vec_id",
+        "label",
+        "own_milli",
+        "nearest_other",
+        "other_milli",
+        (F.col("other_milli") - F.col("own_milli")).alias("margin_milli"),
+        (F.col("other_milli") < F.col("own_milli")).alias("suspect"),
+    )

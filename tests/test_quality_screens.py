@@ -303,3 +303,58 @@ def test_refusal_rate_python_replay(spark):
         ) == (n, nh, 1000 * nh // n, convs, 1000 * nh // n > _REFUSAL_HIGH_MILLI), src
         any_hit = any_hit or nh > 0
     assert any_hit  # the injection must actually fire on this corpus
+
+
+def test_embed_label_margin_numpy_replay(spark):
+    """Whole-table replay: centroids (per-label means rounded to 6),
+    exact index-ordered distance fold, nearest-other min with clabel
+    tie-break, margin and suspect verdict — all recomputed in numpy."""
+    import numpy as np
+
+    from documentai_ocr_spark.queries.simsearch import (
+        q_embed_label_margin,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    labels = sorted(emb["label"].unique())
+    cents = {}
+    for lb in labels:
+        m = np.stack(emb.loc[emb["label"] == lb, "embedding"].to_numpy())
+        # same rule as CENTROID_CTE: sum/count in double, rounded once
+        cents[lb] = np.round(
+            m.astype(np.float64).sum(axis=0) / len(m), 6
+        )
+    got = {
+        r["vec_id"]: r for r in q_embed_label_margin(spark, SF).collect()
+    }
+    assert len(got) == len(emb)
+    n_suspect = 0
+    for vec_id, lb, v in zip(
+        emb["vec_id"], emb["label"], emb["embedding"]
+    ):
+        x = np.asarray(v, dtype=np.float64)
+        dm = {}
+        for cl, c in cents.items():
+            # left fold in index order == math.fsum-free plain sum here;
+            # replicate the exact sequential accumulation
+            acc = 0.0
+            for i in range(len(x)):
+                d = x[i] - c[i]
+                acc += d * d
+            dm[cl] = int(round(math.sqrt(acc) * 1000))
+        own = dm[lb]
+        other_lb, other = min(
+            ((v2, k) for k, v2 in dm.items() if k != lb)
+        )[::-1]
+        r = got[vec_id]
+        assert (
+            r["own_milli"],
+            r["nearest_other"],
+            r["other_milli"],
+            r["margin_milli"],
+            r["suspect"],
+        ) == (own, other_lb, other, other - own, other < own), vec_id
+        n_suspect += other < own
+    # embeddings are synthetic label clusters + noise: both verdicts
+    # must occur or the screen isn't discriminating
+    assert n_suspect > 0 and n_suspect < len(emb)

@@ -176,6 +176,13 @@ BOUNDED_OK = {
         "same _src_topk_df survivor-head windows as q_source_topwords "
         "— O(K) rows per source, never the vocabulary",
     ),
+    "q_embed_label_margin": (
+        "PRODUCT-JOIN",
+        "crossJoin of the O(labels) broadcast centroid dim — bounded "
+        "×|labels| fan-out (a schema constant), the q_knn_cosine "
+        "pattern; the nearest-other min is a vec_id-keyed integer "
+        "partial aggregation",
+    ),
 }
 
 
