@@ -2565,3 +2565,97 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000 * COALESCE(SUM(cnt), 0L) div MIN(total) AS bigint)"
         ).alias("coverage_milli"),
     )
+
+
+# ------------------------------------------- line dedup with rewrite
+# The C4/CCNet line-level dedup RULE, applied (not just reported —
+# q_boiler_linefreq is the report): every line keeps only its FIRST
+# corpus occurrence in (doc_id, line) order; later copies are removed
+# and each document is reassembled from its surviving lines in
+# original order. This is the pass that strips nav bars / footers /
+# injected OCR noise corpus-wide while leaving the first page that
+# legitimately said it intact.
+_LINE_POS_SHIFT = 1 << 20  # pos = doc_id·2^20 + li; li < 2^20 ⇔ docs
+#                            under ~5M tokens at 5-token lines — loud
+#                            bigint overflow far beyond that
+
+
+@_q("q_line_dedup_rewrite", None)  # SQL attached below (composes _lines_sql)
+def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence line dedup + document rewrite:
+    per doc, the line count, survivors, drops, and the reassembled
+    clean_text (kept lines joined by newline in original order).
+
+    Scale: the first-occurrence election is min(pos) per 60-bit line
+    hash — pos encodes (doc_id, li) as ONE bigint so the election is
+    a map-side-combining integer MIN, never a per-hash window (a hot
+    boilerplate line collapses to one partial per map task instead of
+    serializing its million instances through one reducer). Two
+    exchanges total: the 8-byte hash key (election + instance rejoin
+    on the same partitioning), then doc_id for the doc-bounded
+    reassembly. Text moves only in the final doc-grain stage."""
+    from .dedup import _hex60
+    from .relational import _synth_lines
+
+    lines = _synth_lines(spark, sf_dir)
+    inst = lines.select(
+        "doc_id",
+        "li",
+        "s",
+        _hex60(F.col("s")).alias("lh"),
+        (F.col("doc_id") * _LINE_POS_SHIFT + F.col("li")).alias("pos"),
+    )
+    fo = inst.groupBy("lh").agg(F.min("pos").alias("fpos"))
+    k = inst.join(fo, "lh").select(
+        "doc_id",
+        "li",
+        "s",
+        (F.col("pos") == F.col("fpos")).alias("keep"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("li", "s"))
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["s"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+
+
+def _line_dedup_sql() -> str:
+    from .relational import _lines_sql
+
+    return f"""
+    WITH {_lines_sql()},
+    inst AS (
+      SELECT doc_id, li, s,
+             ('0x' || substr(md5(s), 1, 15))::bigint AS lh,
+             doc_id * {_LINE_POS_SHIFT} + li AS pos
+      FROM lines
+    ),
+    fo AS (SELECT lh, MIN(pos) AS fpos FROM inst GROUP BY lh),
+    k AS (
+      SELECT i.doc_id, i.li, i.s, i.pos = f.fpos AS keep
+      FROM inst i JOIN fo f USING (lh)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS bigint) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS bigint)
+             AS n_dropped,
+           COALESCE(string_agg(s, chr(10) ORDER BY li)
+                      FILTER (WHERE keep), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """
+
+
+ORACLES["q_line_dedup_rewrite"] = _line_dedup_sql()

@@ -358,3 +358,66 @@ def test_embed_label_margin_numpy_replay(spark):
     # embeddings are synthetic label clusters + noise: both verdicts
     # must occur or the screen isn't discriminating
     assert n_suspect > 0 and n_suspect < len(emb)
+
+
+def test_line_dedup_rewrite_python_replay(spark):
+    """Whole-corpus replay: corpus-global first-occurrence election in
+    (doc_id, li) order over the synth line table (WITHOUT decorations
+    — this op consumes the shared table directly), then per-doc
+    reassembly; every count and every clean_text byte must match."""
+    from documentai_ocr_spark.queries.corpusops import (
+        q_line_dedup_rewrite,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def synth_lines_raw(doc_id, text):
+        tk = text.split(" ")
+        nl = math.ceil(len(tk) / 5.0)
+        out = []
+        for li in range(nl):
+            if (doc_id + li) % 7 == 5:
+                out.append("ok")
+            elif (doc_id + li) % 4 == 3:
+                out.append("*** !!! *** ???")
+            else:
+                out.append(" ".join(tk[li * 5 : li * 5 + 5]))
+        return out
+
+    first: dict[str, tuple] = {}
+    all_lines = []
+    for doc_id, text in sorted(zip(docs["doc_id"], docs["text"])):
+        for li, s in enumerate(synth_lines_raw(doc_id, text)):
+            all_lines.append((doc_id, li, s))
+            if s not in first or (doc_id, li) < first[s]:
+                first[s] = (doc_id, li)
+    exp: dict[int, dict] = {}
+    for doc_id, li, s in all_lines:
+        e = exp.setdefault(
+            doc_id, {"n": 0, "kept": 0, "lines": []}
+        )
+        e["n"] += 1
+        if first[s] == (doc_id, li):
+            e["kept"] += 1
+            e["lines"].append(s)
+    got = {
+        r["doc_id"]: r
+        for r in q_line_dedup_rewrite(spark, SF).collect()
+    }
+    assert len(got) == len(exp)
+    dropped_somewhere = kept_everything = 0
+    for doc_id, e in exp.items():
+        r = got[doc_id]
+        assert (
+            r["n_lines"],
+            r["n_kept"],
+            r["n_dropped"],
+            r["clean_text"],
+        ) == (e["n"], e["kept"], e["n"] - e["kept"], "\n".join(e["lines"])), doc_id
+        dropped_somewhere += e["kept"] < e["n"]
+        kept_everything += e["kept"] == e["n"]
+    # the injected 'ok'/noise boilerplate guarantees real drops, and
+    # original content must survive somewhere
+    assert dropped_somewhere > 0
+    total_kept = sum(e["kept"] for e in exp.values())
+    assert 0 < total_kept < sum(e["n"] for e in exp.values())
