@@ -2137,3 +2137,70 @@ def q_gopher_lineshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_gopher_lineshape"] = _shape_sql()
+
+
+# ------------------------------------------------- badwords lexicon screen
+# The classic crawl-filter word-list screen (C4's badwords pass): count
+# lexicon hits per document and flag above a milli threshold. The
+# lexicon is a FIXTURE (real screens ship curated lists); the operator
+# is the mechanics: an in-row membership filter against a literal
+# array — no explode, no join, no shuffle, a pure map fused into
+# codegen. Words not present in the corpus ('junk', 'spam') exercise
+# the zero-hit path.
+_BADWORDS = ["slow", "dup", "junk", "spam"]
+_BADWORDS_SQL = "['" + "','".join(_BADWORDS) + "']"
+_BAD_FLAG_MILLI = 40
+
+
+@_q(
+    "q_badwords_screen",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({ntok_sql('text')} AS bigint) AS n_tokens,
+             CAST(len(list_filter(
+                    list_filter(string_split(text, ' '), x -> x <> ''),
+                    x -> list_contains({_BADWORDS_SQL}, x)))
+                  AS bigint) AS n_bad
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_bad,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE 1000 * n_bad // n_tokens END AS bigint)
+             AS bad_milli,
+           (CASE WHEN n_tokens = 0 THEN 0
+                 ELSE 1000 * n_bad // n_tokens END) > {_BAD_FLAG_MILLI}
+             AS flagged
+    FROM t
+    """,
+)
+def q_badwords_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexicon-hit count, exact integer-milli rate, and the
+    >{_BAD_FLAG_MILLI}‰ flagged verdict against the _BADWORDS list —
+    the C4-style badwords screen.
+
+    Scale: one in-row filtered-membership count against a literal
+    array per document (THE token unit via util.ntok_col for the
+    denominator) — zero explode, zero join, zero shuffle; doc-grain
+    output writes straight through. A production lexicon of ~1e3
+    words stays a literal array (or a broadcast set for ~1e6)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    bad = F.array(*[F.lit(w) for w in _BADWORDS])
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_bad = F.size(F.filter(toks, lambda x: F.array_contains(bad, x)))
+    n_tok = ntok_col("text")
+    t = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_bad.cast("long").alias("n_bad"),
+    )
+    milli = F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("1000 * n_bad div n_tokens")
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "n_bad",
+        milli.alias("bad_milli"),
+        (milli > _BAD_FLAG_MILLI).alias("flagged"),
+    )

@@ -421,3 +421,35 @@ def test_line_dedup_rewrite_python_replay(spark):
     assert dropped_somewhere > 0
     total_kept = sum(e["kept"] for e in exp.values())
     assert 0 < total_kept < sum(e["n"] for e in exp.values())
+
+
+def test_badwords_screen_python_replay(spark):
+    """Whole-corpus replay of the lexicon screen, plus the verdict
+    must discriminate ('slow'/'dup' are real corpus words; a crafted
+    doc over the threshold flags, a clean doc never does)."""
+    from documentai_ocr_spark.queries.textstats import (
+        _BAD_FLAG_MILLI,
+        _BADWORDS,
+        q_badwords_screen,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = {
+        r["doc_id"]: r for r in q_badwords_screen(spark, SF).collect()
+    }
+    assert len(got) == len(docs)
+    bad = set(_BADWORDS)
+    n_flag = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [w for w in text.split(" ") if w]
+        nb = sum(1 for w in toks if w in bad)
+        milli = 0 if not toks else 1000 * nb // len(toks)
+        r = got[doc_id]
+        assert (
+            r["n_tokens"],
+            r["n_bad"],
+            r["bad_milli"],
+            r["flagged"],
+        ) == (len(toks), nb, milli, milli > _BAD_FLAG_MILLI), doc_id
+        n_flag += milli > _BAD_FLAG_MILLI
+    assert n_flag > 0  # the corpus actually contains lexicon words
