@@ -1162,3 +1162,81 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n_fit"), 6
         ).alias("intercept"),
     )
+
+
+# ------------------------------------------- bigram conditional entropy
+# Per-source fluency statistic: H(w2 | w1) = (1/N)·Σ_{w1,w2} c(w1,w2)
+# · ln(c(w1)/c(w1,w2)) over adjacent word pairs — the information-rate
+# complement to the char-entropy screen (q_char_entropy): degenerate
+# repetition drives it to 0 (every word determines its successor),
+# templated text sits far below natural prose. Exact-estimator form,
+# no smoothing needed: every bigram's context count dominates it.
+@_q(
+    "q_bigram_entropy",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT source, t[i] AS w1, t[i + 1] AS w2
+      FROM tok, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i
+      ) g
+    ),
+    b AS (SELECT source, w1, w2, CAST(COUNT(*) AS bigint) AS c2
+          FROM bg GROUP BY source, w1, w2),
+    u AS (SELECT source, w1, CAST(SUM(c2) AS bigint) AS c1
+          FROM b GROUP BY source, w1)
+    SELECT b.source,
+           CAST(SUM(c2) AS bigint) AS n_bigrams,
+           CAST(COUNT(*) AS bigint) AS n_distinct,
+           ROUND(SUM(c2 * ln(CAST(u.c1 AS double) / c2)) / SUM(c2), 6)
+             AS cond_entropy
+    FROM b JOIN u ON b.source = u.source AND b.w1 = u.w1
+    GROUP BY b.source
+    """,
+)
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram conditional entropy H(w2|w1) in nats — exact
+    estimator from two integer count tables (no smoothing: the context
+    count c1 = Σ c2 always dominates, so every ln argument is ≥ 1 and
+    finite; a deterministic single-successor corpus pins exactly 0).
+
+    Float discipline (q_source_kl): one ln per (source, bigram) from
+    two exact integers, ROUND(…, 6) once after the per-source sum.
+    Scale: adjacent pairs explode in-row (n−1 per doc), one
+    (source, w1, w2) partial agg is the corpus exchange, the context
+    table is its own rollup (AQE reuses the exchange), and the join
+    back is key-subsumed (source, w1) ⊂ (source, w1, w2). Output is
+    O(sources)."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("source", "text")
+    )
+    t = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    pairs = F.expr(
+        "transform(slice(t, 1, greatest(0, size(t) - 1)), "
+        "(x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+    )
+    bg = docs.select("source", t.alias("t")).select(
+        "source", F.explode(pairs).alias("p")
+    ).select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    b = bg.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    u = b.groupBy("source", "w1").agg(
+        F.sum("c2").cast("long").alias("c1")
+    )
+    term = F.col("c2") * F.log(
+        F.col("c1").cast("double") / F.col("c2")
+    )
+    return (
+        b.join(u, ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.sum("c2").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(F.sum(term) / F.sum("c2"), 6).alias("cond_entropy"),
+        )
+    )

@@ -453,3 +453,64 @@ def test_badwords_screen_python_replay(spark):
         ) == (len(toks), nb, milli, milli > _BAD_FLAG_MILLI), doc_id
         n_flag += milli > _BAD_FLAG_MILLI
     assert n_flag > 0  # the corpus actually contains lexicon words
+
+
+def test_bigram_entropy_pins(spark, tmp_path):
+    """Closed-form pins: a deterministic successor corpus scores
+    exactly 0; a context with two equally likely successors scores
+    exactly ln 2; plus a whole-corpus python replay at sf0.001."""
+    from documentai_ocr_spark.queries.relevance import q_bigram_entropy
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["det", "coin"],
+            "text": ["a b " * 50 + "a b", "x y x z " * 25 + "x y"],
+        }
+    )
+    d = str(tmp_path / "bent")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    rows = {r["source"]: r for r in q_bigram_entropy(spark, d).collect()}
+    assert rows["det"]["cond_entropy"] == 0.0
+    # 'x' → {y, z} equally; 'y'/'z' → 'x' deterministically.
+    # H = P(w1=x)·ln2 = (n_x_pairs / N)·ln2
+    n = rows["coin"]["n_bigrams"]
+    import collections
+
+    toks = pdf.loc[1, "text"].split(" ")
+    cnt = collections.Counter(zip(toks, toks[1:]))
+    ctx = collections.Counter()
+    for (w1, _), c in cnt.items():
+        ctx[w1] += c
+    h = sum(
+        c * math.log(ctx[w1] / c) for (w1, _), c in cnt.items()
+    ) / sum(cnt.values())
+    assert n == sum(cnt.values())
+    assert abs(rows["coin"]["cond_entropy"] - round(h, 6)) < 1e-9
+
+
+def test_bigram_entropy_python_recount(spark):
+    """Whole-corpus replay at sf0.001 (per-source exact count tables,
+    same ln terms, 1e-9 on the rounded sum)."""
+    import collections
+
+    from documentai_ocr_spark.queries.relevance import q_bigram_entropy
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt: dict[str, collections.Counter] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = [w for w in text.lower().split(" ") if w]
+        cnt.setdefault(src, collections.Counter()).update(
+            zip(toks, toks[1:])
+        )
+    got = {r["source"]: r for r in q_bigram_entropy(spark, SF).collect()}
+    assert set(got) == set(cnt)
+    for src, c in cnt.items():
+        ctx = collections.Counter()
+        for (w1, _), k in c.items():
+            ctx[w1] += k
+        n = sum(c.values())
+        h = sum(k * math.log(ctx[w1] / k) for (w1, _), k in c.items()) / n
+        r = got[src]
+        assert r["n_bigrams"] == n and r["n_distinct"] == len(c)
+        assert abs(r["cond_entropy"] - round(h, 6)) < 5e-6, src
