@@ -68,6 +68,7 @@ def _lineage_state(spark: SparkSession, out_dir: str) -> tuple[set[int], int]:
     a monotonic counter from the table itself — never wall-clock, so a
     replayed run is byte-reproducible and debugging can order batches."""
     path = f"{out_dir}/lineage"
+    _heal_lineage_swap(spark, out_dir)
     if not _path_exists(spark, path):
         return set(), 0
     row = (
@@ -107,15 +108,53 @@ def run_extraction_increment(
     n_buckets: int = DEFAULT_BUCKETS,
     max_buckets: int | None = None,
     plain_variant: str = "density",
+    augment=None,
+    lock: bool = True,
     _crash_before_commit: bool = False,
 ) -> int:
     """One incremental run. Returns the number of buckets processed
     (0 = nothing pending: the job is fully caught up).
 
     ``max_buckets`` bounds one run's work (the reference's batched drain,
-    rechanimage.py:96-135). ``_crash_before_commit`` is a test hook that
-    simulates dying between data write and lineage commit.
+    rechanimage.py:96-135). ``augment`` (DataFrame → DataFrame) lets a
+    new rule version ADD columns — schema evolution: this run's buckets
+    carry them, earlier buckets read them as NULL through the merged-
+    schema readers, and rule_ver records which batches have them.
+    ``lock`` takes the single-writer lock for the write+commit critical
+    section (see acquire_writer_lock). ``_crash_before_commit`` is a
+    test hook that simulates dying between data write and lineage
+    commit (the lock is deliberately left behind, like a real crash).
     """
+    if lock:
+        acquire_writer_lock(spark, out_dir, owner=f"batch rule={rule_ver}")
+    try:
+        return _increment_locked(
+            spark,
+            transcripts,
+            out_dir,
+            rule_ver,
+            n_buckets,
+            max_buckets,
+            plain_variant,
+            augment,
+            _crash_before_commit,
+        )
+    finally:
+        if lock and not _crash_before_commit:
+            release_writer_lock(spark, out_dir)
+
+
+def _increment_locked(
+    spark,
+    transcripts,
+    out_dir,
+    rule_ver,
+    n_buckets,
+    max_buckets,
+    plain_variant,
+    augment,
+    _crash_before_commit,
+) -> int:
     done, batch_id = _lineage_state(spark, out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     if max_buckets is not None:
@@ -133,6 +172,8 @@ def run_extraction_increment(
         .withColumn("bucket", bucket_expr(n_buckets))
         .withColumn("part_id", F.spark_partition_id())
     )
+    if augment is not None:
+        ext = augment(ext)
     _write_extracted(ext, out_dir)
     if _crash_before_commit:
         return len(pending)
@@ -201,9 +242,13 @@ def run_to_completion(
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed view of the output: only buckets with lineage rows (an
-    uncommitted/partial bucket is invisible — snapshot-read emulation)."""
+    uncommitted/partial bucket is invisible — snapshot-read emulation).
+    mergeSchema: buckets written before a column was added (schema
+    evolution via the ``augment`` hook) read it as NULL."""
     done = sorted(committed_buckets(spark, out_dir))
-    df = spark.read.parquet(f"{out_dir}/extracted")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/extracted"
+    )
     return df.where(F.col("bucket").isin(done))
 
 
@@ -217,7 +262,15 @@ def read_extracted_asof(
     commits exactly once with the monotonic counter, so the as-of set
     is a prefix of commit history; on an Iceberg deployment this maps
      1:1 to ``VERSION AS OF``. The filter is partition pruning on the
-    bucket column — an as-of read scans only the old buckets' files."""
+    bucket column — an as-of read scans only the old buckets' files.
+    As-of reads before an expire_snapshots horizon are refused (the
+    Iceberg expiry contract); schemas merge like read_extracted."""
+    horizon = expired_before(spark, out_dir)
+    if batch_id < horizon:
+        raise ValueError(
+            f"as-of batch {batch_id} predates the expiry horizon "
+            f"{horizon} (expire_snapshots removed that history)"
+        )
     path = f"{out_dir}/lineage"
     rows = (
         spark.read.schema(LINEAGE_SCHEMA)
@@ -228,5 +281,151 @@ def read_extracted_asof(
         .collect()
     )
     done = sorted(r.bucket for r in rows)
-    df = spark.read.parquet(f"{out_dir}/extracted")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/extracted"
+    )
     return df.where(F.col("bucket").isin(done))
+
+
+# --------------------------------------------------------------- concurrency
+# Single-writer guard. Iceberg gets optimistic concurrency from the
+# atomic metadata-pointer swap; on plain parquet two simultaneous
+# incremental runs could both see a bucket as pending and interleave
+# dynamic overwrites with commits. The guard is an ATOMIC lock-file
+# create through the table's own Hadoop FileSystem (createNewFile —
+# atomic on HDFS and local FS; on S3A it is best-effort, one more
+# reason the production target is a real table format). A crashed
+# holder leaves a stale lock: surface the owner string and let the
+# operator force_unlock — silent TTL auto-breaking is how two writers
+# end up live at once.
+
+
+class LineageConcurrencyError(RuntimeError):
+    """Another writer holds the lineage writer lock."""
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(conf), hp, jvm
+
+
+def acquire_writer_lock(
+    spark: SparkSession, out_dir: str, owner: str = "writer"
+) -> None:
+    """Atomically create {out_dir}/_LOCK or raise
+    LineageConcurrencyError naming the current holder."""
+    fs, hp, jvm = _hadoop(spark, f"{out_dir}/_LOCK")
+    fs.mkdirs(hp.getParent())
+    if not fs.createNewFile(hp):
+        holder = "unknown"
+        try:
+            stream = fs.open(hp)
+            holder = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+            stream.close()
+        except Exception:  # pragma: no cover — unreadable lock body
+            pass
+        raise LineageConcurrencyError(
+            f"lineage at {out_dir} is locked by '{holder.strip()}' — "
+            "if that writer crashed, force_unlock() after verifying it "
+            "is dead"
+        )
+    out = fs.create(hp, True)
+    out.write(bytearray(owner.encode("utf-8")))
+    out.close()
+
+
+def release_writer_lock(spark: SparkSession, out_dir: str) -> None:
+    fs, hp, _ = _hadoop(spark, f"{out_dir}/_LOCK")
+    fs.delete(hp, False)
+
+
+force_unlock = release_writer_lock
+
+
+# ----------------------------------------------------------- schema evolution
+# Column ADDITION across rule versions, the common evolution: a v2 run
+# passes ``augment`` to run_extraction_increment and its buckets carry
+# the new column; read_extracted / read_extracted_asof merge schemas so
+# v1 buckets read the column as NULL (exactly Iceberg's add-column
+# semantics: old data files simply lack the field). rule_ver in the
+# lineage rows records which batches carry which schema. Column
+# RENAME/DROP need a real table format's field-id mapping — documented
+# boundary, not emulated.
+
+
+# ------------------------------------------------------------ snapshot expiry
+# Iceberg's expire_snapshots: metadata older than a horizon is
+# compacted and time travel before the horizon is refused. Here the
+# per-PARTITION lineage rows of batches before ``before_batch_id``
+# collapse to one row per (bucket, batch_id, rule_ver) with summed
+# counts and part_id = -1 (the manifest-level detail is what expiry
+# discards; commit history, counts, committed_buckets and max batch_id
+# are all preserved exactly). The swap is two FileSystem renames with
+# a _bak recovery window healed by _lineage_state's reader path on
+# plain parquet; on Iceberg the pointer swap is atomic — the one-line
+# boundary this module states everywhere.
+_HORIZON = "lineage_horizon"
+
+
+def _heal_lineage_swap(spark: SparkSession, out_dir: str) -> None:
+    """If a crash between the two expiry renames left only the _bak
+    table, rename it back so readers never see an empty lineage."""
+    fs, cur, _ = _hadoop(spark, f"{out_dir}/lineage")
+    bak = _hadoop(spark, f"{out_dir}/lineage_bak")[1]
+    if not fs.exists(cur) and fs.exists(bak):
+        fs.rename(bak, cur)
+
+
+def expired_before(spark: SparkSession, out_dir: str) -> int:
+    """The expiry horizon (exclusive); -1 if never expired."""
+    path = f"{out_dir}/{_HORIZON}"
+    if not _path_exists(spark, path):
+        return -1
+    return (
+        spark.read.schema("before_batch_id bigint")
+        .parquet(path)
+        .agg(F.max("before_batch_id"))
+        .collect()[0][0]
+    )
+
+
+def expire_snapshots(
+    spark: SparkSession, out_dir: str, before_batch_id: int
+) -> int:
+    """Compact lineage rows of batches < ``before_batch_id`` to bucket
+    grain and refuse as-of reads before the horizon from now on.
+    Returns the number of lineage rows removed by compaction."""
+    _heal_lineage_swap(spark, out_dir)
+    path = f"{out_dir}/lineage"
+    rows = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+    old = rows.where(F.col("batch_id") < before_batch_id)
+    new = rows.where(F.col("batch_id") >= before_batch_id)
+    compact = old.groupBy("bucket", "batch_id", "rule_ver").agg(
+        F.lit(-1).cast("int").alias("part_id"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.sum("n_convs").cast("long").alias("n_convs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+    ).select(*[c.strip() for c in
+               "bucket,part_id,n_turns,n_convs,n_chars,n_spans".split(",")],
+             "batch_id", "rule_ver")
+    n_before = rows.count()
+    merged = new.select(compact.columns).unionByName(compact)
+    tmp = f"{out_dir}/lineage_new"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs, cur, _ = _hadoop(spark, path)
+    bak = _hadoop(spark, f"{out_dir}/lineage_bak")[1]
+    tmpp = _hadoop(spark, tmp)[1]
+    fs.delete(bak, True)
+    fs.rename(cur, bak)
+    fs.rename(tmpp, cur)
+    fs.delete(bak, True)
+    spark.createDataFrame(
+        [(int(before_batch_id),)], "before_batch_id bigint"
+    ).write.mode("append").parquet(f"{out_dir}/{_HORIZON}")
+    n_after = spark.read.schema(LINEAGE_SCHEMA).parquet(path).count()
+    return n_before - n_after

@@ -85,6 +85,16 @@ def test_crash_before_commit_resumes_exactly(
     # committed view is unaffected by the orphaned files
     partial = read_extracted(spark, out)
     assert partial.select(F.countDistinct("bucket")).collect()[0][0] == 4
+    # the crashed writer left its lock behind (as a real crash would);
+    # resuming requires the explicit operator force_unlock
+    from documentai_ocr_spark.lineage import (
+        LineageConcurrencyError,
+        force_unlock,
+    )
+
+    with pytest.raises(LineageConcurrencyError):
+        run_extraction_increment(spark, transcripts, out, n_buckets=N_BUCKETS)
+    force_unlock(spark, out)
     # resume: reprocesses (and overwrites) the uncommitted buckets
     n = run_extraction_increment(spark, transcripts, out, n_buckets=N_BUCKETS)
     assert n == N_BUCKETS - 4
@@ -156,3 +166,156 @@ def test_time_travel_read_asof_batch(spark, tmp_path_factory):
     assert read_extracted_asof(spark, out, -1).count() == 0
     latest = read_extracted_asof(spark, out, 1)
     assert latest.count() == full.count()
+
+
+def test_writer_lock_excludes_second_writer(
+    spark, transcripts, tmp_path_factory
+):
+    """Single-writer guard: while one writer holds the lock a second
+    increment fails loudly naming the holder; after release it runs;
+    a successful run releases its own lock."""
+    from documentai_ocr_spark.lineage import (
+        LineageConcurrencyError,
+        acquire_writer_lock,
+        release_writer_lock,
+    )
+
+    out = str(tmp_path_factory.mktemp("lock") / "out")
+    acquire_writer_lock(spark, out, owner="other-writer")
+    with pytest.raises(LineageConcurrencyError, match="other-writer"):
+        run_extraction_increment(
+            spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets=2
+        )
+    release_writer_lock(spark, out)
+    assert (
+        run_extraction_increment(
+            spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets=2
+        )
+        == 2
+    )
+    # lock released after success → the next run proceeds immediately
+    assert (
+        run_extraction_increment(
+            spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets=2
+        )
+        == 2
+    )
+
+
+def test_schema_evolution_add_column(
+    spark, transcripts, oneshot, tmp_path_factory
+):
+    """A v2 run ADDS a column via the augment hook: v2 buckets carry
+    it, v1 buckets read it as NULL through the merged-schema readers,
+    the core result set is unchanged, and rule_ver records which
+    batches have the new schema."""
+    out = str(tmp_path_factory.mktemp("evo") / "out")
+    run_extraction_increment(
+        spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets=4,
+        rule_ver="v1",
+    )
+    v1_buckets = set(committed_buckets(spark, out))
+
+    def add_quality(df):
+        return df.withColumn(
+            "quality_milli",
+            (F.length("text") * 1000 / (F.length("text") + 1)).cast("long"),
+        )
+
+    run_extraction_increment(
+        spark, transcripts, out, n_buckets=N_BUCKETS, rule_ver="v2",
+        augment=add_quality,
+    )
+    full = read_extracted(spark, out)
+    assert "quality_milli" in full.columns
+    assert _result_set(full) == oneshot
+    nulls = {
+        r["bucket"]
+        for r in full.where(F.col("quality_milli").isNull())
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    filled = {
+        r["bucket"]
+        for r in full.where(F.col("quality_milli").isNotNull())
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    present = {
+        r["bucket"]
+        for r in full.select("bucket").distinct().collect()
+    }
+    assert nulls == v1_buckets & present
+    assert filled == present - v1_buckets
+    lin = spark.read.parquet(f"{out}/lineage")
+    vers = {
+        r["rule_ver"] for r in lin.select("rule_ver").distinct().collect()
+    }
+    assert vers == {"v1", "v2"}
+
+
+def test_expire_snapshots_compacts_and_fences(
+    spark, transcripts, oneshot, tmp_path_factory
+):
+    """Snapshot expiry: per-partition lineage rows before the horizon
+    collapse to bucket grain (counts, committed set, max batch_id all
+    preserved), the committed view is unchanged, as-of at/after the
+    horizon still works, and as-of BEFORE the horizon is refused."""
+    from documentai_ocr_spark.lineage import (
+        expire_snapshots,
+        expired_before,
+        read_extracted_asof,
+    )
+
+    out = str(tmp_path_factory.mktemp("exp") / "out")
+    run_to_completion(
+        spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets_per_run=3
+    )  # batches 0,1,2
+    lin_before = spark.read.parquet(f"{out}/lineage")
+    counts_before = lin_before.groupBy("bucket").agg(
+        F.sum("n_turns").alias("t")
+    ).collect()
+    n_rows_before = lin_before.count()
+
+    removed = expire_snapshots(spark, out, before_batch_id=2)
+    assert expired_before(spark, out) == 2
+
+    lin = spark.read.parquet(f"{out}/lineage")
+    assert lin.count() == n_rows_before - removed
+    # expired batches are bucket-grain now
+    assert lin.where("batch_id < 2 AND part_id <> -1").count() == 0
+    # commit history, counts and committed set preserved exactly
+    assert committed_buckets(spark, out) == set(range(N_BUCKETS))
+    counts_after = lin.groupBy("bucket").agg(
+        F.sum("n_turns").alias("t")
+    ).collect()
+    assert {(r["bucket"], r["t"]) for r in counts_after} == {
+        (r["bucket"], r["t"]) for r in counts_before
+    }
+    assert _result_set(read_extracted(spark, out)) == oneshot
+    # as-of at the horizon and later still works
+    assert read_extracted_asof(spark, out, 2).count() > 0
+    with pytest.raises(ValueError, match="expiry horizon"):
+        read_extracted_asof(spark, out, 1)
+
+
+def test_lineage_swap_crash_heals(spark, transcripts, tmp_path_factory):
+    """A crash between the two expiry renames leaves only lineage_bak;
+    the next reader heals it and sees the full committed set."""
+    import os
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("heal") / "out")
+    run_extraction_increment(
+        spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets=3
+    )
+    assert len(committed_buckets(spark, out)) == 3
+    shutil.move(f"{out}/lineage", f"{out}/lineage_bak")
+    assert not os.path.exists(f"{out}/lineage")
+    assert committed_buckets(spark, out) == set(
+        sorted(committed_buckets(spark, out))
+    )
+    assert len(committed_buckets(spark, out)) == 3
+    assert os.path.exists(f"{out}/lineage")
