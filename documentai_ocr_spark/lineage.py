@@ -57,10 +57,8 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     hdfs:// / s3a:// table, making a cluster-mode resume re-extract all
     buckets and restart batch_id at 0 (duplicate batch ids break the
     as-of read's monotonic-prefix assumption)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hp = jvm.org.apache.hadoop.fs.Path(path)
-    return hp.getFileSystem(conf).exists(hp)
+    fs, hp, _ = _hadoop(spark, path)
+    return fs.exists(hp)
 
 
 def _lineage_state(spark: SparkSession, out_dir: str) -> tuple[set[int], int]:
@@ -265,6 +263,7 @@ def read_extracted_asof(
     bucket column — an as-of read scans only the old buckets' files.
     As-of reads before an expire_snapshots horizon are refused (the
     Iceberg expiry contract); schemas merge like read_extracted."""
+    _heal_lineage_swap(spark, out_dir)
     horizon = expired_before(spark, out_dir)
     if batch_id < horizon:
         raise ValueError(
@@ -318,24 +317,32 @@ def acquire_writer_lock(
     LineageConcurrencyError naming the current holder."""
     fs, hp, jvm = _hadoop(spark, f"{out_dir}/_LOCK")
     fs.mkdirs(hp.getParent())
-    if not fs.createNewFile(hp):
-        holder = "unknown"
+    try:
+        # exclusive create WITH the owner bytes in the same stream —
+        # no separate overwrite step, so a crash mid-acquire can only
+        # leave an empty (reported as mid-acquire), never an
+        # anonymous overwritten lock
+        out = fs.create(hp, False)
+        out.write(bytearray(owner.encode("utf-8")))
+        out.close()
+        return
+    except Exception:
+        holder = ""
         try:
             stream = fs.open(hp)
             holder = jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8"
-            )
+            ).strip()
             stream.close()
         except Exception:  # pragma: no cover — unreadable lock body
             pass
+        if not holder:
+            holder = "unknown (mid-acquire or crashed before owner write)"
         raise LineageConcurrencyError(
-            f"lineage at {out_dir} is locked by '{holder.strip()}' — "
+            f"lineage at {out_dir} is locked by '{holder}' — "
             "if that writer crashed, force_unlock() after verifying it "
             "is dead"
         )
-    out = fs.create(hp, True)
-    out.write(bytearray(owner.encode("utf-8")))
-    out.close()
 
 
 def release_writer_lock(spark: SparkSession, out_dir: str) -> None:
@@ -398,7 +405,19 @@ def expire_snapshots(
 ) -> int:
     """Compact lineage rows of batches < ``before_batch_id`` to bucket
     grain and refuse as-of reads before the horizon from now on.
-    Returns the number of lineage rows removed by compaction."""
+    Returns the number of lineage rows removed by compaction. Takes the
+    writer lock: expiry is a metadata WRITE, and an increment's commit
+    appended between the swap's renames would be lost with it."""
+    acquire_writer_lock(spark, out_dir, owner="expire_snapshots")
+    try:
+        return _expire_locked(spark, out_dir, before_batch_id)
+    finally:
+        release_writer_lock(spark, out_dir)
+
+
+def _expire_locked(
+    spark: SparkSession, out_dir: str, before_batch_id: int
+) -> int:
     _heal_lineage_swap(spark, out_dir)
     path = f"{out_dir}/lineage"
     rows = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
@@ -413,7 +432,7 @@ def expire_snapshots(
     ).select(*[c.strip() for c in
                "bucket,part_id,n_turns,n_convs,n_chars,n_spans".split(",")],
              "batch_id", "rule_ver")
-    n_before = rows.count()
+    n_old, n_compact = old.count(), compact.count()
     merged = new.select(compact.columns).unionByName(compact)
     tmp = f"{out_dir}/lineage_new"
     merged.write.mode("overwrite").parquet(tmp)
@@ -427,5 +446,4 @@ def expire_snapshots(
     spark.createDataFrame(
         [(int(before_batch_id),)], "before_batch_id bigint"
     ).write.mode("append").parquet(f"{out_dir}/{_HORIZON}")
-    n_after = spark.read.schema(LINEAGE_SCHEMA).parquet(path).count()
-    return n_before - n_after
+    return n_old - n_compact

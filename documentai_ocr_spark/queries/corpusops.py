@@ -2576,8 +2576,30 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # injected OCR noise corpus-wide while leaving the first page that
 # legitimately said it intact.
 _LINE_POS_SHIFT = 1 << 20  # pos = doc_id·2^20 + li; li < 2^20 ⇔ docs
-#                            under ~5M tokens at 5-token lines — loud
-#                            bigint overflow far beyond that
+#                            under ~5M tokens at 5-token lines. The
+#                            bound is ENFORCED, not assumed: both
+#                            engines raise on li >= 2^20 (a silent
+#                            collision would let min(pos) elect the
+#                            wrong first occurrence and keep dup lines)
+
+
+def _line_pos_col():
+    """The (doc_id, li) → pos packing with the loud bound check —
+    Spark rendering."""
+    return F.expr(
+        f"CASE WHEN li >= {_LINE_POS_SHIFT} THEN "
+        f"CAST(raise_error('q_line_dedup_rewrite: li >= 2^20 — "
+        f"the pos packing would collide; raise _LINE_POS_SHIFT') "
+        f"AS BIGINT) ELSE doc_id * {_LINE_POS_SHIFT} + li END"
+    )
+
+
+_LINE_POS_SQL = (
+    f"CASE WHEN li >= {_LINE_POS_SHIFT} THEN "
+    f"CAST(error('q_line_dedup_rewrite: li >= 2^20 — the pos packing "
+    f"would collide; raise _LINE_POS_SHIFT') AS BIGINT) "
+    f"ELSE doc_id * {_LINE_POS_SHIFT} + li END"
+)
 
 
 @_q("q_line_dedup_rewrite", None)  # SQL attached below (composes _lines_sql)
@@ -2603,7 +2625,7 @@ def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li",
         "s",
         _hex60(F.col("s")).alias("lh"),
-        (F.col("doc_id") * _LINE_POS_SHIFT + F.col("li")).alias("pos"),
+        _line_pos_col().alias("pos"),
     )
     fo = inst.groupBy("lh").agg(F.min("pos").alias("fpos"))
     k = inst.join(fo, "lh").select(
@@ -2639,7 +2661,7 @@ def _line_dedup_sql() -> str:
     inst AS (
       SELECT doc_id, li, s,
              ('0x' || substr(md5(s), 1, 15))::bigint AS lh,
-             doc_id * {_LINE_POS_SHIFT} + li AS pos
+             {_LINE_POS_SQL} AS pos
       FROM lines
     ),
     fo AS (SELECT lh, MIN(pos) AS fpos FROM inst GROUP BY lh),

@@ -314,8 +314,71 @@ def test_lineage_swap_crash_heals(spark, transcripts, tmp_path_factory):
     assert len(committed_buckets(spark, out)) == 3
     shutil.move(f"{out}/lineage", f"{out}/lineage_bak")
     assert not os.path.exists(f"{out}/lineage")
-    assert committed_buckets(spark, out) == set(
-        sorted(committed_buckets(spark, out))
-    )
+    # the as-of reader heals too (it has its own entry path)
+    from documentai_ocr_spark.lineage import read_extracted_asof
+
+    assert read_extracted_asof(spark, out, 0).count() > 0
+    assert os.path.exists(f"{out}/lineage")
+    assert len(committed_buckets(spark, out)) == 3
+    # and again via the state reader after a second simulated crash
+    shutil.move(f"{out}/lineage", f"{out}/lineage_bak")
     assert len(committed_buckets(spark, out)) == 3
     assert os.path.exists(f"{out}/lineage")
+
+
+def test_expire_respects_writer_lock(spark, transcripts, tmp_path_factory):
+    """expire_snapshots is a metadata WRITE: while a writer holds the
+    lock it must refuse to run (a commit appended between the swap's
+    renames would otherwise be lost)."""
+    from documentai_ocr_spark.lineage import (
+        LineageConcurrencyError,
+        acquire_writer_lock,
+        expire_snapshots,
+        release_writer_lock,
+    )
+
+    out = str(tmp_path_factory.mktemp("explock") / "out")
+    run_to_completion(
+        spark, transcripts, out, n_buckets=N_BUCKETS, max_buckets_per_run=4
+    )
+    acquire_writer_lock(spark, out, owner="live-writer")
+    with pytest.raises(LineageConcurrencyError, match="live-writer"):
+        expire_snapshots(spark, out, before_batch_id=1)
+    release_writer_lock(spark, out)
+    assert expire_snapshots(spark, out, before_batch_id=1) >= 0
+    # expiry releases its own lock: a writer can proceed afterwards
+    assert (
+        run_extraction_increment(spark, transcripts, out, n_buckets=N_BUCKETS)
+        == 0
+    )
+
+
+def test_line_pos_guard_is_loud(spark):
+    """The q_line_dedup_rewrite pos packing raises on li >= 2^20 on
+    BOTH engines instead of silently colliding across documents."""
+    import duckdb
+
+    from documentai_ocr_spark.queries.corpusops import (
+        _LINE_POS_SHIFT,
+        _LINE_POS_SQL,
+        _line_pos_col,
+    )
+
+    df = spark.createDataFrame(
+        [(7, 3), (2, _LINE_POS_SHIFT)], "doc_id long, li long"
+    )
+    ok = df.where(F.col("li") < _LINE_POS_SHIFT).select(
+        _line_pos_col().alias("pos")
+    )
+    assert ok.collect()[0]["pos"] == 7 * _LINE_POS_SHIFT + 3
+    with pytest.raises(Exception, match="pos packing"):
+        df.select(_line_pos_col().alias("pos")).collect()
+    con = duckdb.connect()
+    assert con.sql(
+        f"SELECT {_LINE_POS_SQL} AS pos FROM (VALUES (7, 3)) t(doc_id, li)"
+    ).fetchone()[0] == 7 * _LINE_POS_SHIFT + 3
+    with pytest.raises(Exception, match="pos packing"):
+        con.sql(
+            f"SELECT {_LINE_POS_SQL} AS pos "
+            f"FROM (VALUES (2, {_LINE_POS_SHIFT})) t(doc_id, li)"
+        ).fetchall()
