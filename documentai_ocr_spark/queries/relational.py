@@ -3843,3 +3843,51 @@ def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_milli"),
         )
     )
+
+
+# ------------------------------------------------- heavy users per type
+# The per-event-type heavy-user review queue (abuse/bot triage, whale
+# analysis) — the SECOND consumer of util.topk_by_count, proving the
+# digit-bucket top-K machinery is generic: identical shape to the
+# per-source vocabulary ranks, a different table entirely.
+_TOPU_K = 10
+
+
+@_q(
+    "q_event_topusers",
+    f"""
+    WITH cnt AS (SELECT event_type, user_id,
+                        CAST(COUNT(*) AS bigint) AS c
+                 FROM events GROUP BY event_type, user_id),
+    rk AS (SELECT event_type, user_id, c,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c DESC, user_id) AS rnk
+           FROM cnt)
+    SELECT event_type, CAST(rnk AS bigint) AS rnk, user_id,
+           c AS n_events
+    FROM rk WHERE rnk <= {_TOPU_K}
+    """,
+)
+def q_event_topusers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {_TOPU_K} users per event type by exact event count with the
+    deterministic (count DESC, user ASC) rank — the heavy-user queue an
+    abuse/whale review reads per interaction mode.
+
+    Scale: the (event_type, user) count agg is the only corpus
+    exchange; ranks come from util.topk_by_count (digit-bucket
+    histogram prefix pruning → row_number on the surviving head), so no
+    task ever sorts a whole event type's user population — the oracle
+    is the plain whole-partition rank window, making the gate itself
+    the proof that pruning is rank-preserving."""
+    from .util import topk_by_count
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    cnt = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return topk_by_count(cnt, ["event_type"], ["user_id"], _TOPU_K).select(
+        "event_type",
+        F.col("rnk").cast("long").alias("rnk"),
+        "user_id",
+        F.col("c").alias("n_events"),
+    )

@@ -1049,6 +1049,8 @@ def _src_topk_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Spark rendering of _src_rank_sql's rank ≤ k frame: (source, w,
     c, rnk) via digit-bucket histogram pruning + a survivor-only
     window."""
+    from .util import topk_by_count
+
     docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
     sw = (
         docs.select(
@@ -1060,28 +1062,8 @@ def _src_topk_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    sw = sw.withColumn("vb", F.length(F.col("c").cast("string")))
-    bdim = sw.groupBy("source", "vb").agg(F.count(F.lit(1)).alias("bcnt"))
-    woff = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("vb"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    kept = (
-        bdim.select(
-            "source",
-            "vb",
-            F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("pfx"),
-        )
-        .where(F.col("pfx") < k)
-        .select("source", "vb")
-    )
-    surv = sw.join(F.broadcast(kept), ["source", "vb"])
-    wrk = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
-    return (
-        surv.withColumn("rnk", F.row_number().over(wrk))
-        .where(F.col("rnk") <= k)
-        .select("source", "w", "c", "rnk")
+    return topk_by_count(sw, ["source"], ["w"], k).select(
+        "source", "w", "c", "rnk"
     )
 
 

@@ -665,36 +665,46 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a sampled/top-K vocab with an UNK bucket, same shape) and one
 # per-document sum. Rounded after the final division per the
 # cross-engine accumulation discipline.
-@_q(
-    "q_unigram_logprob",
-    """
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
+#
+# ONE rendering per engine of the scored-document frame (doc_id, source,
+# n_toks, avg_logprob) — consumed by q_unigram_logprob (the raw score
+# report) AND q_ppl_buckets (the CCNet head/middle/tail assignment), so
+# the bucket boundaries can never disagree with the published scores.
+_ULP_CTES = """
+    tok AS (SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents),
     uni AS (SELECT tok, CAST(COUNT(*) AS bigint) AS cnt FROM tok GROUP BY tok),
-    tot AS (SELECT CAST(SUM(cnt) AS bigint) AS total FROM uni)
-    SELECT t.doc_id,
-           CAST(COUNT(*) AS bigint) AS n_toks,
-           ROUND(SUM(ln(CAST(u.cnt AS double) / tot.total)) / COUNT(*), 6)
-             AS avg_logprob
-    FROM tok t JOIN uni u ON t.tok = u.tok, tot
-    GROUP BY t.doc_id
-    """,
-)
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean unigram log-probability per document: corpus unigram counts
-    (one groupBy, broadcast back), then one per-doc aggregation over the
-    token stream — the probability join never shuffles the corpus."""
-    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    tot AS (SELECT CAST(SUM(cnt) AS bigint) AS total FROM uni),
+    ulp AS (
+      SELECT t.doc_id, ANY_VALUE(t.source) AS source,
+             CAST(COUNT(*) AS bigint) AS n_toks,
+             ROUND(SUM(ln(CAST(u.cnt AS double) / tot.total)) / COUNT(*), 6)
+               AS avg_logprob
+      FROM tok t JOIN uni u ON t.tok = u.tok, tot
+      GROUP BY t.doc_id
+    )"""
+
+
+def _ulp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the _ULP_CTES `ulp` frame: (doc_id, source, n_toks,
+    avg_logprob). Corpus unigram counts broadcast back onto the token
+    stream; one per-doc aggregation — the probability join never
+    shuffles the corpus."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
     )
     uni = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     total = uni.agg(F.sum("cnt").cast("long").alias("total"))
-    scored = (
+    return (
         tok.join(F.broadcast(uni), "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
+            F.any_value(F.col("source")).alias("source"),
             F.count(F.lit(1)).cast("long").alias("n_toks"),
             F.round(
                 F.sum(
@@ -705,7 +715,116 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
-    return scored
+
+
+@_q(
+    "q_unigram_logprob",
+    f"""
+    WITH {_ULP_CTES}
+    SELECT doc_id, n_toks, avg_logprob FROM ulp
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document — the raw-score view of
+    the shared _ULP_CTES / _ulp_df rendering (see q_ppl_buckets for the
+    tercile assignment built on the same frame)."""
+    return _ulp_df(spark, sf_dir).select("doc_id", "n_toks", "avg_logprob")
+
+
+# ------------------------------------------------- CCNet ppl terciles
+# CCNet's signature curation step (Wenzek et al., 2020 §4.3): order each
+# source's documents by LM score and cut the source into head / middle /
+# tail thirds — head = the most-fluent third (highest mean logprob =
+# lowest perplexity), tail = the least. Pretraining recipes then sample
+# the thirds at different rates. The boundary rule is EXACT integer
+# arithmetic on the cume_dist rational (3·le ≤ n, 3·le ≤ 2·n) so a
+# boundary document can never straddle engines on a float comparison.
+_PPL_BUCKETS = 32
+
+
+@_q(
+    "q_ppl_buckets",
+    f"""
+    WITH {_ULP_CTES},
+    r AS (SELECT doc_id, source,
+                 CAST(ROUND(avg_logprob * 1000000) AS bigint) AS score_micro
+          FROM ulp),
+    c AS (SELECT doc_id, source, score_micro,
+                 CAST(COUNT(*) OVER (
+                   PARTITION BY source ORDER BY score_micro
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS bigint) AS le,
+                 CAST(COUNT(*) OVER (PARTITION BY source) AS bigint) AS n
+          FROM r)
+    SELECT doc_id, source, score_micro,
+           CASE WHEN 3 * le <= n THEN 'tail'
+                WHEN 3 * le <= 2 * n THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+    FROM c
+    """,
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail assignment per source from the shared
+    unigram-LM score (score_micro = the published avg_logprob × 10⁶ as
+    an exact integer — derived FROM the rounded score, so the bucket can
+    never disagree with q_unigram_logprob's report). A doc is 'tail' if
+    its within-source ≤-rank satisfies 3·le ≤ n, 'middle' if 3·le ≤ 2·n,
+    else 'head' — ties share a ≤-count, hence a bucket, and cume_dist's
+    upper-step convention falls out of the integer rule for free.
+
+    Scale — terciles WITHOUT a whole-source sort: the same two-phase
+    value-bucket decomposition as q_score_calibration (le = rows in
+    earlier value buckets, a broadcast ≤O(sources×32) dim, + a
+    RANGE-framed count within this row's bucket, ~1/_PPL_BUCKETS of a
+    source per task). The doc-grain score frame comes from _ulp_df's
+    broadcast-unigram join — the corpus token stream is aggregated
+    before any window."""
+    r = _ulp_df(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.round(F.col("avg_logprob") * 1000000)
+        .cast("long")
+        .alias("score_micro"),
+    )
+    lo, hi = r.agg(F.min("score_micro"), F.max("score_micro")).first()
+    lo, hi = (lo or 0), (hi or 0)
+    width = max(1, (hi - lo + _PPL_BUCKETS) // _PPL_BUCKETS)
+    r = r.withColumn(
+        "vbucket",
+        F.expr(f"cast((score_micro - {lo}L) div {width}L as int)"),
+    )
+    cdim = r.groupBy("source", "vbucket").agg(
+        F.count(F.lit(1)).alias("bcnt")
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("vbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("source")
+    cdim = cdim.select(
+        "source",
+        "vbucket",
+        F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("coff"),
+        F.sum("bcnt").over(wtot).alias("n"),
+    )
+    wle = (
+        Window.partitionBy("source", "vbucket")
+        .orderBy("score_micro")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = r.join(F.broadcast(cdim), ["source", "vbucket"]).withColumn(
+        "le", F.col("coff") + F.count(F.lit(1)).over(wle)
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "score_micro",
+        F.when(3 * F.col("le") <= F.col("n"), F.lit("tail"))
+        .when(3 * F.col("le") <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("ppl_bucket"),
+    )
 
 
 # ------------------------------------------- top n-gram coverage
@@ -2204,3 +2323,28 @@ def q_badwords_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         milli.alias("bad_milli"),
         (milli > _BAD_FLAG_MILLI).alias("flagged"),
     )
+
+
+# --------------------------------------------------- confusion matrix
+@_q(
+    "q_langid_confusion",
+    f"""
+    WITH {_PRED_CONF_SQL}
+    SELECT lang AS declared, pred_lang AS predicted,
+           CAST(n AS bigint) AS n
+    FROM conf
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw classes² confusion matrix (declared × predicted counts)
+    behind q_langid_eval and q_langid_kappa — the table a person
+    debugging the classifier actually reads (WHICH class absorbs zh
+    docs, not just that recall dropped). Same _PRED_CONF_SQL /
+    _langid_pred rendering as both consumers, so the matrix can never
+    disagree with the scorecard or the kappa. Scale: the predictor's
+    (doc, lang) vote agg, then one O(classes²) rollup."""
+    pred = _langid_pred(spark, sf_dir, cols=("doc_id", "lang"))
+    return pred.groupBy(
+        F.col("lang").alias("declared"),
+        F.col("pred_lang").alias("predicted"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -100,3 +100,53 @@ def content_hash_col(col: str = "text"):
     from pyspark.sql import functions as F
 
     return F.md5(F.lower(F.regexp_replace(col, r"[ \t\n\x0B\f\r]+", " ")))
+
+
+# --------------------------------- per-group top-K without a group sort
+def topk_by_count(counts, group_cols, key_cols, k: int, cnt_col: str = "c"):
+    """Rank the top-``k`` keys per group by (count DESC, keys ASC)
+    WITHOUT ever sorting a whole group on one reducer: bucket rows by
+    the DIGIT COUNT of their count (exact integer bucketing — length
+    of the decimal rendering, monotone, identical on both engines),
+    compute each bucket's exclusive descending prefix on the ≤19-row
+    per-group bucket histogram, drop buckets whose prefix already
+    reaches k BEFORE any window runs, and row_number only the
+    surviving head (overshoot bounded by the boundary count-decade).
+    The generic core behind relevance._src_topk_df (per-source
+    vocabulary) and relational.q_event_topusers (per-type heavy
+    users); the matching oracle is always the plain whole-partition
+    rank window, so every consumer's gate proves the pruning
+    rank-preserving. Input: a pre-aggregated counts frame. Output:
+    input columns + ``rnk``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = list(group_cols)
+    ks = list(key_cols)
+    d = counts.withColumn("_vb", F.length(F.col(cnt_col).cast("string")))
+    bdim = d.groupBy(*g, "_vb").agg(F.count(F.lit(1)).alias("_bcnt"))
+    woff = (
+        Window.partitionBy(*g)
+        .orderBy(F.desc("_vb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = (
+        bdim.select(
+            *g,
+            "_vb",
+            F.coalesce(F.sum("_bcnt").over(woff), F.lit(0)).alias("_pfx"),
+        )
+        .where(F.col("_pfx") < k)
+        .select(*g, "_vb")
+    )
+    from pyspark.sql.functions import broadcast
+
+    surv = d.join(broadcast(kept), g + ["_vb"])
+    wrk = Window.partitionBy(*g).orderBy(
+        F.desc(cnt_col), *[F.asc(c) for c in ks]
+    )
+    return (
+        surv.withColumn("rnk", F.row_number().over(wrk))
+        .where(F.col("rnk") <= k)
+        .drop("_vb")
+    )

@@ -306,3 +306,16 @@ def test_source_overlap_no_join(spark):
     p = plan(QUERIES["q_source_overlap"](spark, SF))
     assert "Join" not in p, p
     assert "collect_set" in p
+
+
+def test_ppl_buckets_bucketed_window(spark):
+    """The tercile ≤-count window must partition by (source, vbucket) —
+    the q_score_calibration decomposition carried onto the LM score —
+    with the offset dim broadcast, never a whole-source sort."""
+    p = plan(QUERIES["q_ppl_buckets"](spark, SF))
+    assert "vbucket" in p, p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    for ln in p.splitlines():
+        if "Window " in ln and "source" in ln and "partial" not in ln:
+            assert "vbucket" in ln or "coff" in ln, ln

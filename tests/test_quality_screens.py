@@ -514,3 +514,110 @@ def test_bigram_entropy_python_recount(spark):
         r = got[src]
         assert r["n_bigrams"] == n and r["n_distinct"] == len(c)
         assert abs(r["cond_entropy"] - round(h, 6)) < 5e-6, src
+
+
+def test_event_topusers_python_recount(spark):
+    """The generic digit-bucket top-K (second consumer, events table)
+    equals a Counter-based replay with (count DESC, user ASC) order."""
+    from collections import Counter
+
+    from documentai_ocr_spark.queries.relational import (
+        _TOPU_K,
+        q_event_topusers,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per: dict[str, Counter] = {}
+    for et, u in zip(ev["event_type"], ev["user_id"]):
+        per.setdefault(et, Counter())[u] += 1
+    got = {}
+    for r in q_event_topusers(spark, SF).collect():
+        got[(r["event_type"], r["rnk"])] = (r["user_id"], r["n_events"])
+    n = 0
+    for et, cnt in per.items():
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (u, c) in enumerate(ranked[:_TOPU_K], start=1):
+            assert got[(et, i)] == (u, c), (et, i)
+            n += 1
+    assert len(got) == n
+
+
+def test_langid_confusion_reconciles_with_eval(spark):
+    """The confusion matrix marginals must equal q_langid_eval's
+    support/predicted/tp columns — one predictor rendering, two views."""
+    from documentai_ocr_spark.queries.textstats import (
+        q_langid_confusion,
+        q_langid_eval,
+    )
+
+    conf = q_langid_confusion(spark, SF).collect()
+    ev = {r["cls"]: r for r in q_langid_eval(spark, SF).collect()}
+    support: dict = {}
+    predicted: dict = {}
+    tp: dict = {}
+    for r in conf:
+        support[r["declared"]] = support.get(r["declared"], 0) + r["n"]
+        predicted[r["predicted"]] = (
+            predicted.get(r["predicted"], 0) + r["n"]
+        )
+        if r["declared"] == r["predicted"]:
+            tp[r["declared"]] = r["n"]
+    for cls, r in ev.items():
+        assert r["support"] == support.get(cls, 0), cls
+        assert r["predicted"] == predicted.get(cls, 0), cls
+        assert r["tp"] == tp.get(cls, 0), cls
+    # the matrix must show real confusion (off-diagonal mass)
+    assert any(r["declared"] != r["predicted"] for r in conf)
+
+
+def test_ppl_buckets_python_replay(spark):
+    """CCNet tercile assignment equals a pure-Python replay: unigram
+    logprob scores recomputed from scratch, score_micro pinned against
+    q_unigram_logprob's published rounded score, and the head/middle/
+    tail cut re-derived with the exact 3·le ≤ n / 3·le ≤ 2·n integer
+    rule (upper-step tie convention included)."""
+    from collections import Counter
+
+    from documentai_ocr_spark.queries.textstats import (
+        q_ppl_buckets,
+        q_unigram_logprob,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    uni: Counter = Counter()
+    toks = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        t = text.split(" ")
+        toks[did] = t
+        uni.update(t)
+    total = sum(uni.values())
+    score = {}
+    for did, t in toks.items():
+        s = sum(math.log(uni[w] / total) for w in t) / len(t)
+        score[did] = int(round(round(s, 6) * 1000000))
+    src = dict(zip(docs["doc_id"], docs["source"]))
+    per: dict = {}
+    for did, sm in score.items():
+        per.setdefault(src[did], []).append(sm)
+    got = {r["doc_id"]: r for r in q_ppl_buckets(spark, SF).collect()}
+    pub = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in q_unigram_logprob(spark, SF).collect()
+    }
+    assert set(got) == set(score)
+    seen = set()
+    for did, r in got.items():
+        assert r["score_micro"] == score[did], did
+        assert r["score_micro"] == int(round(pub[did] * 1000000)), did
+        vals = per[src[did]]
+        n = len(vals)
+        le = sum(1 for v in vals if v <= score[did])
+        want = (
+            "tail" if 3 * le <= n
+            else "middle" if 3 * le <= 2 * n
+            else "head"
+        )
+        assert r["ppl_bucket"] == want, (did, le, n)
+        seen.add(r["ppl_bucket"])
+    # the cut must be real on this corpus: all three buckets inhabited
+    assert seen == {"head", "middle", "tail"}

@@ -119,6 +119,15 @@ BOUNDED_OK = {
         "_CALIB_BUCKETS rows per source; the fact window partitions by "
         "(source, vbucket) — plan-asserted in test_plans.py",
     ),
+    "q_ppl_buckets": (
+        ("LOW-CARD-WINDOW", "PRODUCT-JOIN"),
+        "the q_score_calibration decomposition on the LM score: the "
+        "per-source windows run on the ≤_PPL_BUCKETS-rows-per-source "
+        "count DIM, the fact ≤-count window partitions by (source, "
+        "vbucket) — plan-asserted in test_plans.py; the crossJoin is "
+        "_ulp_df's 1-row broadcast corpus-token-total dim (the "
+        "q_unigram_logprob pattern)",
+    ),
     "q_group_range": (
         "EMPTY-WINDOW",
         "global cumulative sum over the per-lang COUNT frame — O(langs) "
