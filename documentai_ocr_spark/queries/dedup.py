@@ -1276,3 +1276,140 @@ def q_neardup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(method.alias("method")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+# ------------------------------------------- edit-distance-1 vocab pairs
+# Fuzzy VOCABULARY dedup — the typo/variant detector a tokenizer-prep
+# pass runs before freezing a vocab: every pair of corpus terms at
+# Levenshtein distance exactly 1, found WITHOUT the O(V²) scan via the
+# SymSpell deletion-neighborhood join. Completeness is a theorem, not a
+# heuristic: lev(a,b) ≤ 1 with a ≠ b means b is a single deletion of a
+# (so b ∈ sigs(a) and b ∈ sigs(b) — they share the signature b), a is a
+# single deletion of b (symmetric), or a substitution (deleting the
+# substituted position from both yields the SAME string, a shared
+# signature). So an equi-join on sigs(w) = {w} ∪ deletes1(w) reaches
+# every true pair; a levenshtein(a,b) ≤ 1 refilter kills the shared-
+# deletion false positives (e.g. abc/bca share 'bc' at distance 2).
+# The registered oracle IS the O(V²) brute force, so the gate itself
+# proves the banding complete — the q_simhash_pairs_banded discipline.
+#
+# The driver corpus has a closed 31-word vocabulary with no natural
+# typos, so the gate would be vacuous on it: a deterministic typo is
+# injected (ONE rendering per engine, the q_url_canonical decoration
+# discipline) — docs with doc_id % 7 == 3 append their first word with
+# its second character deleted.
+_TYPO_MIN_LEN = 3  # vocab floor: shorter tokens are stop-ish and their
+#                    deletion signatures ('' / 1-char) are hot join keys
+
+_TYPO_TXT_SQL = (
+    "text || CASE WHEN doc_id % 7 = 3 AND len(fw) >= 4"
+    " THEN ' ' || substr(fw, 1, 1) || substr(fw, 3) ELSE '' END"
+)
+_TYPO_FW_SQL = (
+    "COALESCE(list_filter(string_split(lower(text), ' '),"
+    " x -> x <> '')[1], '')"
+)
+
+
+def _typo_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark rendering of the decorated corpus (_TYPO_TXT_SQL twin)."""
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    fw = F.coalesce(
+        F.get(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""), 0),
+        F.lit(""),
+    )
+    d = d.withColumn("fw", fw)
+    dec = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 7 == 3) & (F.length("fw") >= 4),
+            F.concat(
+                F.lit(" "),
+                F.substring("fw", 1, 1),
+                F.expr("substring(fw, 3, length(fw))"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", dec.alias("text"))
+
+
+@_q(
+    "q_typo_pairs",
+    f"""
+    WITH f AS (SELECT doc_id, text, {_TYPO_FW_SQL} AS fw FROM documents),
+    dec AS (SELECT doc_id, {_TYPO_TXT_SQL} AS text FROM f),
+    voc AS (SELECT w, CAST(COUNT(*) AS bigint) AS c
+            FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                            x -> x <> '')) AS w
+                  FROM dec)
+            WHERE len(w) >= {_TYPO_MIN_LEN} GROUP BY w)
+    SELECT a.w AS word_a, b.w AS word_b, a.c AS c_a, b.c AS c_b,
+           CASE WHEN b.c > a.c THEN b.w ELSE a.w END AS canonical
+    FROM voc a JOIN voc b
+      ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+    """,
+)
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All corpus-vocabulary pairs at Levenshtein distance 1, each with
+    both counts and the canonical (more frequent, ties → lexicographic)
+    spelling — the spell-variant merge table. Spark side is the
+    SymSpell deletion-signature equi-join; the oracle is the O(V²)
+    brute force, so the driver gate doubles as the completeness proof.
+
+    Scale: signature fan-out is |w|+1 per VOCAB term (vocab-grain, in-
+    row explode — never the token stream); the join is a string equi-
+    join whose candidate count is Σ_sig |bucket|², the standard
+    SymSpell bound; the min-length floor keeps degenerate ''/1-char
+    signatures out of the key space, and AQE skew-split covers a hot
+    signature. The levenshtein refilter runs once per CANDIDATE pair,
+    not per vocab pair squared."""
+    dec = _typo_docs_df(spark, sf_dir)
+    voc = (
+        dec.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("w")
+        )
+        .where(F.length("w") >= _TYPO_MIN_LEN)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sigs = voc.select(
+        "w",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array("w"),
+                    F.expr(
+                        "transform(sequence(1, length(w)), i ->"
+                        " concat(substring(w, 1, i - 1),"
+                        " substring(w, i + 1, length(w))))"
+                    ),
+                )
+            )
+        ).alias("sig"),
+    )
+    a = sigs.select(F.col("w").alias("word_a"), "sig")
+    b = sigs.select(F.col("w").alias("word_b"), "sig")
+    cand = (
+        a.join(b, "sig")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+        .where(F.levenshtein("word_a", "word_b") <= 1)
+    )
+    ca = voc.select(F.col("w").alias("word_a"), F.col("c").alias("c_a"))
+    cb = voc.select(F.col("w").alias("word_b"), F.col("c").alias("c_b"))
+    return (
+        cand.join(F.broadcast(ca), "word_a")
+        .join(F.broadcast(cb), "word_b")
+        .select(
+            "word_a",
+            "word_b",
+            "c_a",
+            "c_b",
+            F.when(F.col("c_b") > F.col("c_a"), F.col("word_b"))
+            .otherwise(F.col("word_a"))
+            .alias("canonical"),
+        )
+    )

@@ -2348,3 +2348,140 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("declared"),
         F.col("pred_lang").alias("predicted"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# --------------------------------------------------- term burstiness
+# Church–Gale burstiness: for each term, cf/df — the mean number of
+# occurrences per document that contains it at all. Function words
+# spread thinly (cf/df near 1); topical/template terms "burst" (a doc
+# that mentions them once mentions them many times). Curation reads
+# this next to q_boiler_linefreq: a high-burst, high-df term is
+# boilerplate vocabulary; a high-burst, low-df term is a topic anchor.
+# The ratio is EXACT integer milli (1000·cf div df) so a term can never
+# straddle the verdict across engines.
+_BURST_MIN_DF = 5  # df floor: sub-floor terms never leave the partial agg
+_BURSTY_MILLI = 2000  # bursty ⇔ mean ≥ 2 occurrences per containing doc
+
+
+@_q(
+    "q_term_burstiness",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS bigint) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY doc_id, w),
+    t AS (SELECT w, CAST(SUM(c) AS bigint) AS cf,
+                 CAST(COUNT(*) AS bigint) AS df
+          FROM occ GROUP BY w HAVING COUNT(*) >= {_BURST_MIN_DF})
+    SELECT w AS term, cf, df,
+           CAST(1000 * cf // df AS bigint) AS burst_milli,
+           1000 * cf // df >= {_BURSTY_MILLI} AS bursty
+    FROM t
+    """,
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness (Church & Gale): cf (corpus frequency), df
+    (document frequency), burst_milli = 1000·cf div df, and the
+    bursty verdict at ≥{_BURSTY_MILLI} milli (mean ≥2 occurrences per
+    containing document). df floor {_BURST_MIN_DF} — rare terms carry
+    no stable estimate and never leave the aggregation.
+
+    Scale: one (doc_id, term) partial agg (map-side combined — a hot
+    term collapses per task before the exchange), then the term-keyed
+    rollup; output is O(vocabulary). The milli ratio and the verdict
+    are exact integer arithmetic on both engines."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t = (
+        occ.groupBy("w")
+        .agg(
+            F.sum("c").cast("long").alias("cf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .where(F.col("df") >= _BURST_MIN_DF)
+    )
+    milli = F.expr("1000 * cf div df").cast("long")
+    return t.select(
+        F.col("w").alias("term"),
+        "cf",
+        "df",
+        milli.alias("burst_milli"),
+        (milli >= _BURSTY_MILLI).alias("bursty"),
+    )
+
+
+# --------------------------------------------------- k-anonymity audit
+# Release-governance screen: treating (source, lang, length-bin) as the
+# quasi-identifier tuple, how many documents sit in equivalence classes
+# smaller than k — i.e. are re-identifiable by their metadata alone?
+# The length bin is THE shared grid rule (_len_bucket_sql /
+# _len_bucket_col — pure integer, capped), so this audit can never
+# disagree with the curation grid about which bin a document is in.
+_KANON_K = 5
+
+
+@_q(
+    "q_k_anonymity",
+    f"""
+    WITH q AS (SELECT source, lang,
+                      CAST({_len_bucket_sql('text')} AS int) AS len_bucket
+               FROM documents),
+    cls AS (SELECT source, lang, len_bucket,
+                   CAST(COUNT(*) AS bigint) AS sz
+            FROM q GROUP BY source, lang, len_bucket)
+    SELECT source,
+           CAST(SUM(sz) AS bigint) AS n_docs,
+           CAST(COUNT(*) AS bigint) AS n_classes,
+           CAST(MIN(sz) AS bigint) AS min_class,
+           CAST(COALESCE(SUM(sz) FILTER (sz < {_KANON_K}), 0) AS bigint)
+             AS n_risky,
+           CAST(1000 * COALESCE(SUM(sz) FILTER (sz < {_KANON_K}), 0)
+                // SUM(sz) AS bigint) AS risk_milli,
+           MIN(sz) >= {_KANON_K} AS k_anonymous
+    FROM cls GROUP BY source
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source k-anonymity (k={_KANON_K}) over the quasi-identifier
+    (source, lang, len_bucket): class count, smallest class, documents
+    in sub-k classes (n_risky), exact integer-milli risk rate, and the
+    k_anonymous verdict (every class ≥ k). The length bin reuses the
+    q_len_quality_grid rendering — ONE bucket rule per engine.
+
+    Scale: QI derivation is in-row on the scan; one QI-keyed partial
+    agg moves O(classes) rows; the per-source rollup is O(sources).
+    No document-grain exchange anywhere."""
+    q = spread(
+        load(spark, sf_dir, "documents").select("source", "lang", "text")
+    ).select("source", "lang", _len_bucket_col("text").alias("len_bucket"))
+    cls = q.groupBy("source", "lang", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    risky = F.coalesce(
+        F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz"))), F.lit(0)
+    ).cast("long")
+    return cls.groupBy("source").agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("sz").cast("long").alias("min_class"),
+        risky.alias("n_risky"),
+        F.expr(
+            f"1000 * coalesce(sum(case when sz < {_KANON_K} then sz end),"
+            " 0) div sum(sz)"
+        )
+        .cast("long")
+        .alias("risk_milli"),
+        (F.min("sz") >= _KANON_K).alias("k_anonymous"),
+    )
