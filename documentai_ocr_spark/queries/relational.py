@@ -3794,38 +3794,15 @@ def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     task — plus the prefix offset. Identical ranks to the single
     window, oracle-gated. The (type,user) count agg is the only
     corpus-scale exchange."""
+    from .util import two_phase_ranks
+
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
     cnt = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
-    lo, hi = cnt.agg(F.min("x"), F.max("x")).first()
-    lo, hi = (lo or 0), (hi or 0)
-    width = max(1, (hi - lo + _GINI_BUCKETS) // _GINI_BUCKETS)
-    # exact integer floor (`div`) — same discipline as q_token_packing
-    cnt = cnt.withColumn(
-        "vbucket", F.expr(f"cast((x - {lo}L) div {width}L as int)")
-    )
-    cdim = cnt.groupBy("event_type", "vbucket").agg(
-        F.count(F.lit(1)).alias("bcnt")
-    )
-    woff = (
-        Window.partitionBy("event_type")
-        .orderBy("vbucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cdim = cdim.select(
-        "event_type",
-        "vbucket",
-        F.coalesce(F.sum("bcnt").over(woff), F.lit(0)).alias("roff"),
-    )
-    wrk = Window.partitionBy("event_type", "vbucket").orderBy(
-        "x", "user_id"
-    )
-    ranked = cnt.join(F.broadcast(cdim), ["event_type", "vbucket"]).select(
-        "event_type",
-        "x",
-        (F.col("roff") + F.row_number().over(wrk)).cast("long").alias("r"),
-    )
+    ranked = two_phase_ranks(
+        cnt, ["event_type"], "x", ["user_id"], buckets=_GINI_BUCKETS
+    ).select("event_type", "x", "r")
     return (
         ranked.groupBy("event_type")
         .agg(

@@ -1222,3 +1222,189 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term) / F.sum("c2"), 6).alias("cond_entropy"),
         )
     )
+
+
+# ------------------------------------------- robust length statistics
+# Median/MAD outlier screen per source — the robust sibling of the
+# mean/stddev screens: a handful of megadocs (concatenation bugs, crawl
+# loops) move a mean arbitrarily but cannot move the median, so the
+# "doc is an outlier" verdict |x − median| > 5·MAD is stable under the
+# very corruption it hunts. Both order statistics are the LOWER median
+# (rank (n+1)//2 under deterministic (value, doc_id) order) so every
+# quantity is an exact INTEGER — no mid-point averaging float, no
+# straddle risk. Ranks come from util.two_phase_ranks (the factored
+# q_score_calibration / q_gini_activity decomposition): the oracle is
+# the plain whole-source window, so the gate again proves the
+# decomposition rank-preserving — now composed TWICE in one query
+# (value ranks, then deviation ranks).
+_MAD_SIGMA = 5  # |x - med| > sigma·MAD ⇒ outlier
+
+
+@_q(
+    "q_robust_stats",
+    f"""
+    WITH d AS (SELECT source, doc_id, CAST(n_chars AS bigint) AS x
+               FROM documents),
+    r1 AS (SELECT source, doc_id, x,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY x, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM d),
+    med AS (SELECT source, x AS med FROM r1 WHERE rn = (n + 1) // 2),
+    dev AS (SELECT d.source, d.doc_id, d.x, m.med,
+                   abs(d.x - m.med) AS dv
+            FROM d JOIN med m USING (source)),
+    r2 AS (SELECT source, dv,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY dv, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM dev),
+    mad AS (SELECT source, dv AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT dev.source,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(MIN(dev.med) AS bigint) AS med,
+           CAST(MIN(mad.mad) AS bigint) AS mad,
+           CAST(COALESCE(SUM(CASE WHEN dev.dv > {_MAD_SIGMA} * mad.mad
+                                  THEN 1 END), 0) AS bigint) AS n_outliers,
+           CAST(1000 * COALESCE(SUM(CASE WHEN dev.dv > {_MAD_SIGMA} * mad.mad
+                                         THEN 1 END), 0)
+                // COUNT(*) AS bigint) AS outlier_milli
+    FROM dev JOIN mad USING (source)
+    GROUP BY dev.source
+    """,
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length profile: lower median, lower-median
+    absolute deviation (MAD), and the count / exact-milli rate of
+    |x − med| > {_MAD_SIGMA}·MAD outlier documents — the
+    corruption-resistant screen for megadoc / truncation anomalies.
+
+    Scale: TWO chained two-phase rank passes (util.two_phase_ranks —
+    never a whole-source sort), each followed by a rank-position
+    filter against the broadcast O(sources) count dim; median and MAD
+    dims are O(sources) broadcasts; the outlier rollup is one
+    source-keyed partial agg. All integers end to end."""
+    from .util import two_phase_ranks
+
+    d = spread(
+        load(spark, sf_dir, "documents").select(
+            "source", "doc_id", F.col("n_chars").cast("long").alias("x")
+        )
+    )
+    ndim = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    r1 = two_phase_ranks(d, ["source"], "x", ["doc_id"])
+    med = (
+        r1.join(F.broadcast(ndim), "source")
+        .where(F.col("r") == F.expr("(n + 1) div 2"))
+        .select("source", F.col("x").alias("med"))
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source",
+        "doc_id",
+        "x",
+        "med",
+        F.abs(F.col("x") - F.col("med")).alias("dv"),
+    )
+    r2 = two_phase_ranks(dev, ["source"], "dv", ["doc_id"])
+    mad = (
+        r2.join(F.broadcast(ndim), "source")
+        .where(F.col("r") == F.expr("(n + 1) div 2"))
+        .select("source", F.col("dv").alias("mad"))
+    )
+    out = F.when(
+        F.col("dv") > _MAD_SIGMA * F.col("mad"), F.lit(1)
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("med").cast("long").alias("med"),
+            F.min("mad").cast("long").alias("mad"),
+            F.coalesce(F.sum(out), F.lit(0)).cast("long").alias("n_outliers"),
+            F.expr(
+                f"1000 * coalesce(sum(case when dv > {_MAD_SIGMA} * mad"
+                " then 1 end), 0) div count(1)"
+            )
+            .cast("long")
+            .alias("outlier_milli"),
+        )
+    )
+
+
+# ------------------------------------------------- exact trimmed mean
+# The 10%-trimmed mean per source next to the plain mean: how much of
+# the reported average length is carried by the distribution's tails.
+# Trim rank cut t = n div 10 per side under the SAME deterministic
+# (value, doc_id) rank as q_robust_stats — exact integer cuts, so a
+# boundary document can never straddle engines.
+_TRIM_DECI = 10  # trim n div 10 ranks from each end
+
+
+@_q(
+    "q_trimmed_mean",
+    f"""
+    WITH d AS (SELECT source, doc_id, CAST(n_chars AS bigint) AS x
+               FROM documents),
+    m AS (SELECT source, ROUND(CAST(SUM(x) AS double) / COUNT(*), 6)
+                   AS mean
+          FROM d GROUP BY source),
+    r AS (SELECT source, x,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY x, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM d),
+    t AS (SELECT source,
+                 CAST(MIN(n) AS bigint) AS n_docs,
+                 CAST(MIN(n) // {_TRIM_DECI} AS bigint) AS n_trim,
+                 CAST(COUNT(*) AS bigint) AS n_kept,
+                 ROUND(CAST(SUM(x) AS double) / COUNT(*), 6)
+                   AS trimmed_mean
+          FROM r
+          WHERE rn > n // {_TRIM_DECI} AND rn <= n - n // {_TRIM_DECI}
+          GROUP BY source)
+    SELECT t.source, t.n_docs, t.n_trim, t.n_kept, m.mean, t.trimmed_mean
+    FROM t JOIN m USING (source)
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact 10%-trimmed mean of n_chars beside the plain
+    mean — the tail-sensitivity report: a big mean−trimmed gap means
+    the average is carried by outlier documents, not the bulk.
+
+    Scale: one two_phase_ranks pass (no whole-source sort), the rank
+    cut filtered against the broadcast per-source count dim, then one
+    source-keyed partial agg; the plain-mean dim is O(sources) and
+    broadcast back. Each mean is ONE rounded division of exact
+    integers (the shared float discipline)."""
+    from .util import two_phase_ranks
+
+    d = spread(
+        load(spark, sf_dir, "documents").select(
+            "source", "doc_id", F.col("n_chars").cast("long").alias("x")
+        )
+    )
+    m = d.groupBy("source").agg(
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean"
+        )
+    )
+    ndim = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    r = two_phase_ranks(d, ["source"], "x", ["doc_id"]).join(
+        F.broadcast(ndim), "source"
+    )
+    kept = r.where(
+        (F.col("r") > F.expr(f"n div {_TRIM_DECI}"))
+        & (F.col("r") <= F.expr(f"n - n div {_TRIM_DECI}"))
+    )
+    t = kept.groupBy("source").agg(
+        F.min("n").cast("long").alias("n_docs"),
+        F.expr(f"min(n) div {_TRIM_DECI}").cast("long").alias("n_trim"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.sum("x").cast("double") / F.count(F.lit(1)), 6).alias(
+            "trimmed_mean"
+        ),
+    )
+    return t.join(F.broadcast(m), "source").select(
+        "source", "n_docs", "n_trim", "n_kept", "mean", "trimmed_mean"
+    )

@@ -150,3 +150,63 @@ def topk_by_count(counts, group_cols, key_cols, k: int, cnt_col: str = "c"):
         .where(F.col("rnk") <= k)
         .drop("_vb")
     )
+
+
+# ---------------------------- per-group ranks without a group sort
+def two_phase_ranks(
+    df,
+    group_cols,
+    value_col: str,
+    tiebreak_cols,
+    buckets: int = 64,
+    rank_name: str = "r",
+):
+    """Per-group ascending ``row_number() OVER (PARTITION BY group
+    ORDER BY value, tiebreaks)`` WITHOUT ever sorting a whole group on
+    one reducer — the generic core of the q_score_calibration /
+    q_gini_activity / q_epoch_shuffle decomposition: (1) bucket rows by
+    equal-width VALUE ranges of the integer ``value_col`` (monotone,
+    ties share a bucket — one tiny global min/max agg sizes the width),
+    (2) a per-(group, bucket) count dim yields each bucket's exclusive
+    prefix via an O(groups×buckets) post-agg window, (3) row_number
+    runs within (group, bucket) — ~1/buckets of a group per task —
+    plus the broadcast prefix offset. Identical ranks to the single
+    whole-group window; every consumer's oracle IS that window, so each
+    gate proves the decomposition rank-preserving. ``value_col`` must
+    be integer-typed (exact bucket arithmetic, never float edges)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = list(group_cols)
+    lo, hi = df.agg(F.min(value_col), F.max(value_col)).first()
+    lo, hi = (lo or 0), (hi or 0)
+    width = max(1, (hi - lo + buckets) // buckets)
+    # exact integer floor (`div`) — the q_token_packing discipline
+    d = df.withColumn(
+        "_vbucket",
+        F.expr(f"cast(({value_col} - {lo}L) div {width}L as int)"),
+    )
+    cdim = d.groupBy(*g, "_vbucket").agg(F.count(F.lit(1)).alias("_bcnt"))
+    woff = (
+        Window.partitionBy(*g)
+        .orderBy("_vbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdim = cdim.select(
+        *g,
+        "_vbucket",
+        F.coalesce(F.sum("_bcnt").over(woff), F.lit(0)).alias("_roff"),
+    )
+    wrk = Window.partitionBy(*g, "_vbucket").orderBy(
+        value_col, *list(tiebreak_cols)
+    )
+    from pyspark.sql.functions import broadcast
+
+    return (
+        d.join(broadcast(cdim), g + ["_vbucket"])
+        .withColumn(
+            rank_name,
+            (F.col("_roff") + F.row_number().over(wrk)).cast("long"),
+        )
+        .drop("_vbucket", "_roff")
+    )

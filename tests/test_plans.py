@@ -319,3 +319,28 @@ def test_ppl_buckets_bucketed_window(spark):
     for ln in p.splitlines():
         if "Window " in ln and "source" in ln and "partial" not in ln:
             assert "vbucket" in ln or "coff" in ln, ln
+
+
+def test_robust_stats_bucketed_windows(spark):
+    """Both two_phase_ranks passes decompose: every fact-side
+    row_number window that includes `source` must also carry _vbucket
+    (never a whole-source sort); dims come back as broadcasts."""
+    p = plan(QUERIES["q_robust_stats"](spark, SF))
+    assert "_vbucket" in p, p
+    for ln in p.splitlines():
+        if "Window " in ln and "row_number" in ln and "source" in ln:
+            assert "_vbucket" in ln, ln
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_trimmed_mean_bucketed_window(spark):
+    """The single rank pass partitions by (source, _vbucket); the
+    per-source count and mean dims are broadcast joins."""
+    p = plan(QUERIES["q_trimmed_mean"](spark, SF))
+    assert "_vbucket" in p, p
+    for ln in p.splitlines():
+        if "Window " in ln and "row_number" in ln and "source" in ln:
+            assert "_vbucket" in ln, ln
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -185,6 +185,22 @@ BOUNDED_OK = {
         "same _src_topk_df survivor-head windows as q_source_topwords "
         "— O(K) rows per source, never the vocabulary",
     ),
+    "q_robust_stats": (
+        "LOW-CARD-WINDOW",
+        "both rank passes are util.two_phase_ranks: the per-source "
+        "windows run on the per-(source, _vbucket) count DIM (≤64 rows "
+        "per source); the fact windows partition by (source, _vbucket) "
+        "— plan-asserted in test_plans.py (the q_score_calibration "
+        "shape, appearing 4× in plan text because the dev branch is "
+        "referenced twice)",
+    ),
+    "q_trimmed_mean": (
+        "LOW-CARD-WINDOW",
+        "util.two_phase_ranks dim window over the per-(source, "
+        "_vbucket) count DIM (≤64 rows per source); the fact window "
+        "partitions by (source, _vbucket) — plan-asserted in "
+        "test_plans.py",
+    ),
     "q_embed_label_margin": (
         "PRODUCT-JOIN",
         "crossJoin of the O(labels) broadcast centroid dim — bounded "
