@@ -1569,3 +1569,210 @@ def q_embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("other_milli") - F.col("own_milli")).alias("margin_milli"),
         (F.col("other_milli") < F.col("own_milli")).alias("suspect"),
     )
+
+
+# ------------------------------------------- quantized component vectors
+# ONE rendering of the milli-quantized integer component list: every
+# cross-engine-exact second-moment statistic (dimension correlation,
+# Fisher separability) derives from the SAME floor(x·1000) integers, so
+# no sum of raw floats — whose accumulation ORDER differs between
+# engines — ever reaches a verdict. floor() on identical doubles is
+# identical on both engines (float → double widening is exact).
+_QVEC_SQL = (
+    "list_transform(embedding,"
+    " x -> CAST(floor(CAST(x AS double) * 1000) AS bigint))"
+)
+
+
+def _qvec_col():
+    """Spark rendering of _QVEC_SQL (floor returns bigint already)."""
+    return F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000)
+    )
+
+
+# --------------------------------------------- dimension correlation audit
+# Embedding-capacity audit: the exact Pearson correlation between every
+# pair of embedding dimensions over the milli-quantized components —
+# near-±1 pairs are redundant capacity (a candidate for dim pruning /
+# a projection-collapse bug); the verdict derives FROM the published
+# rounded r so it can never disagree with the report.
+_CORR_REDUNDANT = 0.5
+
+
+@_q(
+    "q_embed_dim_corr",
+    f"""
+    WITH q AS (SELECT vec_id, {_QVEC_SQL} AS v FROM embeddings),
+    p AS (SELECT CAST(gi.i - 1 AS int) AS di, CAST(gj.j - 1 AS int) AS dj,
+                 v[gi.i] AS x, v[gj.j] AS y
+          FROM q, unnest(generate_series(1, len(v))) gi(i),
+                  unnest(generate_series(1, len(v))) gj(j)
+          WHERE gi.i < gj.j),
+    s AS (SELECT di, dj, CAST(COUNT(*) AS bigint) AS n,
+                 CAST(SUM(x) AS bigint) AS sx,
+                 CAST(SUM(y) AS bigint) AS sy,
+                 CAST(SUM(x * x) AS bigint) AS sxx,
+                 CAST(SUM(y * y) AS bigint) AS syy,
+                 CAST(SUM(x * y) AS bigint) AS sxy
+          FROM p GROUP BY di, dj)
+    SELECT di, dj, n,
+           ROUND(CAST(n * sxy - sx * sy AS double)
+                 / NULLIF(sqrt(CAST(n * sxx - sx * sx AS double)
+                               * CAST(n * syy - sy * sy AS double)),
+                          0.0), 6) AS r,
+           COALESCE(abs(ROUND(CAST(n * sxy - sx * sy AS double)
+                 / NULLIF(sqrt(CAST(n * sxx - sx * sx AS double)
+                               * CAST(n * syy - sy * sy AS double)),
+                          0.0), 6)) >= {_CORR_REDUNDANT}, FALSE)
+             AS redundant
+    FROM s
+    """,
+)
+def q_embed_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation r for every dimension pair (di < dj, 0-based
+    to match q_embed_centroids) over the shared milli-quantized
+    components, with the redundancy verdict |r| ≥ {_CORR_REDUNDANT} on
+    the PUBLISHED rounded r. A constant dimension has zero variance →
+    r NULL, redundant FALSE.
+
+    Float discipline: all five sufficient statistics are EXACT bigint
+    sums of quantized integers; r is one expression over those integers
+    with ROUND applied once — nothing order-dependent ever crosses an
+    engine boundary. Scale: the d²/2 pair expansion is IN-ROW (flatten/
+    transform, codegen — never a self-join of the vector corpus) and
+    collapses map-side to the O(d²) keyed frame; headroom — n·sxy stays
+    under 2^63 to ~10^10 rows at |x|≤10³·|emb|, past which the sums
+    move to decimal(38) accumulators; at d in the thousands the same
+    statistics come from a per-partition numpy Gram accumulation
+    (mapInPandas emitting one d×d partial per batch), which this
+    declarative form is the oracle for."""
+    e = spread(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    q = e.select("vec_id", _qvec_col().alias("v")).where(F.size("v") >= 2)
+    p = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(v) - 1), i ->"
+                " transform(sequence(i + 1, size(v)), j ->"
+                " struct(cast(i - 1 as int) as di,"
+                " cast(j - 1 as int) as dj,"
+                " element_at(v, i) as x, element_at(v, j) as y))))"
+            )
+        ).alias("pp")
+    ).select("pp.*")
+    s = p.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    r = (
+        "round(cast(n * sxy - sx * sy as double)"
+        " / nullif(sqrt(cast(n * sxx - sx * sx as double)"
+        " * cast(n * syy - sy * sy as double)), 0.0d), 6)"
+    )
+    return s.select(
+        "di",
+        "dj",
+        "n",
+        F.expr(r).alias("r"),
+        F.expr(
+            f"coalesce(abs({r}) >= {_CORR_REDUNDANT}d, false)"
+        ).alias("redundant"),
+    )
+
+
+# --------------------------------------------------- Fisher separability
+# Feature-selection audit: per dimension, the Fisher score — between-
+# class scatter over within-class scatter of the milli-quantized
+# component — ranks which embedding dimensions actually carry the label
+# signal. Each label's two terms are single expressions over exact
+# integers; the cross-LABEL sums run as ordered left folds over the
+# label-sorted term lists (the q_embed_drift discipline), so the one
+# final rounded division can never straddle engines.
+
+
+@_q(
+    "q_fisher_score",
+    f"""
+    WITH q AS (SELECT label, {_QVEC_SQL} AS v FROM embeddings),
+    ld AS (SELECT label, CAST(g.i - 1 AS int) AS dim,
+                  CAST(COUNT(*) AS bigint) AS nl,
+                  CAST(SUM(v[i]) AS bigint) AS s,
+                  CAST(SUM(v[i] * v[i]) AS bigint) AS ss
+           FROM q, unnest(generate_series(1, len(v))) g(i)
+           GROUP BY label, g.i),
+    t AS (SELECT dim, CAST(SUM(nl) AS bigint) AS n,
+                 CAST(SUM(s) AS bigint) AS st
+          FROM ld GROUP BY dim),
+    terms AS (SELECT ld.dim, ld.label,
+                     (CAST(ld.s * t.n - t.st * ld.nl AS double)
+                      * CAST(ld.s * t.n - t.st * ld.nl AS double))
+                     / (CAST(ld.nl AS double) * t.n * t.n) AS tb,
+                     CAST(ld.nl * ld.ss - ld.s * ld.s AS double) / ld.nl
+                       AS tw
+              FROM ld JOIN t USING (dim))
+    SELECT dim,
+           CAST(COUNT(*) AS bigint) AS n_labels,
+           ROUND(list_reduce(list(tb ORDER BY label), (a, b) -> a + b)
+                 / NULLIF(list_reduce(list(tw ORDER BY label),
+                                      (a, b) -> a + b), 0.0), 6)
+             AS fisher
+    FROM terms GROUP BY dim
+    """,
+)
+def q_fisher_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher score Σ_l n_l(μ_l − μ)² / Σ_l Σ(x − μ_l)²
+    over the shared quantized components — near 0 on label-independent
+    dimensions, large where a dimension separates the classes.
+    Zero within-class scatter (every class constant) → NULL.
+
+    Float discipline: per-(label, dim) sufficient statistics are exact
+    bigints; each label's between/within term is one arithmetic
+    expression over them (the squared numerator is formed in DOUBLE —
+    both engines round the same IEEE product — because its integer form
+    could exceed 2^63 at corpus scale); cross-label sums are ordered
+    folds by label; ROUND once after the final division. Scale: one
+    (label, dim) partial agg — O(labels × dims) output — then a
+    dims-keyed rollup; the vector corpus is touched once."""
+    e = spread(load(spark, sf_dir, "embeddings").select("label", "embedding"))
+    q = e.select("label", _qvec_col().alias("v"))
+    ld = (
+        q.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nl"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+        )
+    )
+    t = ld.groupBy("dim").agg(
+        F.sum("nl").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    terms = ld.join(F.broadcast(t), "dim").select(
+        "dim",
+        "label",
+        F.expr(
+            "(cast(s * n - st * nl as double)"
+            " * cast(s * n - st * nl as double))"
+            " / (cast(nl as double) * n * n)"
+        ).alias("tb"),
+        F.expr("cast(nl * ss - s * s as double) / nl").alias("tw"),
+    )
+
+    def _fold(col_name: str):
+        lst = F.transform(
+            F.array_sort(F.collect_list(F.struct("label", col_name))),
+            lambda st: st[col_name],
+        )
+        return F.aggregate(lst, F.lit(0.0), lambda a, x: a + x)
+
+    return terms.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.round(
+            _fold("tb") / F.nullif(_fold("tw"), F.lit(0.0)), 6
+        ).alias("fisher"),
+    )
