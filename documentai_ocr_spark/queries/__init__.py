@@ -86,6 +86,7 @@ ROWS_ONLY = {
     "x_knn_lsh": _RECALL_GATED,
     "x_knn_ivf": _RECALL_GATED,
     "x_knn_ivf_sq8": _RECALL_GATED,
+    "x_knn_pq": _RECALL_GATED,
     "x_ann_rerank": _RECALL_GATED,
     "x_semdedup": (
         "iterative k-means clustering — gated by a 0.95 recall floor "

@@ -419,3 +419,57 @@ def test_embed_drift_python_recount(spark):
     assert got == want
     for _, _, drift in got.values():
         assert drift < 1000  # halves of an i.i.d. label stay close
+
+
+def test_ivf_pq_recall_vs_exact(spark):
+    """IVF-PQ (exact coarse lists + 24-byte product-quantized data
+    vectors) must keep top-5 recall >= 0.65 against the exact kNN on
+    the random-gaussian fixture — PQ's structural worst case, 0.77
+    measured at the shipped (32, 64) config (see the simsearch.py
+    sweep note)."""
+    from documentai_ocr_spark.queries import QUERIES
+    from documentai_ocr_spark.queries.simsearch import _KNN_K, x_knn_pq
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in QUERIES["q_knn_cosine"](spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in x_knn_pq(spark, sf).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / _KNN_K for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.65, sum(recalls) / len(recalls)
+
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    """Two training runs over differently-partitioned inputs produce
+    BIT-IDENTICAL codebooks (the sorted driver-side combine), and the
+    decode round-trip reconstructs every vector from codewords only
+    (each sub-block of the output is one of the Ks codewords)."""
+    import numpy as np
+
+    from documentai_ocr_spark.queries.simsearch import (
+        _decode_pq,
+        _emb_double,
+        _pq_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb_double(spark, sf)
+    m, ks = 8, 16
+    b1 = _pq_codebooks(e.repartition(3), m, ks, 2)
+    b2 = _pq_codebooks(e.repartition(11), m, ks, 2)
+    assert b1.shape == (m, ks, 64 // m)
+    assert np.array_equal(b1, b2)
+    dec = {
+        r["vec_id"]: np.asarray(r["emb"])
+        for r in _decode_pq(e, m, ks).limit(50).collect()
+    }
+    sd = 64 // m
+    for vid, v in dec.items():
+        for j in range(m):
+            sub = v[j * sd : (j + 1) * sd]
+            assert any(
+                np.array_equal(sub, b1[j][c]) for c in range(ks)
+            ), (vid, j)
