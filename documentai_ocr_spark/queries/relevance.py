@@ -1408,3 +1408,183 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(F.broadcast(m), "source").select(
         "source", "n_docs", "n_trim", "n_kept", "mean", "trimmed_mean"
     )
+
+
+# --------------------------------------------------- Heaps'-law exponent
+# The vocabulary-growth curve: Heaps' law says distinct types grow as
+# V(n) ≈ K·n^β in corpus tokens n, with β ≈ 0.4–0.6 for natural
+# language. A per-source β far from that band is a curation signal the
+# single-point TTR (q_vocab_growth) cannot see: template spam saturates
+# (β → 0, the vocabulary stops growing), ID-/hash-bearing crawl junk
+# keeps minting types (β → 1). The curve is sampled at G exact-integer
+# document-rank checkpoints c_g = max(1, g·n div G) — the doc rank
+# comes from util.two_phase_ranks, never a whole-source sort — and β is
+# the OLS slope of ln(types) on ln(tokens) over the checkpoints (the
+# q_zipf_slope closed form: five per-source sums over ≤G rows, ROUND
+# once after).
+_HEAPS_G = 8
+
+
+@_q(
+    "q_heaps_law",
+    f"""
+    WITH d AS (SELECT source, doc_id, {ntok_sql('text')} AS ntok,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY doc_id) AS r,
+                      text
+               FROM documents),
+    n AS (SELECT source, CAST(COUNT(*) AS bigint) AS n
+          FROM d GROUP BY source),
+    g AS (SELECT source, CAST(gg.g AS int) AS g,
+                 GREATEST(1, (gg.g * n.n) // {_HEAPS_G}) AS c
+          FROM n, unnest(generate_series(1, {_HEAPS_G})) gg(g)),
+    tok AS (SELECT g.source, g.g, CAST(SUM(d.ntok) AS bigint) AS tokens
+            FROM g JOIN d ON d.source = g.source AND d.r <= g.c
+            GROUP BY g.source, g.g),
+    occ AS (SELECT source, r,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM d),
+    wfr AS (SELECT source, w, CAST(MIN(r) AS bigint) AS fr
+            FROM occ GROUP BY source, w),
+    typ AS (SELECT g.source, g.g, CAST(COUNT(*) AS bigint) AS types
+            FROM g JOIN wfr ON wfr.source = g.source AND wfr.fr <= g.c
+            GROUP BY g.source, g.g),
+    fit AS (SELECT t.source, t.g,
+                   ln(CAST(t.tokens AS double)) AS x,
+                   ln(CAST(y.types AS double)) AS y
+            FROM tok t JOIN typ y USING (source, g)
+            WHERE t.tokens > 0 AND y.types > 0),
+    s AS (SELECT source, CAST(COUNT(*) AS bigint) AS n_fit,
+                 SUM(x * y) AS sxy, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx
+          FROM fit GROUP BY source)
+    SELECT s.source, n.n AS n_docs, tt.tokens AS n_tokens,
+           ty.types AS n_types, s.n_fit,
+           ROUND((s.n_fit * s.sxy - s.sx * s.sy)
+                 / NULLIF(s.n_fit * s.sxx - s.sx * s.sx, 0.0), 6) + 0.0
+             AS beta
+    FROM s JOIN n USING (source)
+    JOIN tok tt ON tt.source = s.source AND tt.g = {_HEAPS_G}
+    JOIN typ ty ON ty.source = s.source AND ty.g = {_HEAPS_G}
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps exponent β with the full-corpus totals (the
+    g={_HEAPS_G} checkpoint is exactly the whole source, so n_tokens /
+    n_types reconcile with q_vocab_growth by construction). Degenerate
+    curves (all checkpoints at the same token count) yield NULL via the
+    zero denominator; checkpoints with zero tokens or types are
+    excluded from the fit on both engines by the same rule.
+
+    Scale: doc ranks via two_phase_ranks (no whole-source sort); the
+    (source, word) first-occurrence agg is the only vocabulary-scale
+    exchange; both checkpoint scans join the broadcast O(sources×G)
+    grid with ≤G fan-out per row — never a rank-ordered window over
+    the corpus; the fit runs on ≤G rows per source."""
+    from .util import two_phase_ranks
+
+    G = _HEAPS_G
+    d0 = spread(
+        load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    )
+    d = two_phase_ranks(
+        d0.select(
+            "source", "doc_id", ntok_col("text").alias("ntok"), "text"
+        ),
+        ["source"],
+        "doc_id",
+        [],
+    )
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = n.select(
+        "source",
+        F.explode(F.expr(f"sequence(1, {G})")).alias("g"),
+        "n",
+    ).select(
+        "source",
+        F.col("g").cast("int").alias("g"),
+        F.greatest(F.lit(1).cast("long"), F.expr(f"(g * n) div {G}")).alias(
+            "c"
+        ),
+    )
+    # the grid derives FROM d (via n), so rename its key to break the
+    # self-join lineage ambiguity before the range joins
+    grid = g.select(
+        F.col("source").alias("gsource"), "g", "c"
+    )
+    tok = (
+        d.join(
+            F.broadcast(grid),
+            (d["source"] == grid["gsource"]) & (d["r"] <= grid["c"]),
+        )
+        .groupBy(F.col("gsource").alias("source"), "g")
+        .agg(F.sum("ntok").cast("long").alias("tokens"))
+    )
+    occ = d.select(
+        "source",
+        "r",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    )
+    wfr = occ.groupBy("source", "w").agg(
+        F.min("r").cast("long").alias("fr")
+    )
+    typ = (
+        wfr.join(
+            F.broadcast(grid),
+            (wfr["source"] == grid["gsource"]) & (wfr["fr"] <= grid["c"]),
+        )
+        .groupBy(F.col("gsource").alias("source"), "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("types"))
+    )
+    fit = (
+        tok.join(typ, ["source", "g"])
+        .where((F.col("tokens") > 0) & (F.col("types") > 0))
+        .select(
+            "source",
+            F.log(F.col("tokens").cast("double")).alias("x"),
+            F.log(F.col("types").cast("double")).alias("y"),
+        )
+    )
+    s = fit.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fit"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # "+ 0.0" (both renderings) collapses IEEE -0.0 — a saturated
+    # vocabulary makes the slope EXACTLY zero and the two engines can
+    # land on opposite zero signs
+    beta = (
+        F.round(
+            (F.col("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.col("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    tt = tok.where(F.col("g") == G).select(
+        "source", F.col("tokens").alias("n_tokens")
+    )
+    ty = typ.where(F.col("g") == G).select(
+        "source", F.col("types").alias("n_types")
+    )
+    return (
+        s.join(F.broadcast(n), "source")
+        .join(F.broadcast(tt), "source")
+        .join(F.broadcast(ty), "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_tokens",
+            "n_types",
+            "n_fit",
+            beta.alias("beta"),
+        )
+    )

@@ -201,6 +201,16 @@ BOUNDED_OK = {
         "partitions by (source, _vbucket) — plan-asserted in "
         "test_plans.py",
     ),
+    "q_heaps_law": (
+        "LOW-CARD-WINDOW",
+        "util.two_phase_ranks dim windows over the per-(source, "
+        "_vbucket) count DIM (≤64 rows per source); the fact rank "
+        "window partitions by (source, _vbucket) — the flag repeats "
+        "because the ranked frame feeds four consumers (counts, "
+        "token checkpoints, vocabulary first-occurrence, grid) and "
+        "the plan text duplicates the subtree; identical exchanges "
+        "dedupe at runtime via ReusedExchange",
+    ),
     "q_embed_label_margin": (
         "PRODUCT-JOIN",
         "crossJoin of the O(labels) broadcast centroid dim — bounded "
