@@ -25,6 +25,7 @@ from . import (
     corpusops,
     dedup,
     extraction,
+    governance,
     labeldsl,
     relational,
     relevance,
@@ -43,6 +44,7 @@ _MODULES = (
     extraction,
     labeldsl,
     webtext,
+    governance,
 )
 
 QUERIES = {}

@@ -201,6 +201,15 @@ BOUNDED_OK = {
         "partitions by (source, _vbucket) — plan-asserted in "
         "test_plans.py",
     ),
+    "q_release_audit": (
+        ("LOW-CARD-WINDOW", "PRODUCT-JOIN"),
+        "composed rollup calling the registered component builders — "
+        "it inherits exactly their certified shapes: q_robust_stats' "
+        "two_phase_ranks dim windows (≤64 rows per source, fact "
+        "windows on (source, _vbucket)) and q_source_kl's 1-row "
+        "broadcast corpus-total crossJoin; this op itself adds only "
+        "O(sources) broadcast joins",
+    ),
     "q_heaps_law": (
         "LOW-CARD-WINDOW",
         "util.two_phase_ranks dim windows over the per-(source, "
