@@ -1588,3 +1588,142 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             beta.alias("beta"),
         )
     )
+
+
+# --------------------------------------------- source-pair JS divergence
+# Distribution-grain mirror detection: the Jensen–Shannon divergence
+# between every pair of sources' unigram distributions — two crawls of
+# the same site (or a laundered re-host) read as near-identical
+# DISTRIBUTIONS even when content-grain dedup (q_source_overlap's
+# shared windows, q_mirror_attribution's hashes) misses paraphrased or
+# re-chunked copies. JSD(p, q) = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)),
+# bounded by ln 2; the one-sided tails (words the other source never
+# uses) collapse to closed form: Σ_{w∉q} p·ln2 = (1 − P_shared)·ln 2,
+# so only SHARED words need a term. Every ln argument is a ratio of
+# exact integers (2·c_a·t_b / (c_a·t_b + c_b·t_a)); per-pair sums of
+# those doubles round once at the end (the q_source_kl precedent).
+#
+# Scale: NO corpus self-join — the q_source_overlap pattern: per word,
+# ONE aggregation collects the ≤S per-source counts, ordered pairs
+# expand IN-ROW (≤S²/2 structs per word), and the final rollup is
+# O(S²) groups; the token-total dim is O(S) broadcast. The oracle
+# keeps the equivalent self-join formulation as the independent
+# cross-check. Pairs sharing no word emit no row (their JSD is exactly
+# ln 2 — nothing to measure; the q_event_overlap convention).
+# Integer headroom: c·t stays under 2^63 while c·t < 9.2e18 — past
+# ~10^9-token sources the products move to decimal(38).
+
+
+@_q(
+    "q_source_jsd",
+    """
+    WITH sw AS (SELECT source, w, CAST(COUNT(*) AS bigint) AS c
+                FROM (SELECT source,
+                             unnest(list_filter(string_split(lower(text),
+                                                             ' '),
+                                                x -> x <> '')) AS w
+                      FROM documents)
+                GROUP BY source, w),
+    st AS (SELECT source, CAST(SUM(c) AS bigint) AS t
+           FROM sw GROUP BY source),
+    sh AS (SELECT a.source AS sa, b.source AS sb, a.c AS ca, b.c AS cb,
+                  ta.t AS ta, tb.t AS tb
+           FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+           JOIN st ta ON ta.source = a.source
+           JOIN st tb ON tb.source = b.source),
+    ag AS (SELECT sa, sb,
+                  CAST(COUNT(*) AS bigint) AS n_shared,
+                  CAST(MIN(ta) AS bigint) AS ta,
+                  CAST(MIN(tb) AS bigint) AS tb,
+                  CAST(SUM(ca) AS bigint) AS sca,
+                  CAST(SUM(cb) AS bigint) AS scb,
+                  SUM((CAST(ca AS double) / ta)
+                      * ln(2.0 * ca * tb / (ca * tb + cb * ta)))
+                    AS terma,
+                  SUM((CAST(cb AS double) / tb)
+                      * ln(2.0 * cb * ta / (ca * tb + cb * ta)))
+                    AS termb
+           FROM sh GROUP BY sa, sb)
+    SELECT sa AS source_a, sb AS source_b, n_shared,
+           ROUND(0.5 * (terma + (1.0 - CAST(sca AS double) / ta) * ln(2.0))
+                 + 0.5 * (termb + (1.0 - CAST(scb AS double) / tb)
+                          * ln(2.0)), 6) AS jsd
+    FROM ag
+    """,
+)
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-pair unigram Jensen–Shannon divergence (nats,
+    ≤ ln 2 ≈ 0.693) with the shared-word count — near 0 flags
+    distribution-level mirrors, near ln 2 flags disjoint domains."""
+    docs = spread(load(spark, sf_dir, "documents").select("source", "text"))
+    sw = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    st = sw.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    grp = sw.groupBy("w").agg(
+        F.array_sort(F.collect_list(F.struct("source", "c"))).alias("ss")
+    )
+    pairs = grp.where(F.size("ss") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ss) - 1), i ->"
+                " transform(sequence(i + 1, size(ss)), j ->"
+                " struct(element_at(ss, i).source as sa,"
+                " element_at(ss, i).c as ca,"
+                " element_at(ss, j).source as sb,"
+                " element_at(ss, j).c as cb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    ta = st.select(F.col("source").alias("sa"), F.col("t").alias("ta"))
+    tb = st.select(F.col("source").alias("sb"), F.col("t").alias("tb"))
+    sh = pairs.join(F.broadcast(ta), "sa").join(F.broadcast(tb), "sb")
+    terma = (F.col("ca").cast("double") / F.col("ta")) * F.log(
+        2.0
+        * F.col("ca")
+        * F.col("tb")
+        / (F.col("ca") * F.col("tb") + F.col("cb") * F.col("ta"))
+    )
+    termb = (F.col("cb").cast("double") / F.col("tb")) * F.log(
+        2.0
+        * F.col("cb")
+        * F.col("ta")
+        / (F.col("ca") * F.col("tb") + F.col("cb") * F.col("ta"))
+    )
+    ag = sh.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.min("ta").cast("long").alias("ta"),
+        F.min("tb").cast("long").alias("tb"),
+        F.sum("ca").cast("long").alias("sca"),
+        F.sum("cb").cast("long").alias("scb"),
+        F.sum(terma).alias("terma"),
+        F.sum(termb).alias("termb"),
+    )
+    jsd = F.round(
+        0.5
+        * (
+            F.col("terma")
+            + (1.0 - F.col("sca").cast("double") / F.col("ta"))
+            * F.log(F.lit(2.0))
+        )
+        + 0.5
+        * (
+            F.col("termb")
+            + (1.0 - F.col("scb").cast("double") / F.col("tb"))
+            * F.log(F.lit(2.0))
+        ),
+        6,
+    )
+    return ag.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_shared",
+        jsd.alias("jsd"),
+    )

@@ -621,3 +621,91 @@ def test_ppl_buckets_python_replay(spark):
         seen.add(r["ppl_bucket"])
     # the cut must be real on this corpus: all three buckets inhabited
     assert seen == {"head", "middle", "tail"}
+
+
+def test_source_jsd_pins_and_recount(spark, tmp_path):
+    """Closed-form pins: two sources with IDENTICAL word distributions
+    score exactly 0; two sources sharing exactly one word (carrying
+    half of each source's mass) score the hand-derived closed form;
+    disjoint sources emit NO row. Plus a whole-corpus python replay at
+    sf0.001."""
+    from documentai_ocr_spark.queries.relevance import q_source_jsd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "source": ["m1", "m2", "half", "disjoint", "m1"],
+            "text": [
+                "a a b c",
+                "a a b c",
+                "a a x x",  # shares only 'a' with m1/m2, half its mass
+                "q r s t",  # shares nothing
+                "",  # empty doc must not perturb anything
+            ],
+        }
+    )
+    d = str(tmp_path / "jsd")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_source_jsd(spark, d).collect()
+    }
+    # disjoint source appears in no pair
+    assert not any("disjoint" in k for k in got)
+    assert got[("m1", "m2")]["jsd"] == 0.0
+    assert got[("m1", "m2")]["n_shared"] == 3
+    # hand closed form for (half, m1): shared word 'a' with p=q=1/2;
+    # its term is 0 on both sides, so jsd = 0.5·(1-½)ln2 ×2 = ½ln2
+    want = round(0.5 * math.log(2.0), 6)
+    for key in [("half", "m1"), ("half", "m2")]:
+        k = key if key in got else (key[1], key[0])
+        assert got[k]["n_shared"] == 1
+        assert abs(got[k]["jsd"] - want) < 1e-9
+
+    # whole-corpus replay at sf0.001
+    import collections
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cnt: dict = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        cnt.setdefault(src, collections.Counter()).update(
+            w for w in text.lower().split(" ") if w
+        )
+    tot = {s: sum(c.values()) for s, c in cnt.items()}
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in q_source_jsd(spark, "/root/testdata/sf0.001").collect()
+    }
+    srcs = sorted(cnt)
+    n_pairs = 0
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = set(cnt[a]) & set(cnt[b])
+            if not shared:
+                assert (a, b) not in got
+                continue
+            n_pairs += 1
+            ta, tb = tot[a], tot[b]
+            terma = sum(
+                (cnt[a][w] / ta)
+                * math.log(
+                    2.0 * cnt[a][w] * tb / (cnt[a][w] * tb + cnt[b][w] * ta)
+                )
+                for w in shared
+            )
+            termb = sum(
+                (cnt[b][w] / tb)
+                * math.log(
+                    2.0 * cnt[b][w] * ta / (cnt[a][w] * tb + cnt[b][w] * ta)
+                )
+                for w in shared
+            )
+            sca = sum(cnt[a][w] for w in shared)
+            scb = sum(cnt[b][w] for w in shared)
+            jsd = 0.5 * (terma + (1.0 - sca / ta) * math.log(2.0)) + 0.5 * (
+                termb + (1.0 - scb / tb) * math.log(2.0)
+            )
+            r = got[(a, b)]
+            assert r["n_shared"] == len(shared)
+            assert abs(r["jsd"] - round(jsd, 6)) < 5e-6, (a, b)
+    assert n_pairs == len(got)
