@@ -3868,3 +3868,113 @@ def q_event_topusers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("c").alias("n_events"),
     )
+
+
+# ------------------------------------------------- shipping-priority top-K
+# The TPC-H Q3 shape: selective dim filter → fact join → grouped
+# revenue → global top-K. The top-10 runs on the ROUNDED revenue with
+# the o_orderkey tiebreak (the q_pmi_collocations discipline) so rank
+# is identical across engines, and Spark plans it as
+# TakeOrderedAndProject — per-partition top-K before one tiny driver
+# merge, never a global sort.
+_SHIP_SEG = "BUILDING"
+_SHIP_DATE = "1995-03-15"
+_SHIP_TOPK = 10
+
+
+@_q(
+    "q_ship_priority",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           CAST(COUNT(*) AS bigint) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_SHIP_SEG}'
+      AND o.o_orderdate < DATE '{_SHIP_DATE}'
+      AND l.l_shipdate > DATE '{_SHIP_DATE}'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT {_SHIP_TOPK}
+    """,
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_SHIP_TOPK} unshipped-revenue orders in the {_SHIP_SEG}
+    segment as of {_SHIP_DATE} — the classic selective-dim → fact →
+    top-K report. Both date predicates and the segment filter push to
+    the scans; customer broadcast; the only wide exchange is the
+    (orderkey) revenue agg, pre-combined map-side."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == _SHIP_SEG)
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(_SHIP_DATE).cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit(_SHIP_DATE).cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(
+        _SHIP_TOPK
+    )
+
+
+# ------------------------------------------------- late-shipment semi-join
+# The TPC-H Q4 shape: EXISTS → LEFT SEMI join. An order counts once per
+# priority bucket if ANY of its lines shipped more than _LATE_DAYS
+# after the order date — the semi join never duplicates an order
+# however many lines qualify, which a plain inner join + distinct
+# would pay a dedup shuffle to fix.
+_LATE_DAYS = 90
+
+
+@_q(
+    "q_late_orders",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS bigint) AS n_late
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped > {_LATE_DAYS} days after
+    order date, counted per priority — the operational-lateness
+    rollup. LEFT SEMI join on orderkey with the date comparison as the
+    join filter; output is O(priorities)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, _LATE_DAYS)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_late")
+    )

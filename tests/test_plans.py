@@ -344,3 +344,23 @@ def test_trimmed_mean_bucketed_window(spark):
             assert "_vbucket" in ln, ln
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_ship_priority_topk_and_pushdown(spark):
+    """The Q3-shaped report must plan the top-10 as
+    TakeOrderedAndProject (per-partition top-K, no global sort), push
+    both date predicates and the segment filter to the scans, and
+    broadcast the filtered customer dim."""
+    p = plan(QUERIES["q_ship_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_late_orders_semi_join(spark):
+    """EXISTS must plan as LeftSemi — one row per order regardless of
+    how many lines qualify, no dedup shuffle."""
+    p = plan(QUERIES["q_late_orders"](spark, SF))
+    assert "LeftSemi" in p, p
