@@ -3978,3 +3978,65 @@ def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_late")
     )
+
+
+# ------------------------------------------------- large-volume customers
+# The TPC-H Q18 shape: a HAVING prune on the fact aggregate BEFORE any
+# dim joins back — the order of operations that matters at scale: the
+# quantity rollup shrinks the fact table to the handful of qualifying
+# orders first, and only those rows touch customer/orders again.
+_BIGQTY_MIN = 250
+_BIGQTY_TOPK = 20
+
+
+@_q(
+    "q_big_spenders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(l_quantity) AS bigint) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > {_BIGQTY_MIN})
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.total_qty DESC, o.o_orderkey
+    LIMIT {_BIGQTY_TOPK}
+    """,
+)
+def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BIGQTY_TOPK} orders by total line quantity above
+    {_BIGQTY_MIN}, with the customer — TPC-H Q18. The HAVING prune
+    runs on the one fact aggregate (map-side combined) so the joins
+    back to orders/customer see only qualifying orderkeys; the top-K
+    is TakeOrderedAndProject on the exact integer quantity with the
+    orderkey tiebreak."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > _BIGQTY_MIN)
+        .select(
+            "l_orderkey", F.col("_q").cast("long").alias("total_qty")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+    return out.orderBy(F.desc("total_qty"), F.asc("o_orderkey")).limit(
+        _BIGQTY_TOPK
+    )

@@ -364,3 +364,15 @@ def test_late_orders_semi_join(spark):
     how many lines qualify, no dedup shuffle."""
     p = plan(QUERIES["q_late_orders"](spark, SF))
     assert "LeftSemi" in p, p
+
+
+def test_big_spenders_prunes_before_join(spark):
+    """Q18 shape: the quantity HAVING-prune must aggregate BEFORE the
+    joins back (the plan's aggregate feeds the join, not vice versa),
+    the top-K is TakeOrderedAndProject, and customer broadcasts."""
+    p = plan(QUERIES["q_big_spenders"](spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p
+    # the lineitem scan reads only the two aggregate columns
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln and "l_quantity" in ln]
+    assert rs and "l_extendedprice" not in rs[0]

@@ -212,3 +212,42 @@ def test_mean_filter_keeps_null_lang_group(spark, tmp_path):
         exp |= set(grp[grp.n_chars >= m].doc_id)
     assert got == exp
     assert any(pd.isna(pdf.lang[d]) for d in got)  # NULL rows present
+
+
+def test_two_phase_ranks_helper_under_skew(spark):
+    """The factored util.two_phase_ranks under a 100x hot group: exact
+    equality to the plain whole-group window AND bucket-level balance
+    (the hot group's rows spread across the value-bucket grid, max
+    bucket within 3x fair share) — the same property test_two_phase_
+    source_windows_under_skew pins for its two inlined predecessors."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from documentai_ocr_spark.queries.util import two_phase_ranks
+
+    rows = [(i, "hot", ((i * 13) % 997) + 1) for i in range(3000)]
+    rows += [(10000 + i, f"cold{i % 5}", i + 1) for i in range(150)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "g", "x"])
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = {
+        r["doc_id"]: r["r"]
+        for r in two_phase_ranks(df, ["g"], "x", ["doc_id"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("x", "doc_id")
+    want = {
+        r["doc_id"]: r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+    # balance: replicate the helper's exact bucket rule in pandas
+    lo, hi = int(pdf.x.min()), int(pdf.x.max())
+    width = max(1, (hi - lo + 64) // 64)
+    hot = pdf[pdf.g == "hot"].copy()
+    hot["vb"] = (hot.x - lo) // width
+    fair = len(hot) / 64
+    assert hot.groupby("vb").size().max() <= 3 * fair
+    assert hot.vb.nunique() >= 60
