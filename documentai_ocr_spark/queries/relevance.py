@@ -1727,3 +1727,70 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         jsd.alias("jsd"),
     )
+
+
+# ------------------------------------------------- exact decile grid
+# The buffering-free exact quantile path: q_length_quantiles is the
+# interpolated anchor but its exact `percentile` buffers a whole
+# source's values inside one aggregation buffer (documented there as
+# the at-scale caveat). This op closes that caveat: each decile is an
+# ORDER STATISTIC — the value at rank ceil(q·n/10) under the
+# deterministic (value, doc_id) order — selected by rank-position
+# filter over util.two_phase_ranks, so nothing ever buffers more than
+# a value bucket and every output is an exact corpus integer (the
+# lower empirical quantile, no interpolation — deciles of an integer
+# column are integers).
+
+
+@_q(
+    "q_decile_grid",
+    """
+    WITH d AS (SELECT source, doc_id, CAST(n_chars AS bigint) AS x
+               FROM documents),
+    r AS (SELECT source, x,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY x, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM d),
+    g AS (SELECT source, x, rn, n, gg.q AS q
+          FROM r, unnest(generate_series(1, 9)) gg(q)
+          WHERE rn = (gg.q * n + 9) // 10)
+    SELECT source, CAST(q AS int) AS q, CAST(MIN(n) AS bigint) AS n_docs,
+           CAST(MIN(x) AS bigint) AS value
+    FROM g GROUP BY source, q
+    """,
+)
+def q_decile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact deciles of n_chars (q = 1..9, value at rank
+    ceil(q·n/10), ties and positions deterministic) — the exact-integer
+    quantile table with NO per-group buffering: ranks come from
+    util.two_phase_ranks and each decile is one rank-position filter
+    against the broadcast count dim. A rank can satisfy several q's
+    in tiny groups (ceil collisions); the oracle's row-grain rule is
+    identical, so the row set matches exactly.
+
+    Scale: one corpus exchange (the rank pass, value-bucketed), a
+    9-row in-row grid expansion on the already-ranked frame, and an
+    O(sources×9) rollup."""
+    from .util import two_phase_ranks
+
+    d = spread(
+        load(spark, sf_dir, "documents").select(
+            "source", "doc_id", F.col("n_chars").cast("long").alias("x")
+        )
+    )
+    ndim = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    r = two_phase_ranks(d, ["source"], "x", ["doc_id"]).join(
+        F.broadcast(ndim), "source"
+    )
+    g = r.select(
+        "source",
+        "x",
+        "r",
+        "n",
+        F.explode(F.expr("sequence(1, 9)")).alias("q"),
+    ).where(F.col("r") == F.expr("(q * n + 9) div 10"))
+    return g.groupBy("source", F.col("q").cast("int").alias("q")).agg(
+        F.min("n").cast("long").alias("n_docs"),
+        F.min("x").cast("long").alias("value"),
+    )

@@ -145,3 +145,31 @@ def test_trimmed_mean_megadoc_insensitivity(spark, tmp_path):
     assert r["n_kept"] == 16
     assert abs(r["trimmed_mean"] - round(sum(kept) / len(kept), 6)) < 1e-9
     assert r["mean"] > 10 * r["trimmed_mean"]
+
+
+def test_decile_grid_recount_and_median_reconciliation(spark):
+    """Python replay of every (source, q) order statistic at sf0.001,
+    plus the cross-operator identity: decile q=5's rank ceil(5n/10) ==
+    the lower-median rank (n+1)//2, so q_decile_grid's q=5 value MUST
+    equal q_robust_stats' med on every source."""
+    from documentai_ocr_spark.queries.relevance import q_decile_grid
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = {
+        (r["source"], r["q"]): r
+        for r in q_decile_grid(spark, SF).collect()
+    }
+    for src, g in docs.groupby("source"):
+        xs = [
+            x
+            for x, _ in sorted(
+                zip(g["n_chars"].astype(int), g["doc_id"].astype(int))
+            )
+        ]
+        n = len(xs)
+        for q in range(1, 10):
+            r = got[(src, q)]
+            assert (r["n_docs"], r["value"]) == (n, xs[(q * n + 9) // 10 - 1])
+    med = {r["source"]: r["med"] for r in q_robust_stats(spark, SF).collect()}
+    for src in med:
+        assert got[(src, 5)]["value"] == med[src], src

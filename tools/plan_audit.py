@@ -210,6 +210,12 @@ BOUNDED_OK = {
         "broadcast corpus-total crossJoin; this op itself adds only "
         "O(sources) broadcast joins",
     ),
+    "q_decile_grid": (
+        "LOW-CARD-WINDOW",
+        "util.two_phase_ranks dim window over the per-(source, "
+        "_vbucket) count DIM (≤64 rows per source); the fact rank "
+        "window partitions by (source, _vbucket)",
+    ),
     "q_heaps_law": (
         "LOW-CARD-WINDOW",
         "util.two_phase_ranks dim windows over the per-(source, "
