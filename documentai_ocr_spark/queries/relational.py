@@ -4040,3 +4040,68 @@ def q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("total_qty"), F.asc("o_orderkey")).limit(
         _BIGQTY_TOPK
     )
+
+
+# ---------------------------------------------------------- DAU / WAU
+# Rolling engagement: daily active users beside the trailing-7-day
+# weekly actives and the DAU/WAU stickiness ratio — the
+# product-health curve every event warehouse serves. The day index is
+# PHYSICAL integer arithmetic on epoch milliseconds (the q_hour_mix
+# rule — no calendar, no timezone), and the rolling distinct avoids
+# any per-day re-scan: each (user, day) pair supports exactly the 7
+# trailing windows ending on days d..d+6, so a bounded 7× in-row
+# fan-out followed by a (day, user) dedup computes every window's
+# exact distinct count in one pass. Output keeps only days that have
+# events (the observed-days convention).
+
+
+@_q(
+    "q_dau_wau",
+    """
+    WITH e AS (SELECT DISTINCT CAST(epoch_ms(ts) // 86400000 AS bigint)
+                        AS day, user_id
+               FROM events),
+    dau AS (SELECT day, CAST(COUNT(*) AS bigint) AS dau
+            FROM e GROUP BY day),
+    x AS (SELECT CAST(e.day + gg.i AS bigint) AS day, e.user_id
+          FROM e, unnest(generate_series(0, 6)) gg(i)),
+    wau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS bigint) AS wau
+            FROM x GROUP BY day)
+    SELECT d.day, d.dau, w.wau,
+           CAST(1000 * d.dau // w.wau AS bigint) AS stickiness_milli
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact DAU, trailing-7-day WAU and integer-milli
+    stickiness (DAU/WAU — 1000 means every weekly user shows up daily,
+    ~143 means each appears once a week).
+
+    Scale: one (day, user) dedup exchange (dau is its rollup — COUNT(*)
+    on already-distinct pairs), a bounded 7× in-row explode, one
+    (day, user) dedup-rollup for wau, and an O(days) join. No window
+    functions, no per-day re-aggregation of the event stream."""
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    day = F.expr(
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+    )
+    e = ev.select(day.alias("day"), "user_id").distinct()
+    dau = e.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    x = e.select(
+        F.explode(F.expr("sequence(day, day + 6)")).alias("day"),
+        "user_id",
+    )
+    wau = x.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("1000 * dau div wau").cast("long").alias(
+                "stickiness_milli"
+            ),
+        )
+    )

@@ -160,3 +160,57 @@ def test_gini_activity_degenerate_corpora(spark, tmp_path):
     srx = sum((i + 1) * 1 for i in range(9)) + 10 * 91
     expect = (1000 * (2 * srx - 11 * 100)) // (10 * 100)
     assert got["whale"]["gini_milli"] == expect and expect > 700
+
+
+def test_dau_wau_recount_and_pins(spark, tmp_path):
+    """Whole-corpus replay at sf0.001 from the physical epoch ms, plus
+    engineered pins: an every-day user scores stickiness 1000; a
+    once-a-week user pulls the shared window's ratio down to the exact
+    closed form."""
+    from documentai_ocr_spark.queries.relational import q_dau_wau
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = _epoch_ms(ev["ts"]) // 86400000
+    pairs = set(zip(day, ev["user_id"]))
+    dau: dict = {}
+    for d, u in pairs:
+        dau.setdefault(d, set()).add(u)
+    wau: dict = {}
+    for d, u in pairs:
+        for t in range(d, d + 7):
+            wau.setdefault(t, set()).add(u)
+    got = {r["day"]: r for r in q_dau_wau(spark, SF).collect()}
+    assert set(got) == set(dau)
+    for d in dau:
+        r = got[d]
+        assert (r["dau"], r["wau"]) == (len(dau[d]), len(wau[d]))
+        assert r["stickiness_milli"] == 1000 * len(dau[d]) // len(wau[d])
+
+    # engineered: user 1 fires daily for 14 days; user 2 only on day 7
+    import datetime
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for d in range(14):
+        rows.append(
+            (eid, base + datetime.timedelta(days=d), 1, "click", 0.0, "{}")
+        )
+        eid += 1
+    rows.append(
+        (eid, base + datetime.timedelta(days=7), 2, "click", 0.0, "{}")
+    )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    dd = str(tmp_path / "dau")
+    spark.createDataFrame(pdf).write.parquet(f"{dd}/events.parquet")
+    g2 = {r["day"]: r for r in q_dau_wau(spark, dd).collect()}
+    days = sorted(g2)
+    # day 0..6: only user 1 in the window → stickiness 1000
+    assert g2[days[0]]["stickiness_milli"] == 1000
+    # days 7..13: user 2 is in the trailing week → dau 1, wau 2 → 500
+    assert g2[days[7]]["dau"] == 2  # both fired on day 7 itself
+    assert g2[days[8]]["dau"] == 1 and g2[days[8]]["wau"] == 2
+    assert g2[days[8]]["stickiness_milli"] == 500
