@@ -4105,3 +4105,54 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ brand revenue share
+# The last un-exercised driver table: part (a 200-row product dim —
+# always broadcast). Q14-flavored: revenue and line share per brand,
+# the category-mix report. The share is exact integer milli over LINE
+# COUNTS (never a ratio of two rounded revenues); the corpus total is
+# the classic 1-row broadcast dim (the q_bm25 pattern).
+
+
+@_q(
+    "q_brand_revenue",
+    """
+    WITH j AS (SELECT p.p_brand,
+                      l.l_extendedprice * (1 - l.l_discount) AS rev
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    b AS (SELECT p_brand, ROUND(SUM(rev), 2) AS revenue,
+                 CAST(COUNT(*) AS bigint) AS n_lines
+          FROM j GROUP BY p_brand),
+    t AS (SELECT CAST(SUM(n_lines) AS bigint) AS total FROM b)
+    SELECT b.p_brand, b.revenue, b.n_lines,
+           CAST(1000 * b.n_lines // t.total AS bigint) AS share_milli
+    FROM b, t
+    """,
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue, line count and exact integer-milli line share per part
+    brand. part broadcasts onto the lineitem scan; one (brand) partial
+    agg is the only exchange; the total is a 1-row broadcast dim."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    t = b.agg(F.sum("n_lines").cast("long").alias("total"))
+    return b.crossJoin(F.broadcast(t)).select(
+        "p_brand",
+        "revenue",
+        "n_lines",
+        F.expr("1000 * n_lines div total").cast("long").alias("share_milli"),
+    )

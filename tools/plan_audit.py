@@ -210,6 +210,11 @@ BOUNDED_OK = {
         "broadcast corpus-total crossJoin; this op itself adds only "
         "O(sources) broadcast joins",
     ),
+    "q_brand_revenue": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast total-lines dim onto the "
+        "O(brands) rollup — scalar broadcast (the q_bm25 pattern)",
+    ),
     "q_decile_grid": (
         "LOW-CARD-WINDOW",
         "util.two_phase_ranks dim window over the per-(source, "
