@@ -4156,3 +4156,110 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.expr("1000 * n_lines div total").cast("long").alias("share_milli"),
     )
+
+
+# ---------------------------------------------------------- RFM segments
+# Classic customer segmentation: per customer, Recency (days since
+# last order vs the corpus's latest order), Frequency (order count)
+# and Monetary (lifetime spend in exact cents), each quintile-scored
+# 1-5 with the deterministic rank formula q = least(5, 1 +
+# (5·(rank−1)) div n) over (metric, custkey) order — ties and
+# boundaries exact integer arithmetic, never ntile's engine-specific
+# bucketing. Ranks are GLOBAL (the customer dim has no group key), so
+# they run through util.two_phase_ranks with a constant group: the
+# fact windows partition by (_g, _vbucket) — at 10^9 customers no
+# task ever sorts the whole dim. Monetary per order is
+# floor(o_totalprice·100) — identical on identical doubles — summed
+# as bigint, so the rank key is exact.
+
+
+@_q(
+    "q_rfm_segments",
+    """
+    WITH mx AS (SELECT CAST(MAX(epoch_ms(o_orderdate)) AS bigint) AS m
+                FROM orders),
+    c AS (SELECT o_custkey,
+                 CAST((mx.m - MAX(epoch_ms(o_orderdate))) // 86400000
+                      AS bigint) AS recency_days,
+                 CAST(COUNT(*) AS bigint) AS frequency,
+                 CAST(SUM(CAST(floor(o_totalprice * 100) AS bigint))
+                      AS bigint) AS monetary_cents
+          FROM orders, mx GROUP BY o_custkey, mx.m),
+    n AS (SELECT CAST(COUNT(*) AS bigint) AS n FROM c),
+    r AS (SELECT c.*,
+                 row_number() OVER (ORDER BY -recency_days, o_custkey)
+                   AS rr,
+                 row_number() OVER (ORDER BY frequency, o_custkey) AS rf,
+                 row_number() OVER (ORDER BY monetary_cents, o_custkey)
+                   AS rm
+          FROM c)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(LEAST(5, 1 + (5 * (rr - 1)) // n.n) AS int) AS r_q,
+           CAST(LEAST(5, 1 + (5 * (rf - 1)) // n.n) AS int) AS f_q,
+           CAST(LEAST(5, 1 + (5 * (rm - 1)) // n.n) AS int) AS m_q
+    FROM r, n
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM quintile scores (r_q high = recently active,
+    f_q high = frequent, m_q high = big spender) beside the raw
+    metrics.
+
+    Scale: one (custkey) partial agg builds the metric dim; each of
+    the three quintile passes is a two_phase_ranks run over that dim
+    (value-bucketed — no global sort); the corpus-latest-date and
+    row-count dims are 1-row broadcasts."""
+    from .util import two_phase_ranks
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    mx = o.agg(F.max(ms).cast("long").alias("m"))
+    c = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "cast((min(m) - max(unix_millis(cast(o_orderdate as"
+                " timestamp)))) div 86400000 as bigint)"
+            ).alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .withColumn("_g", F.lit(0))
+        .withColumn("neg_recency", -F.col("recency_days"))
+    )
+    n = c.groupBy("_g").agg(F.count(F.lit(1)).alias("n"))
+    r1 = two_phase_ranks(
+        c, ["_g"], "neg_recency", ["o_custkey"], rank_name="rr"
+    )
+    r2 = two_phase_ranks(
+        r1, ["_g"], "frequency", ["o_custkey"], rank_name="rf"
+    )
+    r3 = two_phase_ranks(
+        r2, ["_g"], "monetary_cents", ["o_custkey"], rank_name="rm"
+    )
+    out = r3.join(F.broadcast(n), "_g")
+
+    def _q5(rank_col: str):
+        return (
+            F.least(
+                F.lit(5), 1 + F.expr(f"(5 * ({rank_col} - 1)) div n")
+            )
+            .cast("int")
+        )
+
+    return out.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        _q5("rr").alias("r_q"),
+        _q5("rf").alias("f_q"),
+        _q5("rm").alias("m_q"),
+    )

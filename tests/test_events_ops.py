@@ -214,3 +214,68 @@ def test_dau_wau_recount_and_pins(spark, tmp_path):
     assert g2[days[7]]["dau"] == 2  # both fired on day 7 itself
     assert g2[days[8]]["dau"] == 1 and g2[days[8]]["wau"] == 2
     assert g2[days[8]]["stickiness_milli"] == 500
+
+
+def test_rfm_segments_recount(spark):
+    """Whole-corpus python replay at sf0.001: metrics from the parquet's
+    physical values, quintiles from the exact rank formula with the
+    (metric, custkey) tiebreak."""
+    from documentai_ocr_spark.queries.relational import q_rfm_segments
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    ms = _epoch_ms(o["o_orderdate"])
+    mx = int(ms.max())
+    agg: dict = {}
+    for ck, m, tp in zip(o["o_custkey"], ms, o["o_totalprice"]):
+        a = agg.setdefault(int(ck), {"last": -1, "n": 0, "cents": 0})
+        a["last"] = max(a["last"], int(m))
+        a["n"] += 1
+        import math as _math
+
+        a["cents"] += int(_math.floor(tp * 100))
+    met = {
+        ck: (
+            (mx - a["last"]) // 86400000,
+            a["n"],
+            a["cents"],
+        )
+        for ck, a in agg.items()
+    }
+    n = len(met)
+
+    def quint(ranks):
+        return {
+            ck: min(5, 1 + (5 * (r - 1)) // n) for ck, r in ranks.items()
+        }
+
+    rr = {
+        ck: i + 1
+        for i, (ck, _) in enumerate(
+            sorted(met.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        )
+    }
+    rf = {
+        ck: i + 1
+        for i, (ck, _) in enumerate(
+            sorted(met.items(), key=lambda kv: (kv[1][1], kv[0]))
+        )
+    }
+    rm = {
+        ck: i + 1
+        for i, (ck, _) in enumerate(
+            sorted(met.items(), key=lambda kv: (kv[1][2], kv[0]))
+        )
+    }
+    qr, qf, qm = quint(rr), quint(rf), quint(rm)
+    got = {r["o_custkey"]: r for r in q_rfm_segments(spark, SF).collect()}
+    assert set(got) == set(met)
+    for ck, (days, freq, cents) in met.items():
+        r = got[ck]
+        assert (
+            r["recency_days"],
+            r["frequency"],
+            r["monetary_cents"],
+            r["r_q"],
+            r["f_q"],
+            r["m_q"],
+        ) == (days, freq, cents, qr[ck], qf[ck], qm[ck]), ck

@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # corpus-constant columns: a Window partitioned by ONLY these sorts a
 # whole group (≈ a whole corpus slice) on one reducer at scale
-LOW_CARD = {"source", "lang"}
+LOW_CARD = {"source", "lang", "_g"}  # _g = the deliberate constant
+# group two_phase_ranks consumers use for GLOBAL ranks — a window
+# partitioned by it alone is a single-reducer window and must be a
+# bounded dim
 
 # quadratic oracle anchors: row-cap-guarded by design; they refuse
 # oversized inputs at runtime, so a product node inside them is fine
@@ -209,6 +212,16 @@ BOUNDED_OK = {
         "windows on (source, _vbucket)) and q_source_kl's 1-row "
         "broadcast corpus-total crossJoin; this op itself adds only "
         "O(sources) broadcast joins",
+    ),
+    "q_rfm_segments": (
+        ("EMPTY-WINDOW", "LOW-CARD-WINDOW", "PRODUCT-JOIN"),
+        "three GLOBAL two_phase_ranks passes over the customer-metric "
+        "dim (constant group _g, which Catalyst folds out of the "
+        "partition spec — hence EMPTY-WINDOW): those global windows "
+        "are the ≤64-row bucket dims only; the fact windows partition "
+        "by _vbucket — ~1/64 of the customer dim per task, buckets "
+        "raised with corpus size; the crossJoins are the 1-row "
+        "corpus-latest-date and row-count dims",
     ),
     "q_brand_revenue": (
         "PRODUCT-JOIN",
