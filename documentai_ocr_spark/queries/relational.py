@@ -4263,3 +4263,93 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q5("rf").alias("f_q"),
         _q5("rm").alias("m_q"),
     )
+
+
+# ---------------------------------------------------------- basket pairs
+# Association mining: part pairs co-ordered in the same order, with
+# exact support counts and lift = P(ab)/(P(a)·P(b)) — the classic
+# market-basket report, and for a curation pipeline the template for
+# any "X co-occurs with Y more than chance" question. Pairs expand
+# IN-ROW from each order's sorted distinct part list (bounded by
+# basket size — never a corpus self-join, the q_source_jsd pattern);
+# the part marginals are an O(parts) broadcast dim; lift is ONE
+# rounded expression over four exact integers.
+_BASKET_MIN = 3  # pair support floor — sub-floor pairs never leave the agg
+
+
+@_q(
+    "q_basket_pairs",
+    f"""
+    WITH e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS bigint) AS n_orders
+          FROM e),
+    m AS (SELECT l_partkey AS p, CAST(COUNT(*) AS bigint) AS n_p
+          FROM e GROUP BY 1),
+    pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                  CAST(COUNT(*) AS bigint) AS n_ab
+           FROM e a JOIN e b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= {_BASKET_MIN})
+    SELECT pr.pa AS part_a, pr.pb AS part_b, pr.n_ab,
+           ma.n_p AS n_a, mb.n_p AS n_b,
+           ROUND(CAST(pr.n_ab AS double) * n.n_orders
+                 / (ma.n_p * mb.n_p), 6) AS lift
+    FROM pr JOIN m ma ON ma.p = pr.pa JOIN m mb ON mb.p = pr.pb, n
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-ordered part pairs at support ≥ {_BASKET_MIN}: exact pair and
+    marginal counts plus lift (>1 = attract, <1 = repel), rounded
+    once. Baskets sort their distinct parts so pa < pb
+    deterministically on both engines.
+
+    Scale: one (orderkey) basket agg, in-row pair explode bounded by
+    basket size (HAVING floor keeps rare pairs inside the partial
+    agg), O(parts) marginal dim broadcast back, 1-row order-count
+    dim."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    n = b.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    m = b.select(F.explode("parts").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_p")
+    )
+    pr = (
+        b.where(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(parts) - 1), i ->"
+                    " transform(sequence(i + 1, size(parts)), j ->"
+                    " struct(element_at(parts, i) as pa,"
+                    " element_at(parts, j) as pb))))"
+                )
+            ).alias("x")
+        )
+        .select("x.*")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= _BASKET_MIN)
+    )
+    ma = m.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a"))
+    mb = m.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b"))
+    return (
+        pr.join(F.broadcast(ma), "pa")
+        .join(F.broadcast(mb), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -279,3 +279,64 @@ def test_rfm_segments_recount(spark):
             r["f_q"],
             r["m_q"],
         ) == (days, freq, cents, qr[ck], qf[ck], qm[ck]), ck
+
+
+def test_basket_pairs_recount_and_lift_pin(spark, tmp_path):
+    """sf0.001 replay from scratch (distinct per-order part sets, pair
+    counts, lift formula), plus an engineered pin: two parts that
+    always co-occur in every basket have lift exactly n_orders / (n_a ·
+    n_b) · n_ab = n (perfect attraction); a never-co-occurring pair
+    emits no row."""
+    from documentai_ocr_spark.queries.relational import (
+        _BASKET_MIN,
+        q_basket_pairs,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    baskets: dict = {}
+    for ok, pk in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets.setdefault(int(ok), set()).add(int(pk))
+    n_orders = len(baskets)
+    from collections import Counter
+
+    marg: Counter = Counter()
+    pair: Counter = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        marg.update(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pair[(a, b)] += 1
+    want = {
+        k: v for k, v in pair.items() if v >= _BASKET_MIN
+    }
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in q_basket_pairs(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for (a, b), n_ab in want.items():
+        r = got[(a, b)]
+        assert (r["n_ab"], r["n_a"], r["n_b"]) == (n_ab, marg[a], marg[b])
+        assert abs(
+            r["lift"] - round(n_ab * n_orders / (marg[a] * marg[b]), 6)
+        ) < 1e-9
+
+    # engineered: parts 1+2 always together (4 baskets), part 3 alone
+    rows = []
+    ln = 0
+    for ok in range(4):
+        for pk in (1, 2):
+            rows.append((ok, pk, ln := ln + 1))
+    rows.append((9, 3, ln := ln + 1))
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    d = str(tmp_path / "basket")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/lineitem.parquet")
+    g2 = {
+        (r["part_a"], r["part_b"]): r
+        for r in q_basket_pairs(spark, d).collect()
+    }
+    assert set(g2) == {(1, 2)}
+    r = g2[(1, 2)]
+    # lift = n_ab·n_orders/(n_a·n_b) = 4·5/(4·4) = 1.25
+    assert r["n_ab"] == 4 and r["lift"] == 1.25

@@ -223,6 +223,12 @@ BOUNDED_OK = {
         "raised with corpus size; the crossJoins are the 1-row "
         "corpus-latest-date and row-count dims",
     ),
+    "q_basket_pairs": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast order-count dim onto the "
+        "support-floored pair frame — scalar broadcast (the q_bm25 "
+        "pattern); the pair expansion itself is in-row per basket",
+    ),
     "q_brand_revenue": (
         "PRODUCT-JOIN",
         "crossJoin of the 1-row broadcast total-lines dim onto the "
