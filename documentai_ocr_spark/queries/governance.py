@@ -41,10 +41,18 @@ _REL_DUP_MILLI = 100  # duplicated-doc share
 _REL_OUT_MILLI = 50  # MAD-outlier share
 _REL_KL = 0.1  # unigram drift from the corpus marginal
 
+# FAIL CLOSED on a missing component row: the audit anchors on the
+# dataset card (it covers every source) and LEFT-joins the other
+# reports, and a check whose input is absent COUNTS AS A BLOCKER —
+# an all-empty source has no q_source_kl row and must surface as a
+# blocked row in the one table a reviewer reads, never silently
+# vanish from it.
 _BLOCKERS_SQL = (
-    f"CAST(NOT k_anonymous AS int) + CAST(dup_milli > {_REL_DUP_MILLI}"
-    f" AS int) + CAST(outlier_milli > {_REL_OUT_MILLI} AS int)"
-    f" + CAST(kl > {_REL_KL} AS int) + CAST(n_empty > 0 AS int)"
+    f"CAST(NOT COALESCE(k_anonymous, FALSE) AS int)"
+    f" + CAST(dup_milli > {_REL_DUP_MILLI} AS int)"
+    f" + CAST(COALESCE(outlier_milli > {_REL_OUT_MILLI}, TRUE) AS int)"
+    f" + CAST(COALESCE(kl > {_REL_KL}, TRUE) AS int)"
+    f" + CAST(n_empty > 0 AS int)"
 )
 
 
@@ -57,9 +65,9 @@ _BLOCKERS_SQL = (
            CAST({_BLOCKERS_SQL} AS int) AS n_blockers,
            {_BLOCKERS_SQL} = 0 AS release_ok
     FROM ({_CO_ORACLES["q_dataset_card"]}) c
-    JOIN ({_TS_ORACLES["q_k_anonymity"]}) k USING (source)
-    JOIN ({_RV_ORACLES["q_robust_stats"]}) r USING (source)
-    JOIN ({_RV_ORACLES["q_source_kl"]}) s USING (source)
+    LEFT JOIN ({_TS_ORACLES["q_k_anonymity"]}) k USING (source)
+    LEFT JOIN ({_RV_ORACLES["q_robust_stats"]}) r USING (source)
+    LEFT JOIN ({_RV_ORACLES["q_source_kl"]}) s USING (source)
     """,
 )
 def q_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,10 +75,11 @@ def q_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, the k-anonymity verdict, the robust-length outlier rate
     and the unigram KL drift side by side, an exact integer blocker
     count over five published checks (privacy, duplication, outliers,
-    drift, empty docs), and release_ok = zero blockers. Row set is the
-    intersection of the four reports' domains — on any corpus where
-    every source has ≥1 token, exactly the dataset card's row set
-    (an all-empty source has nothing to release).
+    drift, empty docs), and release_ok = zero blockers. Row set is
+    EXACTLY the dataset card's (the anchor covers every source); a
+    source missing from a component report — e.g. all-empty docs have
+    no KL row — keeps its audit row with that check counted as a
+    blocker (fail closed), never a silent drop.
 
     Scale: each component keeps its own audited plan (this op adds
     only O(sources) joins of the four per-source dims); maximal reuse
@@ -87,9 +96,9 @@ def q_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = q_source_kl(spark, sf_dir).select("source", "kl")
     j = (
-        c.join(F.broadcast(k), "source")
-        .join(F.broadcast(r), "source")
-        .join(F.broadcast(s), "source")
+        c.join(F.broadcast(k), "source", "left")
+        .join(F.broadcast(r), "source", "left")
+        .join(F.broadcast(s), "source", "left")
     )
     return j.select(
         "source",

@@ -29,7 +29,7 @@ from ..rules import (
     HYST_EXIT as _R_HYST_EXIT,
     MIN_LINE_LEN as _R_MIN_LINE_LEN,
 )
-from .util import load, spread
+from .util import inrow_pairs_expr, load, spread
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -4235,16 +4235,23 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg_recency", -F.col("recency_days"))
     )
     n = c.groupBy("_g").agg(F.count(F.lit(1)).alias("n"))
-    r1 = two_phase_ranks(
-        c, ["_g"], "neg_recency", ["o_custkey"], rank_name="rr"
+
+    # rank each metric over a SLIM (custkey, metric) projection and
+    # join the rank columns back — chaining the passes would make each
+    # pass's eager min/max bucket-sizing job re-execute every earlier
+    # pass's rank join (reviewed: 3× re-execution of pass 1 at scale)
+    def _rank(metric: str, name: str):
+        slim = c.select("_g", "o_custkey", metric)
+        return two_phase_ranks(
+            slim, ["_g"], metric, ["o_custkey"], rank_name=name
+        ).select("o_custkey", name)
+
+    out = (
+        c.join(_rank("neg_recency", "rr"), "o_custkey")
+        .join(_rank("frequency", "rf"), "o_custkey")
+        .join(_rank("monetary_cents", "rm"), "o_custkey")
+        .join(F.broadcast(n), "_g")
     )
-    r2 = two_phase_ranks(
-        r1, ["_g"], "frequency", ["o_custkey"], rank_name="rf"
-    )
-    r3 = two_phase_ranks(
-        r2, ["_g"], "monetary_cents", ["o_custkey"], rank_name="rm"
-    )
-    out = r3.join(F.broadcast(n), "_g")
 
     def _q5(rank_col: str):
         return (
@@ -4321,10 +4328,13 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(sequence(1, size(parts) - 1), i ->"
-                    " transform(sequence(i + 1, size(parts)), j ->"
-                    " struct(element_at(parts, i) as pa,"
-                    " element_at(parts, j) as pb))))"
+                    inrow_pairs_expr(
+                        "parts",
+                        lambda i, j: (
+                            f"element_at(parts, {i}) as pa,"
+                            f" element_at(parts, {j}) as pb"
+                        ),
+                    )
                 )
             ).alias("x")
         )

@@ -1670,15 +1670,20 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = sw.groupBy("w").agg(
         F.array_sort(F.collect_list(F.struct("source", "c"))).alias("ss")
     )
+    from .util import inrow_pairs_expr
+
     pairs = grp.where(F.size("ss") >= 2).select(
         F.explode(
             F.expr(
-                "flatten(transform(sequence(1, size(ss) - 1), i ->"
-                " transform(sequence(i + 1, size(ss)), j ->"
-                " struct(element_at(ss, i).source as sa,"
-                " element_at(ss, i).c as ca,"
-                " element_at(ss, j).source as sb,"
-                " element_at(ss, j).c as cb))))"
+                inrow_pairs_expr(
+                    "ss",
+                    lambda i, j: (
+                        f"element_at(ss, {i}).source as sa,"
+                        f" element_at(ss, {i}).c as ca,"
+                        f" element_at(ss, {j}).source as sb,"
+                        f" element_at(ss, {j}).c as cb"
+                    ),
+                )
             )
         ).alias("p")
     ).select("p.*")

@@ -407,70 +407,14 @@ _IVF_ITERS = 2     # Lloyd refinement passes
 
 def _ivf_centroids(e: DataFrame, k: int, iters: int) -> np.ndarray:
     """Deterministic k-means coarse quantizer: seeds are evenly-strided
-    vec_ids, then ``iters`` Lloyd passes. Assignment is a vectorized
-    einsum per Arrow batch; the update collects per-cluster partial sums
-    (k×dim floats per partition — tiny) and combines them on the driver
-    in sorted order, so the centroids are bit-deterministic regardless of
-    partitioning. At 10^12 rows this is the standard sample-then-train
-    loop: the update traffic is k×dim per partition, never data-sized."""
-    n = e.count()
-    stride = max(1, n // k)
-    seed_ids = [i * stride for i in range(k)]
-    seeds = (
-        e.where(F.col("vec_id").isin(seed_ids))
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
-    )
-    cents = np.stack([np.asarray(r.emb, dtype=np.float64) for r in seeds])
-
-    for _ in range(iters):
-        bc = e.sparkSession.sparkContext.broadcast(cents)
-
-        def partial(batches):
-            import pandas as _pd
-
-            c = bc.value
-            sums = np.zeros_like(c)
-            cnts = np.zeros(len(c), dtype=np.int64)
-            pid = -1
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.stack(pdf["emb"].to_numpy())
-                # cosine assignment on normalized dot (centroids unnormalized
-                # → use euclidean argmin, the classic Lloyd objective)
-                d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-                a = d.argmin(axis=1)
-                for j in range(len(c)):
-                    mask = a == j
-                    if mask.any():
-                        sums[j] += m[mask].sum(axis=0)
-                        cnts[j] += int(mask.sum())
-                from pyspark import TaskContext
-
-                pid = TaskContext.get().partitionId()
-            yield _pd.DataFrame(
-                {
-                    "pid": [pid] * len(c),
-                    "cl": list(range(len(c))),
-                    "s": [row.tolist() for row in sums],
-                    "n": cnts,
-                }
-            )
-
-        parts = e.mapInPandas(
-            partial, schema="pid int, cl int, s array<double>, n long"
-        ).collect()
-        sums = np.zeros_like(cents)
-        cnts = np.zeros(len(cents), dtype=np.int64)
-        # fixed combine order → deterministic float accumulation
-        for r in sorted(parts, key=lambda r: (r.cl, r.pid)):
-            sums[r.cl] += np.asarray(r.s, dtype=np.float64)
-            cnts[r.cl] += r.n
-        nz = cnts > 0
-        cents[nz] = sums[nz] / cnts[nz][:, None]
-    return cents
+    vec_ids, then ``iters`` Lloyd passes — exactly the m=1 case of
+    _pq_codebooks (ONE implementation of the seed/Lloyd/sorted-combine
+    machinery; see its docstring for the determinism contract). The
+    update collects per-cluster partial sums (k×dim floats per
+    partition — tiny) and combines them on the driver in sorted order.
+    At 10^12 rows this is the standard sample-then-train loop: the
+    update traffic is k×dim per partition, never data-sized."""
+    return _pq_codebooks(e, 1, k, iters)[0]
 
 
 def _assign_clusters(e: DataFrame, cents: np.ndarray, top: int) -> DataFrame:
@@ -1649,14 +1593,20 @@ def q_embed_dim_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative form is the oracle for."""
     e = spread(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     q = e.select("vec_id", _qvec_col().alias("v")).where(F.size("v") >= 2)
+    from .util import inrow_pairs_expr
+
     p = q.select(
         F.explode(
             F.expr(
-                "flatten(transform(sequence(1, size(v) - 1), i ->"
-                " transform(sequence(i + 1, size(v)), j ->"
-                " struct(cast(i - 1 as int) as di,"
-                " cast(j - 1 as int) as dj,"
-                " element_at(v, i) as x, element_at(v, j) as y))))"
+                inrow_pairs_expr(
+                    "v",
+                    lambda i, j: (
+                        f"cast({i} - 1 as int) as di,"
+                        f" cast({j} - 1 as int) as dj,"
+                        f" element_at(v, {i}) as x,"
+                        f" element_at(v, {j}) as y"
+                    ),
+                )
             )
         ).alias("pp")
     ).select("pp.*")
@@ -1780,14 +1730,19 @@ def q_fisher_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ IVF-PQ ANN
 # Product quantization completes the index-layout family (LSH tables,
-# IVF-flat, IVF-SQ8): data vectors are stored as M sub-codes of log2(Ks)
-# bits each — 8 bytes per 64-d vector here, 64× smaller than float64 —
+# IVF-flat, IVF-SQ8): data vectors are stored as M sub-codes of
+# log2(Ks) bits each — 24 bytes per 64-d vector at the shipped
+# (32, 64) config, ~21× smaller than float64 / ~10× than float32 —
 # and scored by decode-at-codeword (algebraically identical to the
 # classic ADC lookup-table sum, since the reconstruction is exactly the
 # concatenated codewords). All M sub-codebooks train in ONE corpus pass
-# per Lloyd iteration with the _ivf_centroids determinism discipline:
-# strided seeds, per-partition partial sums combined driver-side in
-# sorted order — bit-deterministic regardless of partitioning.
+# per Lloyd iteration with the _ivf_centroids discipline: strided
+# seeds, per-partition partial sums combined driver-side in sorted
+# order. Determinism is exact for a FIXED partitioning; across
+# partitionings the per-partition float64 partials re-associate, which
+# is still exact here because the inputs are float32-origin values
+# (≲40 significant bits — sums stay inside float64's 53) — the
+# contract the bit-identity test pins on the shipped input type.
 _PQ_M = 32     # subspaces (64 dims → 32×2)
 _PQ_KS = 64    # codewords per subspace (6-bit codes → 24 B/vector)
 _PQ_ITERS = 2  # Lloyd passes per subspace (all trained together)
@@ -1801,7 +1756,10 @@ _PQ_ITERS = 2  # Lloyd passes per subspace (all trained together)
 def _pq_codebooks(
     e: DataFrame, m: int, ks: int, iters: int
 ) -> np.ndarray:
-    """(m, ks, sub_d) codebooks, deterministically trained. Update
+    """(m, ks, sub_d) codebooks — deterministic per the module-comment
+    contract (exact for a fixed partitioning; across partitionings,
+    exact while partial sums stay inside float64, as float32-origin
+    inputs do). Update
     traffic is m×ks×sub_d floats per partition — the k-means update is
     never data-sized; at 10^12 rows this trains on a strided sample
     exactly like the coarse quantizer."""
@@ -1816,6 +1774,12 @@ def _pq_codebooks(
     )
     full = np.stack([np.asarray(r.emb, dtype=np.float64) for r in seeds])
     d = full.shape[1]
+    if d % m != 0:
+        # a truncating sub_d would leave the dim tail UNQUANTIZED (and
+        # _decode_pq's output uninitialized) — refuse loudly
+        raise ValueError(
+            f"_pq_codebooks: m={m} must divide the vector dim {d}"
+        )
     sub_d = d // m
     cents = np.stack(
         [full[:, j * sub_d : (j + 1) * sub_d] for j in range(m)]
@@ -1877,7 +1841,8 @@ def _pq_codebooks(
 def _decode_pq(e: DataFrame, m: int = _PQ_M, ks: int = _PQ_KS) -> DataFrame:
     """Round-trip every vector through the PQ encoder: per subspace,
     code = argmin ‖sub − codeword‖², reconstruction = the codeword —
-    the 8-byte-per-vector storage an IVF-PQ index actually holds.
+    the m·log2(ks)-bit (24 bytes at the shipped 32×64 config)
+    storage an IVF-PQ index actually holds.
     Row-local against the broadcast (m×ks×sub_d) codebooks, no
     shuffle."""
     books = _pq_codebooks(e, m, ks, _PQ_ITERS)

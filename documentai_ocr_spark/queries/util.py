@@ -210,3 +210,20 @@ def two_phase_ranks(
         )
         .drop("_vbucket", "_roff")
     )
+
+
+# ------------------------------------ in-row ordered-pair expansion
+def inrow_pairs_expr(arr: str, body) -> str:
+    """SQL-expression string expanding all ordered index pairs i < j of
+    the array column ``arr`` IN-ROW (flatten of nested transforms —
+    codegen, bounded by the array length, never a self-join).
+    ``body(i, j)`` renders the struct fields from the 1-based index
+    variable names. ONE audited implementation for every pairwise
+    consumer (embedding dim correlation, source-pair JSD, basket
+    pairs); callers guard size(arr) >= 2 — sequence() would run
+    DESCENDING on a shorter array."""
+    return (
+        f"flatten(transform(sequence(1, size({arr}) - 1), i ->"
+        f" transform(sequence(i + 1, size({arr})), j ->"
+        f" struct({body('i', 'j')}))))"
+    )

@@ -25,7 +25,8 @@ def test_release_audit_reconciles_with_components(spark):
     kan = {r["source"]: r for r in q_k_anonymity(spark, SF).collect()}
     rob = {r["source"]: r for r in q_robust_stats(spark, SF).collect()}
     kl = {r["source"]: r for r in q_source_kl(spark, SF).collect()}
-    assert set(audit) == set(card) & set(kan) & set(rob) & set(kl)
+    # the audit anchors on the card — its row set, exactly
+    assert set(audit) == set(card)
     for src, a in audit.items():
         assert (a["n_docs"], a["tok_total"], a["dup_milli"], a["n_empty"]) == (
             card[src]["n_docs"],
@@ -42,12 +43,16 @@ def test_release_audit_reconciles_with_components(spark):
             rob[src]["mad"],
             rob[src]["outlier_milli"],
         )
-        assert a["kl"] == kl[src]["kl"]
+        assert a["kl"] == (kl[src]["kl"] if src in kl else None)
         blockers = (
-            int(not a["k_anonymous"])
+            int(not (a["k_anonymous"] or False))
             + int(a["dup_milli"] > _REL_DUP_MILLI)
-            + int(a["outlier_milli"] > _REL_OUT_MILLI)
-            + int(a["kl"] > _REL_KL)
+            + int(
+                True
+                if a["outlier_milli"] is None
+                else a["outlier_milli"] > _REL_OUT_MILLI
+            )
+            + int(True if a["kl"] is None else a["kl"] > _REL_KL)
             + int(a["n_empty"] > 0)
         )
         assert a["n_blockers"] == blockers
@@ -85,3 +90,26 @@ def test_release_audit_verdict_discriminates(spark, tmp_path):
     assert not dirty["k_anonymous"]
     assert dirty["dup_milli"] > _REL_DUP_MILLI
     assert dirty["n_blockers"] >= 2
+
+
+def test_release_audit_fails_closed_on_all_empty_source(spark, tmp_path):
+    """An all-empty source has no q_source_kl row: the audit must KEEP
+    its row (anchored on the dataset card) with the missing check
+    counted as a blocker — absence must read as BLOCKED, never as
+    'nothing to review'."""
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta gamma word" + str(i % 3), "en", "ok"))
+    for i in range(100, 106):
+        rows.append((i, "", "en", "void"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    d = str(tmp_path / "void")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    got = {r["source"]: r for r in q_release_audit(spark, d).collect()}
+    assert "void" in got
+    v = got["void"]
+    assert v["kl"] is None
+    assert not v["release_ok"]
+    # empty-docs blocker AND the missing-KL fail-closed blocker
+    assert v["n_blockers"] >= 2

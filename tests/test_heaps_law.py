@@ -38,6 +38,10 @@ def _replay(docs):
             pts.append((toks, types))
         fit = [(math.log(a), math.log(b)) for a, b in pts if a > 0 and b > 0]
         k = len(fit)
+        if k == 0:
+            # both engines drop a source with no usable checkpoint (the
+            # fit CTE is empty) — mirror the published rule exactly
+            continue
         sx = sum(x for x, _ in fit)
         sy = sum(y for _, y in fit)
         sxy = sum(x * y for x, y in fit)

@@ -473,3 +473,19 @@ def test_pq_codebooks_deterministic_and_shaped(spark):
             assert any(
                 np.array_equal(sub, b1[j][c]) for c in range(ks)
             ), (vid, j)
+
+
+def test_pq_codebooks_reject_nondividing_m(spark):
+    """m that does not divide the vector dim must refuse loudly — a
+    truncating sub_d would leave the dim tail unquantized and the
+    decode output uninitialized."""
+    import pytest as _pytest
+
+    from documentai_ocr_spark.queries.simsearch import (
+        _emb_double,
+        _pq_codebooks,
+    )
+
+    e = _emb_double(spark, "/root/testdata/sf0.001")
+    with _pytest.raises(ValueError, match="must divide"):
+        _pq_codebooks(e, 24, 16, 1)
