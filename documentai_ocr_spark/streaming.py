@@ -738,3 +738,51 @@ def stream_template_detect(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------- streaming DAU maintainer
+def stream_hll_dau(spark: SparkSession, output_dir: str):
+    """Exactly-once streaming daily-active-users maintenance on
+    MERGEABLE HLL register rows (corpusops.hll_registers): each
+    micro-batch reduces to ≤ days×m register rows written under its
+    batch_id partition with dynamic overwrite — a retried batch
+    replaces itself, and because the register merge law is MAX
+    (idempotent), even a double-WRITTEN batch cannot move the merged
+    sketch. The current per-day DAU estimate is hll_dau_read_current:
+    one MAX-merge over O(batches × days × m) register rows, never a
+    rescan of the event stream. Day index is the physical-epoch-ms
+    integer rule shared with q_dau_wau / q_hour_mix.
+
+    Returns the foreachBatch sink (expects ``ts`` and ``user_id``)."""
+    from .queries.corpusops import hll_registers
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        e = batch_df.select(
+            F.expr(
+                "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+                " as bigint)"
+            ).alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        (
+            hll_registers(e, "uid", ["day"])
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{output_dir}/hll_dau")
+        )
+
+    return sink
+
+
+def hll_dau_read_current(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Per-day DAU estimate as of now: MAX-merge the per-batch register
+    rows, then the HLL estimator (corpusops.hll_estimate)."""
+    from .queries.corpusops import hll_estimate
+
+    regs = spark.read.parquet(f"{output_dir}/hll_dau")
+    return hll_estimate(regs, ["day"]).withColumnRenamed(
+        "hll_est", "dau_est"
+    )

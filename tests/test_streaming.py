@@ -902,3 +902,67 @@ def test_stream_template_singleton_ttl_eviction(spark, tmp_path_factory):
     assert lone_uses == [1, 1], lone_uses
     # promoted at support 2: state survived the same idle window
     assert kept_uses == [2, 3], kept_uses
+
+
+def test_stream_hll_dau_exactly_once_and_merge(spark, tmp_path_factory):
+    """The streaming DAU maintainer: after the drain, the MAX-merged
+    register estimate matches the exact per-day distinct (linear-
+    counting regime at this cardinality → exact); replaying a batch's
+    sink call leaves every register untouched (dynamic overwrite); and
+    re-delivering the SAME data under a NEW batch_id also cannot move
+    the merged sketch — MAX is idempotent, a strictly stronger replay
+    property than the CMS sum."""
+    from documentai_ocr_spark.streaming import (
+        extract_stream_writer,
+        hll_dau_read_current,
+        stream_hll_dau,
+    )
+
+    base = tmp_path_factory.mktemp("hlldau")
+    ind, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(5).write.parquet(ind)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ind)
+    )
+    sink = stream_hll_dau(spark, out)
+    q = (
+        extract_stream_writer(src, sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "DAU drain did not finish"
+
+    def snapshot():
+        return {
+            r["day"]: r["dau_est"]
+            for r in hll_dau_read_current(spark, out).collect()
+        }
+
+    got = snapshot()
+    day = F.expr(
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+    )
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.select(day.alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exact  # tiny per-day cardinality ⇒ linear counting
+
+    # retry batch 0: dynamic overwrite replaces ITS partition; writing
+    # the full corpus there makes that partition the merged maximum,
+    # so the merged sketch cannot move
+    sink(ev, 0)
+    assert snapshot() == got
+    # duplicate delivery under a NEW batch id: MAX-merge idempotent —
+    # re-delivered registers are dominated by what is already there
+    sink(ev, 999)
+    assert snapshot() == got
