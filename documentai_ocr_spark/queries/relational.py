@@ -4363,3 +4363,48 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------- top supplier
+# The TPC-H Q15 shape: an aggregate-of-aggregate argmax WITH TIES —
+# revenue per supplier, then exactly the suppliers achieving the
+# maximum (a LIMIT 1 would silently drop ties; the 1-row broadcast max
+# dim keeps them all, the tie-safe argmax pattern).
+
+
+@_q(
+    "q_top_supplier",
+    """
+    WITH r AS (SELECT l_suppkey,
+                      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                        AS revenue
+               FROM lineitem GROUP BY l_suppkey),
+    mx AS (SELECT MAX(revenue) AS m FROM r)
+    SELECT s.s_suppkey, s.s_name, r.revenue
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey, mx
+    WHERE r.revenue = mx.m
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum lineitem revenue — ties kept. The
+    comparison runs on the ROUNDED per-supplier revenue (one rounded
+    double per supplier, identical on both engines), so tie detection
+    can never straddle engines. One fact exchange (supplier rollup),
+    a 1-row broadcast max dim, and the 10-row supplier dim broadcast
+    back."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    r = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    mx = r.agg(F.max("revenue").alias("m"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        r.crossJoin(F.broadcast(mx))
+        .where(F.col("revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue")
+    )

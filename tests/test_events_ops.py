@@ -340,3 +340,44 @@ def test_basket_pairs_recount_and_lift_pin(spark, tmp_path):
     r = g2[(1, 2)]
     # lift = n_ab·n_orders/(n_a·n_b) = 4·5/(4·4) = 1.25
     assert r["n_ab"] == 4 and r["lift"] == 1.25
+
+
+def test_top_supplier_recount_and_tie_pin(spark, tmp_path):
+    """sf0.001 replay (rounded per-supplier revenue, max, tie set) plus
+    an engineered fixture where TWO suppliers achieve the identical
+    rounded maximum — both rows must come back (a LIMIT-1 formulation
+    would drop one)."""
+    from documentai_ocr_spark.queries.relational import q_top_supplier
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rev: dict[int, float] = {}
+    for sk, ep, dc in zip(
+        li["l_suppkey"], li["l_extendedprice"], li["l_discount"]
+    ):
+        rev[int(sk)] = rev.get(int(sk), 0.0) + float(ep) * (1.0 - float(dc))
+    rounded = {k: round(v, 2) for k, v in rev.items()}
+    m = max(rounded.values())
+    want = {k for k, v in rounded.items() if v == m}
+    got = {r["s_suppkey"]: r for r in q_top_supplier(spark, SF).collect()}
+    assert set(got) == want
+    for k in want:
+        assert abs(got[k]["revenue"] - m) < 1e-9
+
+    # engineered tie: suppliers 1 and 2 each bill exactly 100.00;
+    # supplier 3 bills 50.00 — exactly {1, 2} must be returned.
+    li2 = pd.DataFrame(
+        [
+            (1, 100.0, 0.0),
+            (2, 200.0, 0.5),
+            (3, 50.0, 0.0),
+        ],
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    sup = pd.DataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], columns=["s_suppkey", "s_name"]
+    )
+    d = str(tmp_path / "ties")
+    spark.createDataFrame(li2).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(sup).write.parquet(f"{d}/supplier.parquet")
+    g2 = {r["s_suppkey"]: r["revenue"] for r in q_top_supplier(spark, d).collect()}
+    assert g2 == {1: 100.0, 2: 100.0}
