@@ -4408,3 +4408,204 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "revenue")
     )
+
+
+# ------------------------------------------------- important part shares
+# The TPC-H Q11 shape: a HAVING prune against a FRACTION OF A GLOBAL
+# aggregate — per-part stocked quantity vs 1.2x the average part's
+# share. Every number in the comparison is an exact integer
+# (l_quantity is integral, summed as bigint; the threshold is the
+# cross-multiplied 10*qty*n_parts > 12*total), so the prune can never
+# straddle engines, and the global total is the classic 1-row
+# broadcast dim — the fact table is aggregated ONCE and the filter is
+# a broadcast-nested-loop against two scalars.
+
+
+@_q(
+    "q_part_value_share",
+    """
+    WITH pq AS (SELECT l_partkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS qty
+                FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(qty) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts
+          FROM pq)
+    SELECT pq.l_partkey AS p_partkey, pq.qty,
+           CAST(1000000 * pq.qty // t.total AS BIGINT) AS share_micro
+    FROM pq, t
+    WHERE 10 * pq.qty * t.n_parts > 12 * t.total
+    """,
+)
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts holding more than 1.2x the average part's share of total
+    shipped quantity (TPC-H Q11's fraction-of-global HAVING). One fact
+    exchange (the part rollup); the total/n_parts dim is a single
+    broadcast row; share_micro is exact integer floor division."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
+    )
+    t = pq.agg(
+        F.sum("qty").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+    )
+    return (
+        pq.crossJoin(F.broadcast(t))
+        .where(10 * F.col("qty") * F.col("n_parts") > 12 * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "qty",
+            F.expr("CAST(1000000 * qty div total AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+    )
+
+
+# ------------------------------------------- customer order distribution
+# The TPC-H Q13 shape: distribution-of-counts — how many customers
+# placed exactly k (non-urgent) orders, ZERO included. The scale plan
+# aggregates orders down to a per-customer count dim FIRST (partial
+# agg on the fact side), then LEFT-joins customer to that dim and
+# coalesces the missing rows to 0 — never the row-exploding
+# customer x orders join the naive formulation runs.
+
+
+@_q(
+    "q_cust_order_dist",
+    """
+    WITH co AS (SELECT c.c_custkey,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+                FROM customer c
+                LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey)
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM co GROUP BY n_orders
+    """,
+)
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of customers by their non-urgent order count, zero
+    bucket included (TPC-H Q13). Orders pre-aggregate to an
+    O(customers) count dim before the customer join; the second
+    aggregate groups on the count itself."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    co = c.join(
+        counts, c.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"))
+    return co.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+# ------------------------------------------------------- idle rich money
+# The TPC-H Q22 shape: an anti join against a filtered fact PLUS a
+# scalar-subquery filter (balance above the positive-balance average).
+# The average is held as exact integer cents with the comparison
+# cross-multiplied (bal_cents * n > sum_cents), so the cut can never
+# straddle engines; the urgent-customer set is the anti-join probe.
+
+
+@_q(
+    "q_idle_customers",
+    """
+    WITH cents AS (SELECT c_custkey, c_mktsegment,
+                          CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                            AS bal_cents
+                   FROM customer WHERE c_acctbal > 0.0),
+    avgd AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS s,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM cents)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+    FROM cents c, avgd
+    WHERE c.bal_cents * avgd.n > avgd.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers who never placed an urgent
+    order, rolled up per market segment (TPC-H Q22). The
+    positive-balance average is a 1-row broadcast dim compared in
+    exact integer cents; urgent custkeys probe as a LEFT ANTI join."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0.0)
+    cents = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    avgd = cents.agg(
+        F.sum("bal_cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = cents.crossJoin(F.broadcast(avgd)).where(
+        F.col("bal_cents") * F.col("n") > F.col("s")
+    )
+    idle = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("bal_cents").cast("long").alias("bal_cents_sum"),
+    )
+
+
+# ------------------------------------------------- brand supplier spread
+# The TPC-H Q16 shape: DISTINCT-count per group after a dim join, with
+# an excluded-supplier list applied as an anti probe BEFORE the
+# expensive distinct — the exclusion dim (low-balance suppliers; the
+# testdata generator draws balances in [500, 10000] so a <1000 cut is
+# the non-empty analogue of Q16's complaint blocklist) broadcasts, the
+# part dim broadcasts, and the only corpus exchange is the
+# (brand, suppkey) dedup that the distinct count needs anyway.
+
+
+@_q(
+    "q_brand_suppliers",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey
+                        AND s.s_acctbal < 1000.0)
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers serving each brand, excluding suppliers in
+    the low-balance blocklist (TPC-H Q16's supplier-cardinality
+    report). Blocklist and part dims broadcast; the distinct count is
+    the single shuffle."""
+    excl = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000.0)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    kept = li.join(
+        F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti"
+    )
+    j = kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("n_suppliers")
+    )

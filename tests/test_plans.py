@@ -322,16 +322,21 @@ def test_ppl_buckets_bucketed_window(spark):
 
 
 def test_robust_stats_bucketed_windows(spark):
-    """Both two_phase_ranks passes decompose: every fact-side
-    row_number window that includes `source` must also carry _vbucket
-    (never a whole-source sort); dims come back as broadcasts."""
+    """The median/MAD order-statistic dims are MATERIALIZED eagerly
+    (O(sources) rows collected to literal broadcast dims — the
+    epoch-shuffle prefix-sum precedent), so the returned plan must
+    carry NO Window node at all and no sort-merge join: one fact scan,
+    two broadcast joins against literal dims, one rollup. The bucketed
+    (source, _vbucket) rank decomposition the eager passes ride is
+    pinned at the helper level by
+    test_two_phase_ranks_helper_under_skew and in-plan by
+    q_trimmed_mean's test."""
     p = plan(QUERIES["q_robust_stats"](spark, SF))
-    assert "_vbucket" in p, p
-    for ln in p.splitlines():
-        if "Window " in ln and "row_number" in ln and "source" in ln:
-            assert "_vbucket" in ln, ln
-    assert "BroadcastHashJoin" in p
+    assert "Window" not in p, p
     assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    # both literal dims joined back: med and mad reach the rollup
+    assert "med" in p and "mad" in p
 
 
 def test_trimmed_mean_bucketed_window(spark):

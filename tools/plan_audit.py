@@ -104,6 +104,18 @@ BOUNDED_OK = {
         "crossJoin of the ONE-ROW broadcast bloom-sketch dim (fixed "
         "1 KiB array) onto the probe batch",
     ),
+    "q_part_value_share": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast (total, n_parts) dim onto "
+        "the O(parts) quantity rollup — scalar broadcast (TPC-H Q11's "
+        "fraction-of-global HAVING)",
+    ),
+    "q_idle_customers": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast (sum_cents, n) average dim "
+        "onto the positive-balance customer slice — scalar broadcast "
+        "(TPC-H Q22's scalar subquery)",
+    ),
     "q_exact_k_sample": (
         "LOW-CARD-WINDOW",
         "window input is the hash-threshold CANDIDATE set, ~k+O(√k) "
