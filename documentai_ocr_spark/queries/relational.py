@@ -4609,3 +4609,625 @@ def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("p_brand").agg(
         F.count_distinct("l_suppkey").cast("long").alias("n_suppliers")
     )
+
+
+# ------------------------------------------------- local-supplier volume
+# The TPC-H Q5 shape: revenue kept inside a region — lines where the
+# ordering customer and the supplier share a nation, rolled up per
+# nation for one region + one order-date year. The scale layout:
+# nation/supplier/customer are broadcast dims ATTACHED to their facts
+# (orders gains c_nationkey, lineitem gains s_nationkey), the single
+# wide exchange is the lineitem⋈orders orderkey join with the
+# nation-equality as a join predicate (never a post-join filter over
+# the full cross of nations), and the rollup is O(nations-in-region).
+_LSV_REGION = 3  # EUROPE — has suppliers at every SF
+_LSV_LO, _LSV_HI = "1996-01-01", "1997-01-01"
+
+
+@_q(
+    "q_local_supplier_volume",
+    f"""
+    WITH n AS (SELECT n_nationkey, n_name FROM nation
+               WHERE n_regionkey = {_LSV_REGION}),
+    s AS (SELECT s_suppkey, s_nationkey FROM supplier
+          JOIN n ON s_nationkey = n_nationkey),
+    c AS (SELECT c_custkey, c_nationkey FROM customer
+          JOIN n ON c_nationkey = n_nationkey),
+    o AS (SELECT o_orderkey, c.c_nationkey FROM orders
+          JOIN c ON o_custkey = c.c_custkey
+          WHERE o_orderdate >= TIMESTAMP '{_LSV_LO}'
+            AND o_orderdate < TIMESTAMP '{_LSV_HI}')
+    SELECT nn.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           CAST(COUNT(*) AS bigint) AS n_lines
+    FROM lineitem l
+    JOIN s ON l.l_suppkey = s.s_suppkey
+    JOIN o ON l.l_orderkey = o.o_orderkey
+          AND o.c_nationkey = s.s_nationkey
+    JOIN n nn ON nn.n_nationkey = s.s_nationkey
+    GROUP BY nn.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue where customer and supplier nations match,
+    region {_LSV_REGION}, orders in [{_LSV_LO}, {_LSV_HI}) — the
+    classic "kept-local" volume report. Dims broadcast; one
+    orderkey fact-fact exchange with the nation equality inside the
+    join condition; O(5) rollup."""
+    n = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == _LSV_REGION)
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(_LSV_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_LSV_HI).cast("timestamp"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (o.c_nationkey == li.s_nationkey),
+    )
+    agg = j.groupBy("s_nationkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return agg.join(
+        F.broadcast(n), agg.s_nationkey == n.n_nationkey
+    ).select("n_name", "revenue", "n_lines")
+
+
+# ------------------------------------------------- forecast revenue delta
+# The TPC-H Q6 shape: a pure scan→filter→global-sum with ZERO joins —
+# the predicate-pushdown benchmark. The one global group makes a
+# double sum order-sensitive at scale, so revenue is computed in
+# EXACT integer e4 units (cents × discount-percent, both from
+# floor(x·100) which is identical on identical doubles) and summed in
+# bigint: associative, engine-independent, no rounding step at all.
+_FCR_LO, _FCR_HI = "1997-01-01", "1998-01-01"
+_FCR_DLO, _FCR_DHI = 0.05, 0.07
+_FCR_QTY = 24
+
+
+@_q(
+    "q_forecast_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * 100) AS bigint)
+                    * CAST(floor(l_discount * 100) AS bigint))
+                AS bigint) AS revenue_e4,
+           CAST(COUNT(*) AS bigint) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_FCR_LO}'
+      AND l_shipdate < TIMESTAMP '{_FCR_HI}'
+      AND l_discount BETWEEN {_FCR_DLO} AND {_FCR_DHI}
+      AND l_quantity < {_FCR_QTY}
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would-be revenue if discounts in [{_FCR_DLO}, {_FCR_DHI}] on
+    small orders (< {_FCR_QTY} units) shipped in {_FCR_LO[:4]} had
+    been dropped: SUM(price · discount) in exact e4 units. All four
+    predicates push to the parquet scan; no shuffle beyond the final
+    2-column partial-agg collect."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit(_FCR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_FCR_HI).cast("timestamp"))
+        & (F.col("l_discount") >= _FCR_DLO)
+        & (F.col("l_discount") <= _FCR_DHI)
+        & (F.col("l_quantity") < _FCR_QTY)
+    )
+    return f.agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100).cast("long")
+            * F.floor(F.col("l_discount") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+# ------------------------------------------------- two-nation trade volume
+# The TPC-H Q7 shape: shipping volume between one nation PAIR, both
+# directions kept as separate rows, per ship-year. Same fact-layout
+# rule as Q5: supplier/customer nation names attach to their facts via
+# broadcast dims filtered to the two nations FIRST (so the fact join's
+# inputs are already pruned to ~2/25ths), the orderkey join is the one
+# wide exchange, and supp≠cust is a join-side predicate.
+_TNV_A, _TNV_B = 3, 8  # both have suppliers at every SF
+
+
+@_q(
+    "q_two_nation_volume",
+    f"""
+    WITH s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_nationkey IN ({_TNV_A}, {_TNV_B})),
+    c AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_nationkey IN ({_TNV_A}, {_TNV_B})),
+    o AS (SELECT o_orderkey, cust_nation FROM orders
+          JOIN c ON o_custkey = c_custkey)
+    SELECT supp_nation, cust_nation,
+           CAST(year(l_shipdate) AS int) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS bigint) AS n_lines
+    FROM lineitem l
+    JOIN s ON l.l_suppkey = s.s_suppkey
+    JOIN o ON l.l_orderkey = o.o_orderkey
+    WHERE supp_nation <> cust_nation
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between NATION_{_TNV_A} and NATION_{_TNV_B}
+    (each direction its own row) per ship-year. Broadcast-pruned dims
+    on both facts, one orderkey exchange, O(2·years) rollup."""
+    nat = load(spark, sf_dir, "nation").where(
+        F.col("n_nationkey").isin(_TNV_A, _TNV_B)
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (F.col("supp_nation") != F.col("cust_nation")),
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ------------------------------------------------- market-share by year
+# The TPC-H Q8 shape: one nation's share of a region's market for one
+# part type, per order-year. Share is a ratio of two EXACT bigint e4
+# sums computed in ONE conditional aggregation pass (never two scans,
+# never a join of two aggregates), so the only float step is the
+# single published division — identical IEEE on both engines.
+_MKS_REGION = 1  # AMERICA customers form the market
+_MKS_NATION = 3  # NATION_3 suppliers' share — suppliers at every SF
+_MKS_TYPE = "ECONOMY"
+
+
+@_q(
+    "q_market_share",
+    f"""
+    WITH nn AS (SELECT n_nationkey FROM nation
+                WHERE n_regionkey = {_MKS_REGION}),
+    c AS (SELECT c_custkey FROM customer
+          JOIN nn ON c_nationkey = n_nationkey),
+    o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS int) AS o_year
+          FROM orders JOIN c ON o_custkey = c.c_custkey),
+    p AS (SELECT p_partkey FROM part WHERE p_type = '{_MKS_TYPE}'),
+    f AS (SELECT o.o_year,
+                 CAST(floor(l.l_extendedprice * 100) AS bigint)
+                   * (100 - CAST(floor(l.l_discount * 100) AS bigint))
+                   AS rev_e4,
+                 CASE WHEN s.s_nationkey = {_MKS_NATION} THEN 1 ELSE 0
+                   END AS is_nat
+          FROM lineitem l
+          JOIN p ON l.l_partkey = p.p_partkey
+          JOIN o ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    SELECT o_year,
+           CAST(SUM(rev_e4) AS bigint) AS total_e4,
+           CAST(SUM(is_nat * rev_e4) AS bigint) AS nation_e4,
+           ROUND(CAST(SUM(is_nat * rev_e4) AS double) / SUM(rev_e4), 6)
+             AS share
+    FROM f GROUP BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_{_MKS_NATION}'s share of the region-{_MKS_REGION}
+    customers' {_MKS_TYPE}-part market, per order-year — exact e4
+    numerator/denominator from one pass, share as the single rounded
+    division. Part/customer/supplier dims broadcast; the orderkey
+    fact-fact join is the one wide exchange; O(years) rollup."""
+    nn = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_regionkey") == _MKS_REGION)
+        .select("n_nationkey")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == _MKS_TYPE)
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_e4 = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100).cast("long")
+    )
+    f = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_year",
+            rev_e4.alias("rev_e4"),
+            F.when(F.col("s_nationkey") == _MKS_NATION, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_nat"),
+        )
+    )
+    return f.groupBy("o_year").agg(
+        F.sum("rev_e4").cast("long").alias("total_e4"),
+        F.sum(F.col("is_nat") * F.col("rev_e4"))
+        .cast("long")
+        .alias("nation_e4"),
+        F.round(
+            F.sum(F.col("is_nat") * F.col("rev_e4")).cast("double")
+            / F.sum("rev_e4"),
+            6,
+        ).alias("share"),
+    )
+
+
+# ------------------------------------------------- product-line profit
+# The TPC-H Q9 shape: profit per (supplier nation, order year) over a
+# name-matched part family, where cost stands in for ps_supplycost as
+# 10% of retail price per unit. Profit is exact e4 integer throughout:
+# price·(1−disc) = cents·(100−pct) and cost = retail_cents·qty·10,
+# both bigint — the grouped difference sums associatively with no
+# float accumulation anywhere.
+_PPF_LIKE = "widget"
+
+
+@_q(
+    "q_part_profit",
+    f"""
+    WITH p AS (SELECT p_partkey,
+                      CAST(floor(p_retailprice * 100) AS bigint)
+                        AS retail_cents
+               FROM part WHERE p_name LIKE '%{_PPF_LIKE}%'),
+    o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS int) AS o_year
+          FROM orders)
+    SELECT n.n_name, o.o_year,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS bigint)
+                    * (100 - CAST(floor(l.l_discount * 100) AS bigint))
+                    - p.retail_cents * CAST(l.l_quantity AS bigint) * 10)
+                AS bigint) AS profit_e4,
+           CAST(COUNT(*) AS bigint) AS n_lines
+    FROM lineitem l
+    JOIN p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer profit (revenue e4 minus 10%-of-retail unit cost
+    e4) per supplier nation and order year for '%{_PPF_LIKE}%' parts.
+    Part (name-pruned), supplier and nation dims broadcast onto the
+    lineitem scan; orders joins on orderkey — the one wide exchange;
+    O(nations × years) rollup."""
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"%{_PPF_LIKE}%"))
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("retail_cents"),
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit_e4 = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100).cast("long")
+    ) - F.col("retail_cents") * F.col("l_quantity").cast("long") * 10
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy("n_name", "o_year").agg(
+        F.sum(profit_e4).cast("long").alias("profit_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+# ------------------------------------------------- returned-item report
+# The TPC-H Q10 shape: top-K customers by revenue they returned in one
+# quarter. The custkey rollup happens BEFORE the customer dim joins
+# back (the q_big_spenders prune-early rule), the top-20 runs on the
+# ROUNDED revenue with the custkey tiebreak and plans as
+# TakeOrderedAndProject — per-partition heaps, never a global sort.
+_RTC_LO, _RTC_HI = "1996-07-01", "1996-10-01"
+_RTC_TOPK = 20
+
+
+@_q(
+    "q_returned_customers",
+    f"""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue,
+             CAST(COUNT(*) AS bigint) AS n_lines
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '{_RTC_LO}'
+        AND o.o_orderdate < TIMESTAMP '{_RTC_HI}'
+      GROUP BY o.o_custkey)
+    SELECT r.o_custkey AS c_custkey, c.c_name, n.n_name,
+           r.revenue, r.n_lines
+    FROM rev r
+    JOIN customer c ON r.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY r.revenue DESC, r.o_custkey
+    LIMIT {_RTC_TOPK}
+    """,
+)
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_RTC_TOPK} customers by returned ('R') revenue for orders
+    placed in [{_RTC_LO}, {_RTC_HI}) — the returned-item reporting
+    query. Both filters push to their scans; the orderkey join is the
+    one wide exchange; customer/nation broadcast onto the O(custkeys)
+    rollup; top-K is TakeOrderedAndProject."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(_RTC_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_RTC_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name", "n_name", "revenue", "n_lines",
+        )
+    )
+    return out.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(_RTC_TOPK)
+
+
+# ------------------------------------------------- small-quantity revenue
+# The TPC-H Q17 shape: lines whose quantity sits below 20% of their
+# part's own average. The per-part average joins back as an O(parts)
+# aggregate dim, and the threshold comparison is EXACT integer
+# arithmetic — qty < 0.2·(sum/n) ⟺ 5·qty·n < sum — so a line exactly
+# at 20% of average can never straddle engines. The brand prune runs
+# BEFORE the per-part aggregate (broadcast semi), so at 100× the
+# average is computed only over the brand's own lines, never the
+# whole fact table.
+_SQR_BRAND = "Brand#1"
+
+
+@_q(
+    "q_small_qty_revenue",
+    f"""
+    WITH pb AS (SELECT p_partkey FROM part
+                WHERE p_brand = '{_SQR_BRAND}'),
+    f AS (SELECT l.l_partkey, CAST(l.l_quantity AS bigint) AS qty,
+                 l.l_extendedprice
+          FROM lineitem l JOIN pb ON l.l_partkey = pb.p_partkey),
+    a AS (SELECT l_partkey, CAST(SUM(qty) AS bigint) AS sum_qty,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM f GROUP BY 1)
+    SELECT CAST(COUNT(*) AS bigint) AS n_small_lines,
+           CAST(SUM(CAST(floor(f.l_extendedprice * 100) AS bigint))
+                AS bigint) AS revenue_cents,
+           ROUND(CAST(SUM(CAST(floor(f.l_extendedprice * 100) AS bigint))
+                      AS double) / 700.0, 2) AS avg_yearly
+    FROM f JOIN a ON f.l_partkey = a.l_partkey
+    WHERE 5 * f.qty * a.n < a.sum_qty
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue sitting in {_SQR_BRAND} lines below 20% of their part's
+    average quantity (exact-integer threshold 5·qty·n < sum_qty),
+    published as exact cents plus the 7-year-average convention.
+    Brand dim broadcast-prunes the fact FIRST; one (partkey) exchange
+    builds the average dim; the dim broadcasts back."""
+    pb = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _SQR_BRAND)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    f = li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    a = f.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    small = f.join(F.broadcast(a), "l_partkey").where(
+        5 * F.col("qty") * F.col("n") < F.col("sum_qty")
+    )
+    cents = F.sum(
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+    ).cast("long")
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        cents.alias("revenue_cents"),
+        F.round(cents.cast("double") / 700.0, 2).alias("avg_yearly"),
+    )
+
+
+# ------------------------------------------------- banded-arm revenue
+# The TPC-H Q19 shape: an OR of brand×size×quantity conjunctions. The
+# arms are disjoint by construction (distinct brands), so each line
+# lands in at most one arm and the rollup is exact per arm. Revenue is
+# exact e4 (cents·(100−pct)) — no rounding anywhere. The implied
+# disjunction envelope (brand ∈ {{arms}}, size ≤ 15, qty ≤ 30) is
+# applied explicitly on the Spark side so the part dim is pruned
+# before broadcast and the quantity bound pushes to the fact scan —
+# the rewrite Catalyst cannot derive from the CASE itself.
+_BAND_ARMS = (
+    ("Brand#1", 5, 1, 11),
+    ("Brand#2", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def _band_case_sql() -> str:
+    whens = "\n".join(
+        f"WHEN p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {smax}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi} THEN {i + 1}"
+        for i, (b, smax, qlo, qhi) in enumerate(_BAND_ARMS)
+    )
+    return f"CASE {whens} END"
+
+
+@_q(
+    "q_band_revenue",
+    f"""
+    WITH f AS (
+      SELECT {_band_case_sql()} AS arm,
+             CAST(floor(l.l_extendedprice * 100) AS bigint)
+               * (100 - CAST(floor(l.l_discount * 100) AS bigint))
+               AS rev_e4
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT CAST(arm AS int) AS arm,
+           CAST(COUNT(*) AS bigint) AS n_lines,
+           CAST(SUM(rev_e4) AS bigint) AS revenue_e4
+    FROM f WHERE arm IS NOT NULL GROUP BY arm
+    """,
+)
+def q_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-e4 revenue per disjunctive brand/size/quantity arm — the
+    OR-of-ANDs predicate family. Part pruned to the arm brands and
+    size envelope before broadcast; quantity envelope pushed to the
+    lineitem scan; O(arms) rollup."""
+    brands = [b for b, *_ in _BAND_ARMS]
+    size_max = max(s for _, s, _, _ in _BAND_ARMS)
+    qty_lo = min(q for *_, q, _ in _BAND_ARMS)
+    qty_hi = max(q for *_, _, q in _BAND_ARMS)
+    p = (
+        load(spark, sf_dir, "part")
+        .where(
+            F.col("p_brand").isin(brands)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_max)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+        )
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+    arm = F.lit(None).cast("int")
+    for i, (b, smax, qlo, qhi) in reversed(list(enumerate(_BAND_ARMS))):
+        arm = F.when(
+            (F.col("p_brand") == b)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= smax)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi),
+            F.lit(i + 1),
+        ).otherwise(arm)
+    rev_e4 = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100).cast("long")
+    )
+    f = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(arm.cast("int").alias("arm"), rev_e4.alias("rev_e4"))
+        .where(F.col("arm").isNotNull())
+    )
+    return f.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("rev_e4").cast("long").alias("revenue_e4"),
+    )
