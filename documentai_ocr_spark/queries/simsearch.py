@@ -1926,3 +1926,153 @@ def x_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _KNN_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# --------------------------------------------------------------------- PCA
+# Principal-component audit of the embedding table: the classic
+# "how many dimensions does this embedding actually use" question an
+# embedding-compression / projection-collapse review asks (the
+# spectrum-level complement to q_embed_dim_corr's pairwise-r view and
+# x_knn_pq's fixed-subspace quantizer). One pass over the data builds
+# the d-vector sum and the d×d Gram as PER-PARTITION numpy partials
+# (the _pq_codebooks sorted-combine discipline: fixed driver-side
+# combine order → deterministic float accumulation for a fixed
+# partitioning); the covariance eigendecomposition is O(d³) DRIVER
+# work on a d×d matrix — at 10^12 rows the data-sized cost is still
+# exactly one scan and the update traffic per partition is d²+d
+# doubles. Covariance uses the population convention (divide by N).
+_PCA_TOPK = 8  # projection width for x_pca_project
+
+
+def _pca_moments(e: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
+    """(sum_vec d, gram d×d, n) via per-partition numpy partials
+    combined driver-side in pid order."""
+
+    def partial(batches):
+        import pandas as _pd
+        from pyspark import TaskContext
+
+        s = None
+        g = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            if s is None:
+                d = x.shape[1]
+                s = np.zeros(d)
+                g = np.zeros((d, d))
+            s += x.sum(axis=0)
+            g += x.T @ x
+            n += len(x)
+        if s is None:
+            return
+        pid = TaskContext.get().partitionId()
+        yield _pd.DataFrame(
+            {
+                "pid": [pid],
+                "s": [s.tolist()],
+                "g": [g.reshape(-1).tolist()],
+                "n": [n],
+            }
+        )
+
+    parts = e.mapInPandas(
+        partial, schema="pid int, s array<double>, g array<double>, n long"
+    ).collect()
+    if not parts:
+        raise ValueError("x_pca: empty embeddings table")
+    d = len(parts[0].s)
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    n = 0
+    # fixed combine order → deterministic float accumulation
+    for r in sorted(parts, key=lambda r: r.pid):
+        s += np.asarray(r.s, dtype=np.float64)
+        g += np.asarray(r.g, dtype=np.float64).reshape(d, d)
+        n += r.n
+    return s, g, n
+
+
+def _pca_eig(
+    e: DataFrame,
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
+    """(eigenvalues desc, eigenvectors as columns, n, mean vector) of
+    the population covariance (G − s·sᵀ/n)/n. numpy eigh is
+    deterministic for a fixed input matrix; the matrix is deterministic
+    for a fixed partitioning per the sorted-combine contract."""
+    s, g, n = _pca_moments(e)
+    cov = (g - np.outer(s, s) / n) / n
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    return vals[order], vecs[:, order], n, s / n
+
+
+@_q("x_pca_variance")  # spectrum from a driver-side eigh — no SQL oracle
+def x_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained-variance spectrum of the embedding covariance: one row
+    per principal component with the eigenvalue, its variance fraction
+    and the cumulative fraction — the report that says whether a 64-d
+    embedding is really a 10-d embedding (and therefore how far PQ/SQ8
+    compression or a projection can go before recall falls). Negative
+    eigh noise at the zero tail is clamped at −1e−9 before publishing.
+
+    Scale: ONE data pass (per-partition d-sum + d×d Gram partials,
+    d²+d doubles per partition), driver-side O(d³) eigh, O(d) output.
+    """
+    vals, _, n, _mu = _pca_eig(_emb_double(spark, sf_dir))
+    vals = np.where(vals > -1e-9, np.maximum(vals, 0.0), vals)
+    tot = float(vals.sum())
+    rows = []
+    cum = 0.0
+    for i, v in enumerate(vals):
+        frac = float(v) / tot if tot > 0 else 0.0
+        cum += frac
+        rows.append(
+            (i, float(round(v, 9)), float(round(frac, 6)),
+             float(round(cum, 6)), int(n))
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["component", "eigenvalue", "evr", "cum_evr", "n"]
+        ),
+        schema="component int, eigenvalue double, evr double, "
+        "cum_evr double, n long",
+    )
+
+
+@_q("x_pca_project")  # row-local matmul against broadcast components
+def x_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's coordinates in the top-{_PCA_TOPK} principal
+    axes plus its squared reconstruction error — the dimensionality-
+    reduction path itself (what a 64→{_PCA_TOPK} compressed index or a
+    2-D corpus map consumes). Projection of the CENTERED vector; the
+    component matrix (d×k doubles) broadcasts; the pass is row-local —
+    no shuffle at any width."""
+    e = _emb_double(spark, sf_dir)
+    vals, vecs, _n, mu = _pca_eig(e)
+    k = min(_PCA_TOPK, vecs.shape[1])
+    bc = e.sparkSession.sparkContext.broadcast((mu, vecs[:, :k].copy()))
+
+    def project(batches):
+        import pandas as _pd
+
+        mu_, w = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64) - mu_
+            p = x @ w
+            err = ((x - p @ w.T) ** 2).sum(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "proj": [row.tolist() for row in p],
+                    "recon_err": err,
+                }
+            )
+
+    return e.mapInPandas(
+        project, schema="vec_id long, proj array<double>, recon_err double"
+    )
