@@ -117,6 +117,16 @@ ROWS_ONLY = {
         "zlib byte counts — DuckDB has no zlib; whole-corpus "
         "pure-Python recount (tests/test_webtext.py)"
     ),
+    "x_pca_variance": (
+        "driver-side covariance eigendecomposition — numpy whole-table "
+        "replay, known-answer fixture, shift-invariance and trace "
+        "reconciliation (tests/test_pca.py)"
+    ),
+    "x_pca_project": (
+        "projection onto eigh-derived components — per-coordinate "
+        "variance pinned to its eigenvalue, mean reconstruction error "
+        "pinned to the residual spectrum mass (tests/test_pca.py)"
+    ),
 }
 
 __all__ = ["QUERIES", "ORACLES", "ROWS_ONLY"]
