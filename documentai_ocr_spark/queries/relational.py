@@ -5231,3 +5231,168 @@ def q_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum("rev_e4").cast("long").alias("revenue_e4"),
     )
+
+
+# ------------------------------------------------- sole-blame supplier
+# The TPC-H Q21 shape: the DOUBLE correlated subquery — suppliers who
+# were the ONLY late shipper in a multi-supplier order (EXISTS another
+# supplier in the order, NOT EXISTS another LATE supplier). The naive
+# plan is two extra self-joins of the fact table against itself; the
+# scale rewrite is ONE pass: after the orderkey join, a per-order
+# aggregate computes n_suppliers, n_late_suppliers and the (unique,
+# when n_late_suppliers == 1) blamed suppkey via a conditional MAX —
+# both EXISTS predicates become WHERE clauses on O(orders) aggregate
+# rows instead of O(lines²) probe pairs. The oracle runs the LITERAL
+# EXISTS / NOT EXISTS form, so the gate proves the rewrite equivalent.
+_BLAME_DAYS = 105
+_BLAME_STATUS = "F"
+_BLAME_TOPK = 20
+
+
+@_q(
+    "q_blame_supplier",
+    f"""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS bigint) AS n_orders
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = '{_BLAME_STATUS}'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {_BLAME_DAYS} DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL {_BLAME_DAYS} DAY)
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY n_orders DESC, s.s_suppkey
+    LIMIT {_BLAME_TOPK}
+    """,
+)
+def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the sole >{_BLAME_DAYS}-day-late shipper in a
+    multi-supplier '{_BLAME_STATUS}'-status order, counted per supplier
+    (distinct orders), top-{_BLAME_TOPK} — TPC-H Q21's double
+    correlated EXISTS / NOT EXISTS, rewritten as one per-order
+    aggregate. The distinct counts are deliberately NOT countDistinct
+    (whose multi-distinct plan Expands the fact rows ×2): a two-level
+    aggregate — (orderkey, suppkey) dedup-with-max(late) first, then
+    the per-order rollup — is the same answer in one un-duplicated
+    pass, and BOTH levels' grouping keys contain orderkey, so at scale
+    (orders too big to broadcast → sort-merge join partitioned by
+    orderkey) neither aggregate re-exchanges the fact table at all.
+    The blame rollup is O(qualifying orders) → O(suppliers); supplier
+    dim broadcast; top-K is TakeOrderedAndProject on (n_orders DESC,
+    s_suppkey). The two self-joins the literal form implies never
+    happen on the Spark side — the oracle runs them, making the gate
+    an equivalence proof for the rewrite."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == _BLAME_STATUS)
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _BLAME_DAYS)
+    per_supp_order = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late).alias("_late")
+    )
+    per_order = (
+        per_supp_order.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_ns"),
+            F.sum(F.col("_late").cast("int")).alias("_nl"),
+            F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+                "_blamed"
+            ),
+        )
+        .where((F.col("_ns") > 1) & (F.col("_nl") == 1))
+    )
+    per_supp = per_order.groupBy("_blamed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(
+            F.broadcast(s), per_supp._blamed == s.s_suppkey
+        )
+        .select("s_suppkey", "s_name", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("s_suppkey"))
+        .limit(_BLAME_TOPK)
+    )
+
+
+# ------------------------------------------------- shipclass priority mix
+# The TPC-H Q12 shape: a conditional-sum (pivot-style) matrix computed
+# after a join whose RANGE predicate references BOTH sides — the
+# lateness band (l_shipdate within (orderdate+LO, orderdate+HI]) can
+# never push to either scan, so it rides the join as a residual
+# filter; the CASE/SUM pair turns what would be two passes (one per
+# priority class) into one. Output is O(returnflag classes).
+_SHIPCLASS_LO = 60
+_SHIPCLASS_HI = 120
+_SHIPCLASS_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@_q(
+    "q_priority_shipclass",
+    f"""
+    SELECT l.l_returnflag AS shipclass,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                         ('{_SHIPCLASS_HIGH[0]}', '{_SHIPCLASS_HIGH[1]}')
+                    THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                         ('{_SHIPCLASS_HIGH[0]}', '{_SHIPCLASS_HIGH[1]}')
+                    THEN 0 ELSE 1 END) AS bigint) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL {_SHIPCLASS_LO} DAY
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL {_SHIPCLASS_HI} DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines shipped {_SHIPCLASS_LO}–{_SHIPCLASS_HI} days after their
+    order date, split per returnflag class into high- vs low-priority
+    counts — TPC-H Q12's CASE-inside-SUM matrix. One orderkey join
+    (the band predicate is a join residual — it references both
+    tables, so there is nothing to push), then a map-side-combined
+    aggregate straight to O(classes) rows; priorities classify in-row,
+    never as a second join or a pivot shuffle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), _SHIPCLASS_LO)
+        )
+        & (
+            F.col("l_shipdate")
+            <= F.date_add(F.col("o_orderdate"), _SHIPCLASS_HI)
+        ),
+    )
+    is_high = F.col("o_orderpriority").isin(*_SHIPCLASS_HIGH)
+    return (
+        j.select("l_returnflag", is_high.alias("_hi"))
+        .groupBy(F.col("l_returnflag").alias("shipclass"))
+        .agg(
+            F.sum(F.when(F.col("_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("_hi"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )

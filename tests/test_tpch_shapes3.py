@@ -1,0 +1,206 @@
+"""TPC-H-shaped anchors, third wave: the Q21 double correlated
+EXISTS / NOT EXISTS (sole-blame supplier) rewritten as a two-level
+per-order aggregate, and the Q12 conditional-sum priority matrix with
+a both-sided range join residual. Each is replayed in pure Python over
+the full sf0.001 tables AND pinned on an engineered fixture that hits
+every branch the rewrite must preserve: the multi-supplier EXISTS, the
+two-late-suppliers NOT EXISTS, the order-status prune, distinct-ORDER
+(not line) counting, and the strict/inclusive day-band edges."""
+
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from documentai_ocr_spark.queries.relational import (
+    _BLAME_DAYS,
+    _BLAME_STATUS,
+    _BLAME_TOPK,
+    _SHIPCLASS_HI,
+    _SHIPCLASS_HIGH,
+    _SHIPCLASS_LO,
+    q_blame_supplier,
+    q_priority_shipclass,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _blame_python(li: pd.DataFrame, o: pd.DataFrame, s: pd.DataFrame):
+    """Literal-semantics replay: per qualifying order, the unique sole
+    late supplier; count DISTINCT orders per supplier; top-K by
+    (n_orders DESC, s_suppkey ASC)."""
+    odate = {
+        int(k): d
+        for k, d, st in zip(
+            o["o_orderkey"], o["o_orderdate"], o["o_orderstatus"]
+        )
+        if st == _BLAME_STATUS
+    }
+    supps = defaultdict(set)
+    lates = defaultdict(set)
+    for ok, sk, sd in zip(
+        li["l_orderkey"], li["l_suppkey"], li["l_shipdate"]
+    ):
+        ok, sk = int(ok), int(sk)
+        if ok not in odate:
+            continue
+        supps[ok].add(sk)
+        if sd > odate[ok] + pd.Timedelta(days=_BLAME_DAYS):
+            lates[ok].add(sk)
+    blame = Counter()
+    for ok, ss in supps.items():
+        ls = lates.get(ok, set())
+        if len(ss) > 1 and len(ls) == 1:
+            blame[next(iter(ls))] += 1
+    name = dict(zip(s["s_suppkey"].astype(int), s["s_name"]))
+    rows = sorted(
+        ((sk, name[sk], n) for sk, n in blame.items()),
+        key=lambda r: (-r[2], r[0]),
+    )
+    return rows[:_BLAME_TOPK]
+
+
+def test_blame_supplier_replay_sf0001(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    want = _blame_python(li, o, s)
+    assert len(want) > 0
+    got = [
+        (r["s_suppkey"], r["s_name"], r["n_orders"])
+        for r in q_blame_supplier(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_blame_supplier_fixture_branches(spark, tmp_path):
+    """Engineered orders, one per rewrite branch:
+      1 (F): supp1 late, supp2 on-time        -> supp1 blamed
+      2 (F): supp1 late, supp2 late           -> nobody (NOT EXISTS)
+      3 (F): supp1 alone, late                -> nobody (EXISTS fails)
+      4 (O): supp1 late, supp2 on-time        -> nobody (status prune)
+      5 (F): supp2 late TWICE, supp3 on-time  -> supp2 blamed ONCE
+      6 (F): supp1 late, supp3 at EXACTLY +{d}d (strict >, not late)
+             -> supp1 blamed; the boundary line must not become a
+             second late supplier."""
+    d0 = pd.Timestamp("1995-01-01")
+    late = d0 + pd.Timedelta(days=_BLAME_DAYS + 1)
+    exact = d0 + pd.Timedelta(days=_BLAME_DAYS)
+    ontime = d0 + pd.Timedelta(days=1)
+    lines = [
+        (1, 1, late), (1, 2, ontime),
+        (2, 1, late), (2, 2, late),
+        (3, 1, late),
+        (4, 1, late), (4, 2, ontime),
+        (5, 2, late), (5, 2, late), (5, 3, ontime),
+        (6, 1, late), (6, 3, exact),
+    ]
+    li = pd.DataFrame(
+        lines, columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    o = pd.DataFrame(
+        [(k, d0, "O" if k == 4 else _BLAME_STATUS) for k in range(1, 7)],
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+    s = pd.DataFrame(
+        [(k, f"S{k}") for k in (1, 2, 3)],
+        columns=["s_suppkey", "s_name"],
+    )
+    d = str(tmp_path / "blame")
+    spark.createDataFrame(li).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(o).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(s).write.parquet(f"{d}/supplier.parquet")
+    got = [
+        (r["s_suppkey"], r["s_name"], r["n_orders"])
+        for r in q_blame_supplier(spark, d).collect()
+    ]
+    assert got == [(1, "S1", 2), (2, "S2", 1)]
+
+
+def test_blame_supplier_no_expand_two_level_agg(spark):
+    """The scale property the rewrite exists for: no Expand node (the
+    multi-countDistinct plan shape that doubles fact rows) — the
+    distinct semantics come from the (orderkey, suppkey) pre-aggregate
+    — and the top-K is TakeOrderedAndProject, never a global sort."""
+    from planutil import plan
+
+    p = plan(q_blame_supplier(spark, SF))
+    assert "Expand" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def _shipclass_python(li: pd.DataFrame, o: pd.DataFrame):
+    odate = dict(zip(o["o_orderkey"].astype(int), o["o_orderdate"]))
+    oprio = dict(zip(o["o_orderkey"].astype(int), o["o_orderpriority"]))
+    hi = Counter()
+    lo = Counter()
+    for ok, rf, sd in zip(
+        li["l_orderkey"], li["l_returnflag"], li["l_shipdate"]
+    ):
+        ok = int(ok)
+        if ok not in odate:
+            continue
+        base = odate[ok]
+        if not (
+            sd > base + pd.Timedelta(days=_SHIPCLASS_LO)
+            and sd <= base + pd.Timedelta(days=_SHIPCLASS_HI)
+        ):
+            continue
+        (hi if oprio[ok] in _SHIPCLASS_HIGH else lo)[rf] += 1
+    return {
+        rf: (hi.get(rf, 0), lo.get(rf, 0)) for rf in set(hi) | set(lo)
+    }
+
+
+def test_priority_shipclass_replay_sf0001(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    want = _shipclass_python(li, o)
+    assert want
+    got = {
+        r["shipclass"]: (r["high_line_count"], r["low_line_count"])
+        for r in q_priority_shipclass(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_priority_shipclass_band_edges(spark, tmp_path):
+    """Day-band boundary pins: exactly +LO days is OUT (strict >),
+    +LO+1 in, exactly +HI in (<=), +HI+1 out; one line per priority
+    class so both CASE arms are exercised."""
+    d0 = pd.Timestamp("1995-01-01")
+
+    def sd(days):
+        return d0 + pd.Timedelta(days=days)
+
+    lines = [
+        # (orderkey, returnflag, shipdate, kept?)
+        (1, "A", sd(_SHIPCLASS_LO), False),
+        (1, "A", sd(_SHIPCLASS_LO + 1), True),
+        (2, "A", sd(_SHIPCLASS_HI), True),
+        (2, "A", sd(_SHIPCLASS_HI + 1), False),
+        (3, "N", sd(90), True),
+    ]
+    li = pd.DataFrame(
+        [(k, rf, s) for k, rf, s, _ in lines],
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+    o = pd.DataFrame(
+        [
+            (1, d0, _SHIPCLASS_HIGH[0]),
+            (2, d0, "5-LOW"),
+            (3, d0, _SHIPCLASS_HIGH[1]),
+        ],
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    d = str(tmp_path / "shipclass")
+    spark.createDataFrame(li).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(o).write.parquet(f"{d}/orders.parquet")
+    got = {
+        r["shipclass"]: (r["high_line_count"], r["low_line_count"])
+        for r in q_priority_shipclass(spark, d).collect()
+    }
+    # order 1 is URGENT (high): 1 kept line; order 2 LOW: 1 kept line;
+    # order 3 HIGH: 1 kept line under flag N.
+    assert got == {"A": (1, 1), "N": (1, 0)}
