@@ -113,6 +113,11 @@ ROWS_ONLY = {
         "iterative merge-table application — whole-corpus pure-Python "
         "recount (tests/test_transcript_ops.py)"
     ),
+    "x_bpe_train": (
+        "iterative merge learning on the capped word-frequency dict — "
+        "hand-derived multi-round fixture, tie-break law, and "
+        "whole-corpus pure-Python replay (tests/test_vocab_ops.py)"
+    ),
     "x_compression_ratio": (
         "zlib byte counts — DuckDB has no zlib; whole-corpus "
         "pure-Python recount (tests/test_webtext.py)"

@@ -2061,6 +2061,111 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["x_bpe_encode"] = _q_bpe_encode
 
 
+# ------------------------------------------------- BPE trainer (full)
+# The other other half: LEARNING the multi-round merge table — the
+# actual tokenizer-training job a 100-TB pipeline runs. The public
+# shape (Sennrich et al. 2016; every production trainer since) is
+# two-phase and that split IS the scale design: the corpus-sized work
+# is exactly ONE distributed word-frequency rollup (map-side combined;
+# a word occurring 10^9 times crosses the wire once with weight 10^9),
+# and the iterative merge loop runs on the collected top-K
+# word-frequency DICT — O(cap × word_len × rounds) driver work that is
+# independent of corpus size. The cap is not silent: the operator
+# publishes cap_words and the milli fraction of total token mass the
+# capped dict covers, so a release reviewer sees exactly what the
+# vocabulary was trained on.
+_BPE_TRAIN_ROUNDS = 12
+_BPE_TRAIN_CAP = 4096  # distinct words kept for the driver dict
+
+
+def bpe_train(
+    word_freqs: list[tuple[str, int]], rounds: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Pure-Python BPE trainer spec, shared by the operator and its
+    pytest gate. Each round counts adjacent symbol pairs over the
+    CURRENT segmentation of every distinct word (weighted by word
+    frequency), merges the argmax pair — ties broken by the smaller
+    (left, right) string pair so the table is total-ordered — and
+    rewrites segmentations left-to-right non-overlapping. Returns
+    (round, left, right, merged, pair_freq) rows; stops early when no
+    adjacent pair remains."""
+    from collections import Counter
+
+    segs = {w: list(w) for w, _ in word_freqs}
+    out: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        counts: Counter = Counter()
+        for w, f in word_freqs:
+            syms = segs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out.append((rnd, left, right, left + right, int(n)))
+        for w in segs:
+            syms = segs[w]
+            if len(syms) < 2:
+                continue
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            segs[w] = merged
+    return out
+
+
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned {_BPE_TRAIN_ROUNDS}-round BPE merge table over the
+    documents corpus, trained on the top-{_BPE_TRAIN_CAP} distinct
+    words by (frequency, word) — one corpus exchange (the word
+    rollup), a TakeOrderedAndProject cap (never a vocabulary sort),
+    one 1-row total dim, then driver-side merge learning on the
+    O(cap) dict. Rows-only (the merge loop is iterative); gated by a
+    hand-derivable multi-round fixture, the tie-break law, and a
+    whole-corpus pure-Python replay."""
+    docs = spread(load(spark, sf_dir, "documents").select("text"))
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = (
+        wf.orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_BPE_TRAIN_CAP)
+        .collect()
+    )
+    total = wf.agg(F.sum("freq").alias("t")).collect()[0]["t"] or 0
+    word_freqs = [(r["word"], int(r["freq"])) for r in top]
+    covered = sum(f for _, f in word_freqs)
+    merges = bpe_train(word_freqs, _BPE_TRAIN_ROUNDS)
+    cap_words = len(word_freqs)
+    cov_milli = (covered * 1000) // total if total else 0
+    rows = [
+        (rnd, lf, rt, mg, fq, cap_words, cov_milli)
+        for rnd, lf, rt, mg, fq in merges
+    ]
+    schema = (
+        "round int, left string, right string, merged string, "
+        "pair_freq bigint, cap_words bigint, coverage_milli bigint"
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+QUERIES["x_bpe_train"] = _q_bpe_train
+
+
 # --------------------------------------------------- character entropy
 # Per-document character-level Shannon entropy — the classic cheap
 # gibberish / keyboard-mash / base64-blob screen (low entropy = one

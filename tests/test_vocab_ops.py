@@ -12,13 +12,17 @@ from documentai_ocr_spark.queries.dedup import (
     q_typo_pairs,
 )
 from documentai_ocr_spark.queries.textstats import (
+    _BPE_TRAIN_CAP,
+    _BPE_TRAIN_ROUNDS,
     _BURST_MIN_DF,
     _BURSTY_MILLI,
     _GRID_CAP,
     _KANON_K,
+    bpe_train,
     q_k_anonymity,
     q_term_burstiness,
 )
+from documentai_ocr_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -176,6 +180,82 @@ def test_typo_pairs_engineered(spark, tmp_path):
     assert got[("merge", "mrge")]["canonical"] == "merge"
     assert got[("cart", "cort")]["c_a"] == 3
     assert got[("cart", "cort")]["c_b"] == 1
+
+
+# --------------------------------------------------------- BPE trainer
+def test_bpe_train_hand_derived_multiround(spark, tmp_path):
+    """The classic hug/pug/hugs corpus, merges derivable by hand:
+    round 1 (u,g)=5+2+3=10 → 'ug'; round 2 (h,ug)=5+3=8 → 'hug';
+    round 3 (hug,s)=3 → 'hugs'; round 4 (p,ug)=2 → 'pug'; then every
+    word is one symbol and the loop stops early at 4 < rounds rows.
+    Also pins cap_words (3 distinct words) and coverage_milli (1000 —
+    the cap covers the whole corpus)."""
+    text = " ".join(["hug"] * 5 + ["pug"] * 2 + ["hugs"] * 3)
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text]})
+    d = _write(spark, tmp_path, "bpe_hand", pdf)
+    rows = QUERIES["x_bpe_train"](spark, d).orderBy("round").collect()
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in rows
+    ]
+    assert got == [
+        (1, "u", "g", "ug", 10),
+        (2, "h", "ug", "hug", 8),
+        (3, "hug", "s", "hugs", 3),
+        (4, "p", "ug", "pug", 2),
+    ]
+    assert all(r["cap_words"] == 3 for r in rows)
+    assert all(r["coverage_milli"] == 1000 for r in rows)
+
+
+def test_bpe_train_tiebreak_law():
+    """Equal-frequency pairs merge in (left, right) string order: with
+    (a,b)=3 and (a,c)=3 and (c,d)=3 all tied, round 1 takes ('a','b'),
+    round 2 ('a','c'), round 3 ('c','d') — and the table is therefore
+    identical no matter how the input dict is ordered."""
+    wf = [("ab", 3), ("ac", 3), ("cd", 3)]
+    want = [
+        (1, "a", "b", "ab", 3),
+        (2, "a", "c", "ac", 3),
+        (3, "c", "d", "cd", 3),
+    ]
+    assert bpe_train(wf, 12) == want
+    assert bpe_train(list(reversed(wf)), 12) == want
+
+
+def test_bpe_train_early_stop_and_rewrite_nonoverlap():
+    """Single-symbol words yield zero rows (nothing adjacent); the
+    left-to-right non-overlapping rewrite law: 'aaa' under merge (a,a)
+    becomes [aa, a], never [a, aa] — so round 2's top pair is
+    (aa, a) with the chain's weight."""
+    assert bpe_train([("a", 100), ("b", 7)], 12) == []
+    got = bpe_train([("aaa", 4)], 2)
+    assert got == [(1, "a", "a", "aa", 8), (2, "aa", "a", "aaa", 4)]
+
+
+def test_bpe_train_corpus_replay(spark):
+    """Whole-corpus replay at sf0.001: an independent pandas word
+    rollup, the same (freq desc, word asc) top-cap, the spec trainer,
+    and exact equality on every column including the coverage audit."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt: collections.Counter = collections.Counter()
+    for text in docs["text"]:
+        cnt.update(w for w in text.split(" ") if w)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:_BPE_TRAIN_CAP]
+    total = sum(cnt.values())
+    covered = sum(f for _, f in top)
+    want = bpe_train(top, _BPE_TRAIN_ROUNDS)
+    rows = QUERIES["x_bpe_train"](spark, SF).orderBy("round").collect()
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in rows
+    ]
+    assert got == want and len(got) > 0
+    assert all(r["cap_words"] == len(top) for r in rows)
+    assert all(
+        r["coverage_milli"] == (covered * 1000) // total for r in rows
+    )
 
 
 def test_typo_pairs_bruteforce_replay(spark):
