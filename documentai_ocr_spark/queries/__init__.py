@@ -118,6 +118,11 @@ ROWS_ONLY = {
         "hand-derived multi-round fixture, tie-break law, and "
         "whole-corpus pure-Python replay (tests/test_vocab_ops.py)"
     ),
+    "x_tool_stationary": (
+        "iterative power-method eigenvector on the collected k×k "
+        "transition matrix — numpy replay, πP = π fixed-point law, "
+        "hand-derived two-state chain (tests/test_events_ops.py)"
+    ),
     "x_compression_ratio": (
         "zlib byte counts — DuckDB has no zlib; whole-corpus "
         "pure-Python recount (tests/test_webtext.py)"

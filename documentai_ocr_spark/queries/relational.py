@@ -4107,6 +4107,113 @@ def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ activity streaks
+# Longest consecutive-day activity streak per user — the canonical
+# gaps-and-islands problem. Day index is the shared physical epoch-ms
+# integer rule (q_hour_mix / q_dau_wau — no calendar, no timezone).
+# The oracle spells the textbook form (day − row_number constant on a
+# run); the ENGINE never windows at all: a user's distinct-day set is
+# bounded by the CALENDAR (≤ timespan days, never event volume), so
+# collect_set(day) per user is a bounded-size aggregate with MAP-SIDE
+# partial dedup — a user with 10^9 events ships ≤ days values per
+# input partition — and the whole island scan (lengths, count,
+# longest, earliest-longest tie-break) is ONE in-row higher-order
+# aggregate() fold over the sorted array. One exchange, zero
+# Sort/Window/Join nodes (plan-asserted).
+
+_STREAK_FOLD = """
+aggregate(
+  sort_array(days),
+  named_struct(
+    'prev', cast(-4611686018427387904 as bigint),
+    'cur_len', cast(0 as bigint),
+    'cur_start', cast(0 as bigint),
+    'best_len', cast(0 as bigint),
+    'best_start', cast(0 as bigint),
+    'n_streaks', cast(0 as bigint)),
+  (s, d) -> named_struct(
+    'prev', d,
+    'cur_len',
+      IF(d = s.prev + 1, s.cur_len + 1, cast(1 as bigint)),
+    'cur_start',
+      IF(d = s.prev + 1, s.cur_start, d),
+    'best_len',
+      IF(IF(d = s.prev + 1, s.cur_len + 1, cast(1 as bigint))
+           > s.best_len,
+         IF(d = s.prev + 1, s.cur_len + 1, cast(1 as bigint)),
+         s.best_len),
+    'best_start',
+      IF(IF(d = s.prev + 1, s.cur_len + 1, cast(1 as bigint))
+           > s.best_len,
+         IF(d = s.prev + 1, s.cur_start, d),
+         s.best_start),
+    'n_streaks',
+      s.n_streaks
+        + IF(d = s.prev + 1, cast(0 as bigint), cast(1 as bigint))))
+"""
+
+
+@_q(
+    "q_user_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id,
+                         CAST(epoch_ms(ts) // 86400000 AS bigint) AS day
+                  FROM events),
+    seq AS (SELECT user_id, day,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                     AS rn
+            FROM days),
+    isl AS (SELECT user_id, day - rn AS anchor,
+                   CAST(COUNT(*) AS bigint) AS len,
+                   CAST(MIN(day) AS bigint) AS start
+            FROM seq GROUP BY 1, 2),
+    agg AS (SELECT user_id,
+                   CAST(SUM(len) AS bigint) AS n_active_days,
+                   CAST(COUNT(*) AS bigint) AS n_streaks,
+                   CAST(MAX(len) AS bigint) AS longest
+            FROM isl GROUP BY 1)
+    SELECT a.user_id, a.n_active_days, a.n_streaks, a.longest,
+           CAST(MIN(i.start) AS bigint) AS longest_start_day
+    FROM agg a
+    JOIN isl i ON a.user_id = i.user_id AND i.len = a.longest
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-streak profile: distinct active days, number
+    of maximal consecutive-day runs, the longest run's length and the
+    epoch-day it starts (earliest among equal-length ties — the fold's
+    strictly-greater comparison means a later equal run never
+    replaces).
+
+    Scale — collect_set(day) bounds every user's payload by the
+    calendar with map-side partial dedup, so the single user_id
+    exchange moves ≤ days values per (partition, user); the island
+    scan is an in-row fold, so the oracle's window + double rollup +
+    join-back never materialize in the engine (plan pins 1 Exchange,
+    0 Sort/Window/Join nodes)."""
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    day = F.expr(
+        "cast(unix_millis(cast(ts as timestamp)) div 86400000 as bigint)"
+    )
+    g = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    return g.select(
+        "user_id",
+        F.size("days").cast("long").alias("n_active_days"),
+        F.expr(_STREAK_FOLD).alias("_s"),
+    ).select(
+        "user_id",
+        "n_active_days",
+        F.col("_s.n_streaks").alias("n_streaks"),
+        F.col("_s.best_len").alias("longest"),
+        F.col("_s.best_start").alias("longest_start_day"),
+    )
+
+
 # ------------------------------------------------------ brand revenue share
 # The last un-exercised driver table: part (a 200-row product dim —
 # always broadcast). Q14-flavored: revenue and line share per brand,
@@ -5395,4 +5502,425 @@ def q_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("low_line_count"),
         )
+    )
+
+
+# --------------------------------------------- min-cost supplier (Q2 shape)
+# TPC-H Q2's correlated-MIN argmin: for every part, the cheapest
+# supplier within one region, cost measured as the supplier's best
+# historical line charge in EXACT e4 integers (cents × remaining
+# discount-percent — the q_forecast_revenue rule), so the per-part
+# minimum and the tie comparison can never straddle engines. The
+# ORACLE runs the literal correlated scalar-subquery form (cost_e4 =
+# (SELECT MIN ... WHERE same part)); the engine rewrite is a single
+# min(struct(cost, suppkey)) aggregate — argmin and smallest-suppkey
+# tie-break in one buffer, no self-join, no join-back.
+_MCS_REGION = 3
+
+
+@_q(
+    "q_min_cost_supplier",
+    f"""
+    WITH rs AS (SELECT s_suppkey, s_name FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_regionkey = {_MCS_REGION}),
+    pc AS (SELECT l_partkey, l_suppkey,
+                  MIN(CAST(floor(l_extendedprice * 100) AS bigint)
+                      * (100 - CAST(floor(l_discount * 100) AS bigint)))
+                    AS cost_e4
+           FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey
+           GROUP BY 1, 2),
+    n AS (SELECT l_partkey, CAST(COUNT(*) AS bigint) AS n_suppliers
+          FROM pc GROUP BY 1),
+    win AS (SELECT pc.l_partkey, MIN(pc.l_suppkey) AS s_suppkey,
+                   pc.cost_e4
+            FROM pc
+            WHERE pc.cost_e4 = (SELECT MIN(p2.cost_e4) FROM pc p2
+                                WHERE p2.l_partkey = pc.l_partkey)
+            GROUP BY 1, 3)
+    SELECT w.l_partkey AS p_partkey, w.s_suppkey, rs.s_name,
+           CAST(w.cost_e4 AS bigint) AS cost_e4, n.n_suppliers
+    FROM win w
+    JOIN rs ON w.s_suppkey = rs.s_suppkey
+    JOIN n ON w.l_partkey = n.l_partkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: the cheapest region-{_MCS_REGION} supplier (best
+    historical line charge, exact e4), smallest suppkey on cost ties,
+    and how many region suppliers quoted the part at all.
+
+    Scale — suppliers prune to the region BEFORE touching the fact
+    (broadcast semi shape), ONE fact exchange builds the (part, supp)
+    cost table map-side-combined, the per-part argmin + tie-break is a
+    single min(struct) aggregate over that pre-aggregated table (the
+    oracle's correlated subquery and join-back never materialize), and
+    the name attaches via the same broadcast dim."""
+    nat = load(spark, sf_dir, "nation").where(
+        F.col("n_regionkey") == _MCS_REGION
+    )
+    rs = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    charge = F.floor(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.floor(F.col("l_discount") * 100).cast("long")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", charge.alias("_c")
+    )
+    pc = (
+        li.join(
+            F.broadcast(rs.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_c").alias("cost_e4"))
+    )
+    per = pc.groupBy("l_partkey").agg(
+        F.min(F.struct("cost_e4", "l_suppkey")).alias("_b"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    out = per.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("_b.l_suppkey").alias("s_suppkey"),
+        F.col("_b.cost_e4").cast("long").alias("cost_e4"),
+        "n_suppliers",
+    )
+    return out.join(F.broadcast(rs), "s_suppkey").select(
+        "p_partkey", "s_suppkey", "s_name", "cost_e4", "n_suppliers"
+    )
+
+
+# -------------------------------------------- dominant suppliers (Q20 shape)
+# TPC-H Q20's availability threshold ("more than half of what moved"):
+# suppliers who, inside a ship-date window, shipped STRICTLY more than
+# 50% of some part's total shipped quantity. Quantities are whole
+# doubles at every SF, so CAST AS bigint is exact in both engines and
+# the cut is the cross-multiplied integer 2·qty > tot — no division,
+# no rounding, no straddle. The ORACLE runs the literal correlated
+# scalar-subquery form; the engine joins the per-part total dim back
+# to the (part, supp) rollup.
+_DOM_LO, _DOM_HI = "1996-01-01", "1998-01-01"
+
+
+@_q(
+    "q_dominant_suppliers",
+    f"""
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_quantity AS bigint)) AS bigint)
+                         AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '{_DOM_LO}'
+                  AND l_shipdate < TIMESTAMP '{_DOM_HI}'
+                GROUP BY 1, 2),
+    dom AS (SELECT ps.l_suppkey, ps.qty,
+                   (SELECT CAST(SUM(p2.qty) AS bigint) FROM ps p2
+                    WHERE p2.l_partkey = ps.l_partkey) AS tot
+            FROM ps)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS bigint) AS n_dominated,
+           CAST(MAX(1000 * qty // tot) AS bigint) AS max_share_milli
+    FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+    WHERE 2 * qty > tot
+    GROUP BY 1, 2
+    """,
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped strictly more than half of at least one
+    part's total quantity inside [{_DOM_LO}, {_DOM_HI}): the count of
+    parts they dominate and their largest integer-milli share.
+
+    Scale — the date window pushes to the fact scan; ONE fact exchange
+    builds the (part, supp) qty rollup map-side-combined; every later
+    stage (per-part totals, the totals join, the supplier rollup) runs
+    over aggregate-sized tables, and the oracle's correlated subquery
+    becomes a plain equi-join against the O(parts) total dim. The
+    strict > keeps an exact 50/50 split OUT on both engines."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_DOM_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_DOM_HI).cast("timestamp"))
+    )
+    ps = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("long").alias("_q"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("_q").cast("long").alias("qty"))
+    )
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("tot")
+    )
+    dom = ps.join(tot, "l_partkey").where(
+        2 * F.col("qty") > F.col("tot")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dominated"),
+        F.max(F.expr("1000 * qty div tot")).cast("long").alias(
+            "max_share_milli"
+        ),
+    )
+    return agg.join(
+        F.broadcast(s), agg.l_suppkey == s.s_suppkey
+    ).select("s_suppkey", "s_name", "n_dominated", "max_share_milli")
+
+
+# --------------------------------------------------------- event gaps
+# Inter-arrival profile: per event type, a histogram of the gap (in
+# ms) between each event and the SAME USER's previous event (any
+# type) — the think-time distribution behind sessionization windows
+# and bot screens. Buckets are DECIMAL-DIGIT COUNTS of the integer
+# gap (len(str(gap))): integer-exact in both engines, where a
+# floor(log2(...)) bucket could straddle on a libm ulp at an exact
+# power of two. One user_id exchange, O(n log n) per partition for
+# the (ts, event_id) sort — the q_asof_join discipline.
+@_q(
+    "q_event_gaps",
+    """
+    WITH seq AS (
+      SELECT event_type, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ms
+      FROM events
+    ),
+    g AS (SELECT event_type, ms - prev_ms AS gap
+          FROM seq WHERE prev_ms IS NOT NULL)
+    SELECT event_type, CAST(LENGTH(CAST(gap AS varchar)) AS int)
+             AS gap_digits,
+           CAST(COUNT(*) AS bigint) AS n,
+           CAST(MIN(gap) AS bigint) AS min_gap_ms,
+           CAST(MAX(gap) AS bigint) AS max_gap_ms
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: how long after the user's previous event it
+    fired, as a digit-count histogram (bucket d covers gaps with d
+    decimal digits: 1 = 0–9 ms, 4 = 1.0–9.999 s, ...) with exact
+    bucket min/max.
+
+    Scale — one user_id exchange; the per-user sort is bounded by
+    that user's activity, and the later-event attribution is a lag,
+    never a self-join."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) as bigint)"
+        ).alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = ev.withColumn("prev_ms", F.lag("ms").over(w))
+    g = seq.where(F.col("prev_ms").isNotNull()).select(
+        "event_type", (F.col("ms") - F.col("prev_ms")).alias("gap")
+    )
+    return g.groupBy(
+        "event_type",
+        F.length(F.col("gap").cast("string")).cast("int").alias(
+            "gap_digits"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("gap").cast("long").alias("min_gap_ms"),
+        F.max("gap").cast("long").alias("max_gap_ms"),
+    )
+
+
+# ----------------------------------------------------- reorder latency
+# Customer reorder cadence WITHOUT a window: for a customer with n≥2
+# orders, the mean gap between consecutive orders is EXACTLY
+# (last − first) / (n − 1) — the interior terms telescope away — so
+# the whole report is one map-side-combined groupBy(custkey) carrying
+# (count, min, max) and an exact integer-milli division. No per-
+# customer sort, no lag, no second pass; the oracle states the same
+# telescoped form.
+@_q(
+    "q_reorder_latency",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS bigint) AS n_orders,
+           CAST((epoch_ms(MAX(o_orderdate)) - epoch_ms(MIN(o_orderdate)))
+                // 86400000 AS bigint) AS span_days,
+           CAST(1000 * ((epoch_ms(MAX(o_orderdate))
+                         - epoch_ms(MIN(o_orderdate))) // 86400000)
+                // (COUNT(*) - 1) AS bigint) AS mean_gap_milli_days
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_reorder_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per repeat customer (≥2 orders): order count, first→last span
+    in whole days, and the exact mean reorder gap in integer
+    milli-days — span·1000 // (n−1), the telescoped identity that
+    needs no per-customer ordering at all."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "cast(unix_millis(cast(o_orderdate as timestamp)) as bigint)"
+        ).alias("ms"),
+    )
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("ms").alias("_lo"),
+        F.max("ms").alias("_hi"),
+    )
+    span = F.expr("(_hi - _lo) div 86400000")
+    return agg.where(F.col("n_orders") >= 2).select(
+        "o_custkey",
+        "n_orders",
+        span.cast("long").alias("span_days"),
+        F.expr("1000 * ((_hi - _lo) div 86400000) div (n_orders - 1)")
+        .cast("long")
+        .alias("mean_gap_milli_days"),
+    )
+
+
+# ----------------------------------------------------- tool stationary
+# The long-run tool mix: the stationary distribution π of the
+# tool→tool transition chain (πP = π) — where an agent fleet's tool
+# budget concentrates if today's behavior persists. The data-sized
+# work is exactly q_tool_transitions' rollup (one exchange to a k²
+# matrix, k = #tools); the power iteration runs on the collected k×k
+# counts on the driver — O(k²·iters), independent of corpus size.
+# Rows-only (iterative eigenvector); gated by a pure-numpy replay,
+# the πP = π fixed-point law, and a hand-derivable two-state chain.
+def stationary_dist(
+    trans: list[tuple[str, str, int]]
+) -> dict[str, float]:
+    """Pure spec shared with the pytest gate: row-normalize the count
+    matrix over the sorted tool vocabulary (a tool with no out-edges
+    redistributes uniformly), then power-iterate from uniform until
+    the L1 step falls below 1e-13 (or 100k rounds)."""
+    import numpy as np
+
+    tools = sorted({t for a, b, _ in trans for t in (a, b)})
+    idx = {t: i for i, t in enumerate(tools)}
+    k = len(tools)
+    c = np.zeros((k, k), dtype=np.float64)
+    for a, b, n in trans:
+        c[idx[a], idx[b]] += float(n)
+    rows = c.sum(axis=1)
+    p = np.where(
+        rows[:, None] > 0, c / np.where(rows[:, None] > 0, rows[:, None], 1),
+        1.0 / k,
+    )
+    pi = np.full(k, 1.0 / k)
+    for _ in range(100_000):
+        nxt = pi @ p
+        if np.abs(nxt - pi).sum() < 1e-13:
+            pi = nxt
+            break
+        pi = nxt
+    return {t: float(pi[idx[t]]) for t in tools}
+
+
+def _q_tool_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary tool distribution from the transition matrix, with
+    each tool's observed out-edge count alongside. See the family
+    comment: one corpus exchange, k×k driver iteration."""
+    trans = [
+        (r["prev_tool"], r["next_tool"], int(r["n"]))
+        for r in q_tool_transitions(spark, sf_dir).collect()
+    ]
+    pi = stationary_dist(trans)
+    n_out = {t: 0 for t in pi}
+    for a, _, n in trans:
+        n_out[a] += n
+    rows = [(t, pi[t], n_out[t]) for t in sorted(pi)]
+    return spark.createDataFrame(
+        rows, schema="tool string, stationary double, n_out bigint"
+    )
+
+
+QUERIES["x_tool_stationary"] = _q_tool_stationary
+
+
+# -------------------------------------------------- growth accounting
+# The canonical DAU decomposition: every active (user, day) is NEW
+# (first day ever), RETAINED (also active the day before) or
+# RESURRECTED (active before, but not yesterday); CHURNED(d) counts
+# users active on d−1 who are not active on d (emitted from the gap
+# AFTER each active day, so it needs no day-level self-join — the
+# identity dau(d−1) = retained(d) + churned(d) is pinned in tests).
+# Same engine shape as q_user_streaks: collect_set(day) bounds every
+# user by the calendar with map-side partial dedup, the per-day class
+# labels fall out of ONE in-row transform over the sorted array, and
+# the only exchanges are the user rollup and the O(days×4) final
+# count. The ORACLE spells the textbook lag/lead window form.
+@_q(
+    "q_growth_accounting",
+    """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch_ms(ts) // 86400000 AS bigint) AS day
+               FROM events),
+    lagd AS (SELECT day,
+                    lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                      AS prev
+             FROM d),
+    cls AS (SELECT day,
+                   CASE WHEN prev IS NULL THEN 'new'
+                        WHEN day = prev + 1 THEN 'retained'
+                        ELSE 'resurrected' END AS klass
+            FROM lagd),
+    nxt AS (SELECT day,
+                   lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                     AS nx
+            FROM d),
+    ch AS (SELECT day + 1 AS day, 'churned' AS klass
+           FROM nxt WHERE nx IS NULL OR nx > day + 1),
+    u AS (SELECT * FROM cls UNION ALL SELECT * FROM ch)
+    SELECT day, klass, CAST(COUNT(*) AS bigint) AS n
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: how many active users were new, retained or
+    resurrected, and how many of yesterday's actives churned (the
+    churn row lands on the first INACTIVE day, including the day
+    after the corpus ends — the honest tail).
+
+    Scale — one calendar-bounded collect_set exchange per user, class
+    labels from an in-row transform over the sorted day array (no
+    Window, no self-join), one O(days×classes) count exchange."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("day")).alias("ds")
+    )
+    lab = F.expr(
+        """
+        concat(
+          transform(ds, (d, i) -> named_struct(
+            'day', d,
+            'klass', CASE WHEN i = 0 THEN 'new'
+                          WHEN d = element_at(ds, i) + 1
+                            THEN 'retained'
+                          ELSE 'resurrected' END)),
+          filter(
+            transform(ds, (d, i) -> IF(
+              i = size(ds) - 1 OR element_at(ds, i + 2) > d + 1,
+              named_struct('day', d + 1,
+                           'klass', 'churned'),
+              null)),
+            x -> x IS NOT NULL))
+        """
+    )
+    return (
+        g.select(F.explode(lab).alias("x"))
+        .groupBy(F.col("x.day").alias("day"), F.col("x.klass").alias("klass"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -381,3 +381,384 @@ def test_top_supplier_recount_and_tie_pin(spark, tmp_path):
     spark.createDataFrame(sup).write.parquet(f"{d}/supplier.parquet")
     g2 = {r["s_suppkey"]: r["revenue"] for r in q_top_supplier(spark, d).collect()}
     assert g2 == {1: 100.0, 2: 100.0}
+
+
+# ----------------------------------------------------- activity streaks
+def test_user_streaks_engineered(spark, tmp_path):
+    """Hand-pinned islands: user 1 is active on days {0,1,2,5,6} (three
+    events on day 0 collapse to one active day) → 5 active days, 2
+    streaks, longest 3 starting day 0; user 2 has a TIE of two 2-day
+    streaks ({10,11} and {20,21}) → the earliest start (10) wins; user
+    3 has a single event → the degenerate 1/1/1 profile."""
+    from documentai_ocr_spark.queries.relational import q_user_streaks
+
+    def ts(day, off=3600000):
+        return pd.Timestamp(day * 86400000 + off, unit="ms")
+
+    rows = []
+    for d in [0, 0, 0, 1, 2, 5, 6]:
+        rows.append((1, ts(d)))
+    for d in [10, 11, 20, 21]:
+        rows.append((2, ts(d)))
+    rows.append((3, ts(100)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    d = str(tmp_path / "streaks")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    got = {r["user_id"]: r for r in q_user_streaks(spark, d).collect()}
+    assert got[1]["n_active_days"] == 5
+    assert got[1]["n_streaks"] == 2
+    assert got[1]["longest"] == 3
+    assert got[1]["longest_start_day"] == 0
+    assert (got[2]["longest"], got[2]["longest_start_day"]) == (2, 10)
+    assert got[2]["n_streaks"] == 2
+    assert (
+        got[3]["n_active_days"],
+        got[3]["n_streaks"],
+        got[3]["longest"],
+        got[3]["longest_start_day"],
+    ) == (1, 1, 1, 100)
+
+
+def test_user_streaks_python_recount(spark):
+    """sf0.001 replay from physical epoch ms: distinct day sets →
+    islands → longest + earliest-start, exact on every column."""
+    from documentai_ocr_spark.queries.relational import q_user_streaks
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    days_ms = _epoch_ms(ev["ts"]) // 86400000
+    per: dict[int, set] = {}
+    for uid, d in zip(ev["user_id"], days_ms):
+        per.setdefault(int(uid), set()).add(int(d))
+    want = {}
+    for uid, ds in per.items():
+        days = sorted(ds)
+        islands = []
+        start = prev = days[0]
+        for d in days[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                islands.append((prev - start + 1, start))
+                start = prev = d
+        islands.append((prev - start + 1, start))
+        longest = max(ln for ln, _ in islands)
+        first = min(st for ln, st in islands if ln == longest)
+        want[uid] = (len(days), len(islands), longest, first)
+    got = {
+        r["user_id"]: (
+            r["n_active_days"],
+            r["n_streaks"],
+            r["longest"],
+            r["longest_start_day"],
+        )
+        for r in q_user_streaks(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_user_streaks_single_exchange(spark):
+    """collect_set's map-side partial dedup makes the one user_id
+    exchange the ONLY shuffle, and the in-row island fold means the
+    oracle's window + double rollup + join-back never materialize:
+    the plan has exactly 1 Exchange and zero Sort/Window/Join nodes."""
+    from documentai_ocr_spark.queries.relational import q_user_streaks
+    from planutil import n_exchanges, plan
+
+    p = plan(q_user_streaks(spark, SF))
+    assert n_exchanges(p) == 1, p
+    assert "Join" not in p and "Window" not in p, p
+    import re
+
+    assert not re.search(r"^\(\d+\) Sort", p, re.MULTILINE), p
+
+
+# --------------------------------------------------------- event gaps
+def test_event_gaps_python_recount(spark):
+    """sf0.001 replay: per-user (ms, event_id) sort, lag gaps, decimal-
+    digit buckets keyed by the LATER event's type, exact min/max."""
+    from documentai_ocr_spark.queries.relational import q_event_gaps
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ms = _epoch_ms(ev["ts"])
+    per: dict[int, list] = {}
+    for m, eid, et, uid in zip(
+        ms, ev["event_id"], ev["event_type"], ev["user_id"]
+    ):
+        per.setdefault(int(uid), []).append((int(m), int(eid), et))
+    want: dict[tuple, list] = {}
+    for rows in per.values():
+        rows.sort()
+        for (pm, _, _), (m, _, et) in zip(rows, rows[1:]):
+            gap = m - pm
+            k = (et, len(str(gap)))
+            a = want.setdefault(k, [0, gap, gap])
+            a[0] += 1
+            a[1] = min(a[1], gap)
+            a[2] = max(a[2], gap)
+    got = {
+        (r["event_type"], r["gap_digits"]): (
+            r["n"],
+            r["min_gap_ms"],
+            r["max_gap_ms"],
+        )
+        for r in q_event_gaps(spark, SF).collect()
+    }
+    assert got == {k: tuple(a) for k, a in want.items()} and len(got) > 0
+
+
+def test_event_gaps_bucket_edges(spark, tmp_path):
+    """Digit-bucket boundaries hand-pinned: gaps of 9 vs 10 ms land in
+    buckets 1 vs 2; a zero gap (two events in the same ms, ordered by
+    event_id) is bucket 1; the first event of each user produces no
+    gap; users never leak gaps into each other."""
+    from documentai_ocr_spark.queries.relational import q_event_gaps
+
+    base = 1_000_000_000
+    rows = [
+        # user 1: events at base, +9, +19 -> gaps 9 (b1) and 10 (b2)
+        (1, 1, base, "a"),
+        (2, 1, base + 9, "a"),
+        (3, 1, base + 19, "b"),
+        # user 2: two events in the SAME ms -> gap 0, bucket 1
+        (4, 2, base, "a"),
+        (5, 2, base, "a"),
+    ]
+    pdf = pd.DataFrame(
+        [
+            (eid, uid, pd.Timestamp(m, unit="ms"), et, 0.0, "{}")
+            for eid, uid, m, et in rows
+        ],
+        columns=["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+    d = str(tmp_path / "gaps")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r["event_type"], r["gap_digits"]): (
+            r["n"],
+            r["min_gap_ms"],
+            r["max_gap_ms"],
+        )
+        for r in q_event_gaps(spark, d).collect()
+    }
+    assert got == {
+        ("a", 1): (2, 0, 9),
+        ("b", 2): (1, 10, 10),
+    }
+
+
+# ----------------------------------------------------- reorder latency
+def test_reorder_latency_python_recount(spark):
+    """sf0.001 replay of the telescoped identity: mean consecutive gap
+    == span // (n-1) exactly, single-order customers excluded."""
+    from documentai_ocr_spark.queries.relational import q_reorder_latency
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    ms = _epoch_ms(o["o_orderdate"])
+    per: dict[int, list] = {}
+    for ck, m in zip(o["o_custkey"], ms):
+        a = per.setdefault(int(ck), [0, m, m])
+        a[0] += 1
+        a[1] = min(a[1], m)
+        a[2] = max(a[2], m)
+    want = {}
+    for ck, (n, lo, hi) in per.items():
+        if n >= 2:
+            span = (hi - lo) // 86400000
+            want[ck] = (n, int(span), int(1000 * span // (n - 1)))
+    got = {
+        r["o_custkey"]: (
+            r["n_orders"],
+            r["span_days"],
+            r["mean_gap_milli_days"],
+        )
+        for r in q_reorder_latency(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+    # the telescoping identity really does equal the mean of the
+    # consecutive gaps for one explicitly sorted customer
+    ck = next(iter(want))
+    days = sorted(
+        int(m) // 86400000
+        for c, m in zip(o["o_custkey"], ms)
+        if int(c) == ck
+    )
+    gaps = [b - a for a, b in zip(days, days[1:])]
+    assert sum(gaps) == days[-1] - days[0]
+
+
+def test_reorder_latency_fixture(spark, tmp_path):
+    """Hand numbers: orders on days 0, 10, 30 -> span 30, mean gap 15
+    exactly (15000 milli); a single-order customer is absent."""
+    from documentai_ocr_spark.queries.relational import q_reorder_latency
+
+    def day(d):
+        return pd.Timestamp(d * 86400000, unit="ms")
+
+    pdf = pd.DataFrame(
+        [
+            (1, 7, day(0)),
+            (2, 7, day(10)),
+            (3, 7, day(30)),
+            (4, 8, day(5)),
+        ],
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    d = str(tmp_path / "reorder")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/orders.parquet")
+    got = {
+        r["o_custkey"]: (
+            r["n_orders"],
+            r["span_days"],
+            r["mean_gap_milli_days"],
+        )
+        for r in q_reorder_latency(spark, d).collect()
+    }
+    assert got == {7: (3, 30, 15000)}
+
+
+# ----------------------------------------------------- tool stationary
+def test_stationary_hand_derived_chains():
+    """Two hand-solvable chains: the self-looping a (P=[[.75,.25],[1,0]])
+    has the closed form π = (0.8, 0.2); a chain whose only edge is
+    a→c makes c dangling (uniform redistribution row), closed form
+    π = (1/3, 2/3)."""
+    from documentai_ocr_spark.queries.relational import stationary_dist
+
+    pi = stationary_dist([("a", "a", 3), ("a", "b", 1), ("b", "a", 1)])
+    assert abs(pi["a"] - 0.8) < 1e-9 and abs(pi["b"] - 0.2) < 1e-9
+
+    pi2 = stationary_dist([("a", "c", 1)])
+    assert abs(pi2["a"] - 1 / 3) < 1e-9 and abs(pi2["c"] - 2 / 3) < 1e-9
+
+
+def test_tool_stationary_replay_and_fixed_point(spark):
+    """The operator's output equals the spec applied to the collected
+    transition matrix EXACTLY, sums to 1, satisfies πP = π to 1e-10,
+    and n_out matches the per-tool out-edge totals."""
+    import numpy as np
+
+    from documentai_ocr_spark.queries import QUERIES
+    from documentai_ocr_spark.queries.relational import (
+        q_tool_transitions,
+        stationary_dist,
+    )
+
+    trans = [
+        (r["prev_tool"], r["next_tool"], int(r["n"]))
+        for r in q_tool_transitions(spark, SF).collect()
+    ]
+    want = stationary_dist(trans)
+    rows = QUERIES["x_tool_stationary"](spark, SF).collect()
+    got = {r["tool"]: r["stationary"] for r in rows}
+    assert got == want  # same float64 pipeline -> exact equality
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+    tools = sorted(got)
+    idx = {t: i for i, t in enumerate(tools)}
+    k = len(tools)
+    c = np.zeros((k, k))
+    n_out = {t: 0 for t in tools}
+    for a, b, n in trans:
+        c[idx[a], idx[b]] += n
+        n_out[a] += n
+    rows_sum = c.sum(axis=1)
+    p = np.where(
+        rows_sum[:, None] > 0,
+        c / np.where(rows_sum[:, None] > 0, rows_sum[:, None], 1),
+        1.0 / k,
+    )
+    pi = np.array([got[t] for t in tools])
+    assert np.abs(pi @ p - pi).sum() < 1e-10
+    assert {r["tool"]: r["n_out"] for r in rows} == n_out
+
+
+# -------------------------------------------------- growth accounting
+def test_growth_accounting_fixture(spark, tmp_path):
+    """Hand-pinned timeline: user A active on days {0,1,3} → new@0,
+    retained@1, churned@2 (the gap), resurrected@3, churned@4 (the
+    tail); user B active only on day 1 → new@1, churned@2. Every cell
+    of the per-day matrix is asserted."""
+    from documentai_ocr_spark.queries.relational import q_growth_accounting
+
+    def ts(day):
+        return pd.Timestamp(day * 86400000 + 1000, unit="ms")
+
+    rows = [(1, ts(0)), (1, ts(1)), (1, ts(3)), (2, ts(1))]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    d = str(tmp_path / "growth")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r["day"], r["klass"]): r["n"]
+        for r in q_growth_accounting(spark, d).collect()
+    }
+    assert got == {
+        (0, "new"): 1,
+        (1, "retained"): 1,
+        (1, "new"): 1,
+        (2, "churned"): 2,
+        (3, "resurrected"): 1,
+        (4, "churned"): 1,
+    }
+
+
+def test_growth_accounting_replay_and_identities(spark):
+    """sf0.001 replay in pure Python, plus the accounting identities
+    that make the decomposition trustworthy: for every day,
+    new + retained + resurrected == DAU, and retained + churned ==
+    yesterday's DAU."""
+    from documentai_ocr_spark.queries.relational import q_growth_accounting
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = _epoch_ms(ev["ts"]) // 86400000
+    per: dict[int, set] = {}
+    for uid, d in zip(ev["user_id"], day):
+        per.setdefault(int(uid), set()).add(int(d))
+    want: dict[tuple, int] = {}
+
+    def bump(k):
+        want[k] = want.get(k, 0) + 1
+
+    for ds in per.values():
+        days = sorted(ds)
+        for i, d in enumerate(days):
+            if i == 0:
+                bump((d, "new"))
+            elif d == days[i - 1] + 1:
+                bump((d, "retained"))
+            else:
+                bump((d, "resurrected"))
+            if i == len(days) - 1 or days[i + 1] > d + 1:
+                bump((d + 1, "churned"))
+    got = {
+        (r["day"], r["klass"]): r["n"]
+        for r in q_growth_accounting(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+    dau: dict[int, int] = {}
+    for ds in per.values():
+        for d in ds:
+            dau[d] = dau.get(d, 0) + 1
+    all_days = range(min(dau), max(dau) + 2)
+    for d in all_days:
+        active = (
+            got.get((d, "new"), 0)
+            + got.get((d, "retained"), 0)
+            + got.get((d, "resurrected"), 0)
+        )
+        assert active == dau.get(d, 0), d
+        assert got.get((d, "retained"), 0) + got.get(
+            (d, "churned"), 0
+        ) == dau.get(d - 1, 0), d
+
+
+def test_growth_accounting_plan(spark):
+    """Two exchanges only (the calendar-bounded user rollup and the
+    O(days×classes) count); the oracle's lag/lead windows and the
+    day-level self-join never materialize."""
+    from documentai_ocr_spark.queries.relational import q_growth_accounting
+    from planutil import n_exchanges, plan
+
+    p = plan(q_growth_accounting(spark, SF))
+    assert n_exchanges(p) == 2, p
+    assert "Window" not in p and "Join" not in p, p

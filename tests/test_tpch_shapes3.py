@@ -204,3 +204,204 @@ def test_priority_shipclass_band_edges(spark, tmp_path):
     # order 1 is URGENT (high): 1 kept line; order 2 LOW: 1 kept line;
     # order 3 HIGH: 1 kept line under flag N.
     assert got == {"A": (1, 1), "N": (1, 0)}
+
+
+# ----------------------------------------- min-cost supplier (Q2 shape)
+def _mcs_python(li, s, n):
+    from documentai_ocr_spark.queries.relational import _MCS_REGION
+
+    region_sup = {
+        int(sk): nm
+        for sk, nk, nm in zip(s["s_suppkey"], s["s_nationkey"], s["s_name"])
+        if int(
+            n.loc[n["n_nationkey"] == nk, "n_regionkey"].iloc[0]
+        ) == _MCS_REGION
+    }
+    pc: dict[tuple, int] = {}
+    for pk, sk, ep, dc in zip(
+        li["l_partkey"], li["l_suppkey"], li["l_extendedprice"], li["l_discount"]
+    ):
+        if int(sk) not in region_sup:
+            continue
+        import math
+
+        c = int(math.floor(float(ep) * 100)) * (
+            100 - int(math.floor(float(dc) * 100))
+        )
+        k = (int(pk), int(sk))
+        pc[k] = min(pc.get(k, c), c)
+    want = {}
+    for pk in {k[0] for k in pc}:
+        quotes = {sk: c for (p, sk), c in pc.items() if p == pk}
+        best = min(quotes.values())
+        sk = min(s for s, c in quotes.items() if c == best)
+        want[pk] = (sk, region_sup[sk], best, len(quotes))
+    return want
+
+
+def test_min_cost_supplier_replay_sf0001(spark):
+    """Full sf0.001 replay in exact integers: the per-part argmin, the
+    smallest-suppkey tie-break, the region prune and the quote count."""
+    from documentai_ocr_spark.queries.relational import q_min_cost_supplier
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    want = _mcs_python(li, s, n)
+    got = {
+        r["p_partkey"]: (
+            r["s_suppkey"],
+            r["s_name"],
+            r["cost_e4"],
+            r["n_suppliers"],
+        )
+        for r in q_min_cost_supplier(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_min_cost_supplier_fixture_branches(spark, tmp_path):
+    """Every rewrite branch on an engineered fixture: an OUT-OF-REGION
+    supplier quoting 100× cheaper is invisible (region prune before the
+    fact); two in-region suppliers with the IDENTICAL exact-e4 cost tie
+    to the smaller suppkey; n_suppliers counts region quotes only; a
+    supplier's cost is the MIN over its own lines (s2's 50.00 line
+    beats its 80.00 line on part 200)."""
+    from documentai_ocr_spark.queries.relational import q_min_cost_supplier
+
+    n = pd.DataFrame(
+        [(30, "inreg", 3), (31, "outreg", 0)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    s = pd.DataFrame(
+        [(1, "s1", 30, 0.0), (2, "s2", 30, 0.0), (9, "s9", 31, 0.0)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    li = pd.DataFrame(
+        [
+            # part 100: s1 and s2 tie at exactly 100.00 / 0% = 1_000_000
+            (100, 1, 100.0, 0.0),
+            (100, 2, 100.0, 0.0),
+            # out-of-region s9 is 100x cheaper — must be invisible
+            (100, 9, 1.0, 0.0),
+            # part 200: s2 only; min over its own two lines, 5% discount
+            (200, 2, 80.0, 0.0),
+            (200, 2, 50.0, 0.05),
+        ],
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    d = str(tmp_path / "mcs")
+    spark.createDataFrame(n).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(s).write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(li).write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        r["p_partkey"]: (
+            r["s_suppkey"],
+            r["s_name"],
+            r["cost_e4"],
+            r["n_suppliers"],
+        )
+        for r in q_min_cost_supplier(spark, d).collect()
+    }
+    assert got == {
+        100: (1, "s1", 100_00 * 100, 2),
+        200: (2, "s2", 50_00 * 95, 1),
+    }
+
+
+def test_min_cost_supplier_plan(spark):
+    """One fact exchange ((part, supp) rollup) + one aggregate-sized
+    exchange (per-part argmin); every join is broadcast — no
+    SortMergeJoin, no correlated-subquery self-join materializes."""
+    from documentai_ocr_spark.queries.relational import q_min_cost_supplier
+    from planutil import n_exchanges, plan
+
+    p = plan(q_min_cost_supplier(spark, SF))
+    assert n_exchanges(p) == 2, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+# ---------------------------------------- dominant suppliers (Q20 shape)
+def test_dominant_suppliers_replay_sf0001(spark):
+    """Full sf0.001 replay: windowed exact-integer qty rollup, strict
+    cross-multiplied majority cut, count + max integer-milli share."""
+    from documentai_ocr_spark.queries.relational import (
+        _DOM_HI,
+        _DOM_LO,
+        q_dominant_suppliers,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    s = pd.read_parquet(f"{SF}/supplier.parquet")
+    lo, hi = pd.Timestamp(_DOM_LO), pd.Timestamp(_DOM_HI)
+    w = li[(li["l_shipdate"] >= lo) & (li["l_shipdate"] < hi)]
+    ps: dict[tuple, int] = {}
+    for pk, sk, q in zip(w["l_partkey"], w["l_suppkey"], w["l_quantity"]):
+        k = (int(pk), int(sk))
+        ps[k] = ps.get(k, 0) + int(q)
+    tot: dict[int, int] = {}
+    for (pk, _), q in ps.items():
+        tot[pk] = tot.get(pk, 0) + q
+    per: dict[int, list] = {}
+    for (pk, sk), q in ps.items():
+        if 2 * q > tot[pk]:
+            a = per.setdefault(sk, [0, 0])
+            a[0] += 1
+            a[1] = max(a[1], 1000 * q // tot[pk])
+    names = dict(zip(s["s_suppkey"].astype(int), s["s_name"]))
+    want = {sk: (names[sk], a[0], a[1]) for sk, a in per.items()}
+    got = {
+        r["s_suppkey"]: (r["s_name"], r["n_dominated"], r["max_share_milli"])
+        for r in q_dominant_suppliers(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dominant_suppliers_fixture_branches(spark, tmp_path):
+    """The strict boundary and the window prune, hand-pinned: a perfect
+    50/50 part dominates NOBODY (2·3 > 6 is false); a 4-vs-3 part makes
+    s1 dominant at exactly 571 milli; a single-supplier part is a
+    1000-milli domination; s1's enormous OUT-OF-WINDOW shipment for the
+    50/50 part must not flip it."""
+    from documentai_ocr_spark.queries.relational import q_dominant_suppliers
+
+    IN, OUT = pd.Timestamp("1996-06-01"), pd.Timestamp("1995-06-01")
+    li = pd.DataFrame(
+        [
+            # part 1: s1=4, s2=3 -> s1 dominates, 1000*4//7 = 571
+            (1, 1, 4.0, IN),
+            (1, 2, 3.0, IN),
+            # part 2: exact 50/50 -> nobody (strict >)
+            (2, 1, 3.0, IN),
+            (2, 2, 3.0, IN),
+            # ... and s1's out-of-window 100 units must not flip it
+            (2, 1, 100.0, OUT),
+            # part 3: single supplier -> 1000 milli
+            (3, 3, 5.0, IN),
+        ],
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+    s = pd.DataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 0, 0.0), (3, "s3", 0, 0.0)],
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    d = str(tmp_path / "dom")
+    spark.createDataFrame(li).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(s).write.parquet(f"{d}/supplier.parquet")
+    got = {
+        r["s_suppkey"]: (r["n_dominated"], r["max_share_milli"])
+        for r in q_dominant_suppliers(spark, d).collect()
+    }
+    assert got == {1: (1, 571), 3: (1, 1000)}
+
+
+def test_dominant_suppliers_window_pushdown(spark):
+    """The ship-date window reaches the parquet scan as pushed filters
+    (the fact is pruned BEFORE the rollup, not after)."""
+    from documentai_ocr_spark.queries.relational import q_dominant_suppliers
+    from planutil import plan
+
+    p = plan(q_dominant_suppliers(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "CartesianProduct" not in p, p
