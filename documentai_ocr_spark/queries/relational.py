@@ -5924,3 +5924,111 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.day").alias("day"), F.col("x.klass").alias("klass"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------- forecast backtest
+# The ops-side question every event warehouse answers weekly: does a
+# seasonal-naive forecast (same weekday last week, lag 7) beat the
+# last-day carry-forward (lag 1) on daily event counts? Scored as a
+# proper dense backtest: the day grid is DENSIFIED over the corpus
+# span (a day with no events is an actual of 0, not a skipped row —
+# skipping would flatter both baselines), errors are EXACT integer
+# count sums (MAE published as 1000·Σ|err| // n), and both baselines
+# score over the identical day set (day ≥ lo+7) so the verdict column
+# compares like with like. Scale: the per-(type, day) count rollup is
+# the only corpus exchange; the grid, lags and scoring run on
+# O(types × days) dims — calendar-bounded at any corpus size.
+@_q(
+    "q_forecast_backtest",
+    """
+    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
+                        AS lo,
+                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
+                        AS hi
+               FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, g.d AS day
+             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
+    c AS (SELECT event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM events GROUP BY 1, 2),
+    d AS (SELECT grid.event_type, grid.day, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c
+            ON grid.event_type = c.event_type AND grid.day = c.day),
+    s AS (SELECT event_type, day, n,
+                 lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS f7,
+                 lag(n, 1) OVER (PARTITION BY event_type ORDER BY day)
+                   AS f1
+          FROM d)
+    SELECT event_type,
+           CAST(COUNT(*) AS bigint) AS n_scored,
+           CAST(SUM(ABS(n - f7)) AS bigint) AS sae7,
+           CAST(1000 * SUM(ABS(n - f7)) // COUNT(*) AS bigint)
+             AS mae7_milli,
+           CAST(SUM(ABS(n - f1)) AS bigint) AS sae1,
+           CAST(1000 * SUM(ABS(n - f1)) // COUNT(*) AS bigint)
+             AS mae1_milli,
+           SUM(ABS(n - f7)) < SUM(ABS(n - f1)) AS seasonal_better
+    FROM s WHERE f7 IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: seasonal-naive (lag-7) vs carry-forward (lag-1)
+    daily-count backtest over the densified day grid — scored days,
+    exact absolute-error sums, integer-milli MAEs, and the
+    seasonal_better verdict. See family comment for the dense-grid
+    and exact-integer rules."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+    )
+    c = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
+        )
+    )
+    d = grid.join(c, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = d.select(
+        "event_type",
+        "n",
+        F.lag("n", 7).over(w).alias("f7"),
+        F.lag("n", 1).over(w).alias("f1"),
+    ).where(F.col("f7").isNotNull())
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("n") - F.col("f7")))
+        .cast("long")
+        .alias("sae7"),
+        F.expr("1000 * sum(abs(n - f7)) div count(1)")
+        .cast("long")
+        .alias("mae7_milli"),
+        F.sum(F.abs(F.col("n") - F.col("f1")))
+        .cast("long")
+        .alias("sae1"),
+        F.expr("1000 * sum(abs(n - f1)) div count(1)")
+        .cast("long")
+        .alias("mae1_milli"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("f7")))
+            < F.sum(F.abs(F.col("n") - F.col("f1")))
+        ).alias("seasonal_better"),
+    )

@@ -762,3 +762,93 @@ def test_growth_accounting_plan(spark):
     p = plan(q_growth_accounting(spark, SF))
     assert n_exchanges(p) == 2, p
     assert "Window" not in p and "Join" not in p, p
+
+
+# ---------------------------------------------------- forecast backtest
+def test_forecast_backtest_python_recount(spark):
+    """sf0.001 replay on the densified grid: per-type daily counts with
+    zeros filled across the corpus span, lag-7 and lag-1 absolute
+    errors summed exactly, both scored on the identical day set."""
+    from documentai_ocr_spark.queries.relational import q_forecast_backtest
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = _epoch_ms(ev["ts"]) // 86400000
+    lo, hi = int(day.min()), int(day.max())
+    cnt: dict[tuple, int] = {}
+    for et, d in zip(ev["event_type"], day):
+        cnt[(et, int(d))] = cnt.get((et, int(d)), 0) + 1
+    want = {}
+    for et in sorted({t for t, _ in cnt}):
+        series = [cnt.get((et, d), 0) for d in range(lo, hi + 1)]
+        scored = range(7, len(series))
+        sae7 = sum(abs(series[i] - series[i - 7]) for i in scored)
+        sae1 = sum(abs(series[i] - series[i - 1]) for i in scored)
+        n = len(list(scored))
+        want[et] = (
+            n,
+            sae7,
+            1000 * sae7 // n,
+            sae1,
+            1000 * sae1 // n,
+            sae7 < sae1,
+        )
+    got = {
+        r["event_type"]: (
+            r["n_scored"],
+            r["sae7"],
+            r["mae7_milli"],
+            r["sae1"],
+            r["mae1_milli"],
+            r["seasonal_better"],
+        )
+        for r in q_forecast_backtest(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_forecast_backtest_engineered_seasonality(spark, tmp_path):
+    """A corpus with perfect weekly seasonality (weekday pattern
+    repeats exactly) scores sae7 == 0 while the day-to-day deltas make
+    sae1 > 0 → seasonal_better; a constant series ties both at 0 (not
+    'better'); the DENSE grid is pinned by a type that skips days —
+    the zero days must score, not vanish."""
+    from documentai_ocr_spark.queries.relational import q_forecast_backtest
+
+    def ts(d):
+        return pd.Timestamp(d * 86400000 + 1000, unit="ms")
+
+    rows = []
+    eid = 0
+    # 'weekly': counts cycle [3,1,1,1,1,1,1] over 21 days
+    for d in range(21):
+        for _ in range(3 if d % 7 == 0 else 1):
+            rows.append((eid, ts(d), 1, "weekly", 0.0, "{}"))
+            eid += 1
+    # 'flat': one event every day
+    for d in range(21):
+        rows.append((eid, ts(d), 2, "flat", 0.0, "{}"))
+        eid += 1
+    # 'sparse': events only on days 0 and 20 -> dense zeros between
+    for d in (0, 20):
+        rows.append((eid, ts(d), 3, "sparse", 0.0, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = str(tmp_path / "fcst")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["event_type"]: r for r in q_forecast_backtest(spark, d).collect()
+    }
+    w = got["weekly"]
+    assert w["sae7"] == 0 and w["sae1"] > 0 and w["seasonal_better"]
+    f = got["flat"]
+    assert f["sae7"] == 0 and f["sae1"] == 0 and not f["seasonal_better"]
+    s = got["sparse"]
+    # dense grid: 14 scored days (7..20); day 7's f7 is day 0's count 1
+    # (|0-1|=1), day 20 is actual 1 vs f7 0 (|1-0|=1) -> sae7 == 2;
+    # lag-1 errors only at the day-20 step up (|1-0|=1) -> sae1 == 1
+    assert s["n_scored"] == 14
+    assert s["sae7"] == 2 and s["sae1"] == 1
+    assert not s["seasonal_better"]

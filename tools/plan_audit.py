@@ -47,6 +47,12 @@ BOUNDED_OK = {
         "the 1-row broadcast total dim — both sides are bounded "
         "post-aggregation dims, the same pattern as q_threshold_yield",
     ),
+    "q_forecast_backtest": (
+        "PRODUCT-JOIN",
+        "crossJoin of the 1-row broadcast (lo, hi) day-bounds dim onto "
+        "the O(types) dim to densify the day grid — scalar broadcast, "
+        "O(types × days) calendar-bounded fan-out",
+    ),
     "q_domain_reputation": (
         "PRODUCT-JOIN",
         "crossJoin of the 1-row broadcast corpus-quality anchor dim "
