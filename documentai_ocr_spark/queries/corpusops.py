@@ -2742,3 +2742,100 @@ def hll_estimate(regs: DataFrame, group_cols: list) -> DataFrame:
     return agg.select(
         *group_cols, F.round(est).cast("long").alias("hll_est")
     )
+
+# ------------------------------------------- mergeable quantile sketch
+# The sketch family's missing member: Bloom (membership), CMS (counts),
+# HLL (cardinality) — and now QUANTILES, as plain mergeable rows. The
+# built-in percentile_approx buffer is engine-internal (not
+# persistable, not mergeable across jobs — the same motivation as
+# hll_registers); these rows are. The bucketing is DDSketch's
+# relative-error-bounded idea, but the bucket rule is PURE
+# STRING/INTEGER arithmetic — a value keeps its first 3 significant
+# digits, the rest zeroed (4271 → 4270) — so bucketing is
+# bit-identical in Spark, DuckDB and Python (a float log() bucket
+# could straddle a ulp at bucket edges), the merge law is plain SUM
+# per (group, bucket), and the relative error is STRUCTURAL: ≤ 1/100
+# for values ≥ 1000 (bucket width over value ≤ 1/first-3-digits),
+# exact for values < 1000 (their own bucket), ≤ 900 live buckets per
+# decade per group. Readout is the deterministic inverted-CDF rule:
+# the bucket holding the ceil(q·n)-th smallest value.
+_QSK_BUCKET = (
+    "CASE WHEN length(cast({c} as string)) <= 3"
+    " THEN cast({c} as bigint)"
+    " ELSE cast(concat(substring(cast({c} as string), 1, 3),"
+    " repeat('0', length(cast({c} as string)) - 3)) as bigint) END"
+)
+
+
+def qsketch_rows(
+    df: DataFrame, col: str, group_cols: list
+) -> DataFrame:
+    """(group..., bucket, n) mergeable sketch rows for a non-negative
+    integer column — merge law: SUM of n per (group, bucket). See
+    family comment."""
+    b = F.expr(_QSK_BUCKET.format(c=col))
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@_q(
+    "q_quantile_sketch",
+    f"""
+    WITH r AS (SELECT source,
+                      {_QSK_BUCKET.format(c='n_chars')} AS bucket,
+                      CAST(COUNT(*) AS bigint) AS n
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(n) AS bigint) AS n_docs
+          FROM r GROUP BY 1),
+    c AS (SELECT source, bucket, n,
+                 SUM(n) OVER (PARTITION BY source ORDER BY bucket)
+                   AS cum
+          FROM r)
+    SELECT c.source, t.n_docs,
+           CAST(MIN(CASE WHEN c.cum >= (50 * t.n_docs + 99) // 100
+                         THEN c.bucket END) AS bigint) AS p50_est,
+           CAST(MIN(CASE WHEN c.cum >= (90 * t.n_docs + 99) // 100
+                         THEN c.bucket END) AS bigint) AS p90_est,
+           CAST(MIN(CASE WHEN c.cum >= (99 * t.n_docs + 99) // 100
+                         THEN c.bucket END) AS bigint) AS p99_est
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY 1, 2
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90/p99 of n_chars read out of the mergeable
+    3-significant-digit sketch rows — each estimate is the exact
+    BUCKET of the exact order statistic (pinned in tests), i.e. a
+    structural ≤1% relative error with no randomness and no float.
+
+    Scale — one corpus exchange builds the (source, bucket) rows
+    map-side-combined; totals, the cumulative scan and the readout
+    run on ≤900-buckets-per-decade dims (the per-source window is
+    sketch-sized, never data-sized)."""
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    r = qsketch_rows(docs, "n_chars", ["source"])
+    t = r.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = r.withColumn("cum", F.sum("n").over(w))
+    j = c.join(t, "source")
+
+    def est(q):
+        thr = F.expr(f"({q} * n_docs + 99) div 100")
+        return (
+            F.min(F.when(F.col("cum") >= thr, F.col("bucket")))
+            .cast("long")
+            .alias(f"p{q}_est")
+        )
+
+    return j.groupBy("source", "n_docs").agg(
+        est(50), est(90), est(99)
+    )

@@ -595,3 +595,93 @@ def test_hll_registers_accuracy_and_merge_law(spark):
         "hll_est"
     ]
     assert merged == est
+
+
+# ------------------------------------------- mergeable quantile sketch
+def test_qsketch_bucket_rule_and_exact_order_statistic(spark):
+    """sf0.001 replay: every published estimate equals the BUCKET of
+    the exact inverted-CDF order statistic (bucket(v*) where v* is the
+    ceil(q·n)-th smallest n_chars) — the strongest claim the sketch
+    makes — and therefore sits within the structural 1% relative
+    bound."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries import QUERIES
+
+    def bucket(v: int) -> int:
+        s = str(v)
+        return v if len(s) <= 3 else int(s[:3] + "0" * (len(s) - 3))
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per: dict[str, list] = {}
+    for src, n in zip(docs["source"], docs["n_chars"]):
+        per.setdefault(src, []).append(int(n))
+    got = {
+        r["source"]: r
+        for r in QUERIES["q_quantile_sketch"](spark, SF).collect()
+    }
+    assert set(got) == set(per)
+    for src, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        r = got[src]
+        assert r["n_docs"] == n
+        for q in (50, 90, 99):
+            vstar = vals[(q * n + 99) // 100 - 1]
+            est = r[f"p{q}_est"]
+            assert est == bucket(vstar), (src, q)
+            if vstar > 0:
+                assert abs(est - vstar) / vstar <= 0.01
+
+
+def test_qsketch_merge_law_exact(spark):
+    """Mergeability is plain SUM: sketch rows built from two halves of
+    the corpus, summed per (source, bucket), equal the whole-corpus
+    rows EXACTLY — the property percentile_approx's internal buffer
+    cannot offer across jobs."""
+    from documentai_ocr_spark.queries.corpusops import qsketch_rows
+    from documentai_ocr_spark.queries.util import load
+    import pyspark.sql.functions as F
+
+    docs = load(spark, SF, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    whole = {
+        (r["source"], r["bucket"]): r["n"]
+        for r in qsketch_rows(docs, "n_chars", ["source"]).collect()
+    }
+    a = qsketch_rows(
+        docs.where(F.col("doc_id") % 2 == 0), "n_chars", ["source"]
+    )
+    b = qsketch_rows(
+        docs.where(F.col("doc_id") % 2 == 1), "n_chars", ["source"]
+    )
+    merged: dict[tuple, int] = {}
+    for r in a.unionAll(b).collect():
+        k = (r["source"], r["bucket"])
+        merged[k] = merged.get(k, 0) + r["n"]
+    assert merged == whole
+
+
+def test_qsketch_hand_buckets(spark):
+    """The bucket rule on hand values: <1000 exact (0, 7, 999 are
+    their own buckets), 4271 → 4270, 123456 → 123000 — and a hand
+    corpus whose p50 lands exactly on a bucket boundary reads the
+    lower bucket edge."""
+    import pandas as pd
+
+    from documentai_ocr_spark.queries.corpusops import qsketch_rows
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 5,
+            "v": [0, 7, 999, 4271, 123456],
+        }
+    )
+    rows = {
+        (r["bucket"], r["n"])
+        for r in qsketch_rows(
+            spark.createDataFrame(pdf), "v", ["source"]
+        ).collect()
+    }
+    assert rows == {(0, 1), (7, 1), (999, 1), (4270, 1), (123000, 1)}

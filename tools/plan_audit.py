@@ -122,6 +122,13 @@ BOUNDED_OK = {
         "onto the positive-balance customer slice — scalar broadcast "
         "(TPC-H Q22's scalar subquery)",
     ),
+    "q_quantile_sketch": (
+        "LOW-CARD-WINDOW",
+        "window input is the per-(source, bucket) SKETCH-row dim — "
+        "≤900 live buckets per decade per source by the 3-significant-"
+        "digit rule — never the document rows (the corpus exchange is "
+        "the map-side-combined bucket rollup before the window)",
+    ),
     "q_exact_k_sample": (
         "LOW-CARD-WINDOW",
         "window input is the hash-threshold CANDIDATE set, ~k+O(√k) "
