@@ -2781,6 +2781,34 @@ def qsketch_rows(
     )
 
 
+def qsketch_quantiles(
+    rows: DataFrame, group_cols: list
+) -> DataFrame:
+    """(group..., bucket, n) sketch rows → per-group n_tot and the
+    p50/p90/p99 inverted-CDF bucket estimates. The window runs over
+    sketch-sized dims (≤900 live buckets per decade per group)."""
+    t = rows.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n_tot")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = rows.withColumn("cum", F.sum("n").over(w))
+    j = c.join(t, group_cols)
+
+    def est(q):
+        thr = F.expr(f"({q} * n_tot + 99) div 100")
+        return (
+            F.min(F.when(F.col("cum") >= thr, F.col("bucket")))
+            .cast("long")
+            .alias(f"p{q}_est")
+        )
+
+    return j.groupBy(*group_cols, "n_tot").agg(est(50), est(90), est(99))
+
+
 @_q(
     "q_quantile_sketch",
     f"""
@@ -2817,25 +2845,6 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-sized, never data-sized)."""
     docs = load(spark, sf_dir, "documents").select("source", "n_chars")
     r = qsketch_rows(docs, "n_chars", ["source"])
-    t = r.groupBy("source").agg(
-        F.sum("n").cast("long").alias("n_docs")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = r.withColumn("cum", F.sum("n").over(w))
-    j = c.join(t, "source")
-
-    def est(q):
-        thr = F.expr(f"({q} * n_docs + 99) div 100")
-        return (
-            F.min(F.when(F.col("cum") >= thr, F.col("bucket")))
-            .cast("long")
-            .alias(f"p{q}_est")
-        )
-
-    return j.groupBy("source", "n_docs").agg(
-        est(50), est(90), est(99)
+    return qsketch_quantiles(r, ["source"]).withColumnRenamed(
+        "n_tot", "n_docs"
     )

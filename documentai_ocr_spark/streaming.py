@@ -786,3 +786,59 @@ def hll_dau_read_current(spark: SparkSession, output_dir: str) -> DataFrame:
     return hll_estimate(regs, ["day"]).withColumnRenamed(
         "hll_est", "dau_est"
     )
+
+
+# --------------------------------------- streaming quantile maintainer
+def stream_quantile_sketch(spark: SparkSession, output_dir: str):
+    """Exactly-once streaming per-day VALUE-QUANTILE maintenance on the
+    mergeable 3-significant-digit sketch rows (corpusops.qsketch_rows):
+    each micro-batch reduces to its ≤ days × buckets sketch rows and
+    writes them under its batch_id partition with dynamic overwrite —
+    a retried batch replaces itself (the CMS replace-only guarantee;
+    the merge law is SUM, so unlike the HLL MAX a double-delivery
+    under a NEW batch id would double-count — exactly-once comes from
+    the checkpointed batch_id, not from idempotent algebra). The
+    current per-day p50/p90/p99 is quantile_read_current: SUM-merge
+    the batch partitions, then the shared inverted-CDF readout —
+    never a rescan of the stream. Values enter as non-negative
+    integer cents (floor(value·100)); day is the physical-epoch-ms
+    rule shared with q_dau_wau.
+
+    Returns the foreachBatch sink (expects ``ts`` and ``value``)."""
+    from .queries.corpusops import qsketch_rows
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        e = batch_df.select(
+            F.expr(
+                "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+                " as bigint)"
+            ).alias("day"),
+            F.expr("cast(floor(value * 100) as bigint)").alias("vc"),
+        )
+        (
+            qsketch_rows(e, "vc", ["day"])
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{output_dir}/qsk")
+        )
+
+    return sink
+
+
+def quantile_read_current(
+    spark: SparkSession, output_dir: str
+) -> DataFrame:
+    """Per-day value percentiles as of now: SUM-merge the per-batch
+    sketch rows (O(batches × days × buckets) — never the stream),
+    then the shared readout (corpusops.qsketch_quantiles)."""
+    from .queries.corpusops import qsketch_quantiles
+
+    rows = (
+        spark.read.parquet(f"{output_dir}/qsk")
+        .groupBy("day", "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return qsketch_quantiles(rows, ["day"])

@@ -966,3 +966,105 @@ def test_stream_hll_dau_exactly_once_and_merge(spark, tmp_path_factory):
     # re-delivered registers are dominated by what is already there
     sink(ev, 999)
     assert snapshot() == got
+
+
+def test_stream_quantile_sketch_exactly_once_and_merge_exact(
+    spark, tmp_path_factory
+):
+    """The streaming quantile maintainer: after the drain, the
+    SUM-merged per-day p50/p90/p99 equal the batch-built whole-corpus
+    sketch readout EXACTLY (merge law end to end — and each estimate
+    is the bucket of the exact order statistic of the day's cent
+    values); replaying a batch's sink call under its own batch_id
+    replaces the partition instead of double-counting."""
+    from documentai_ocr_spark.queries.corpusops import (
+        qsketch_quantiles,
+        qsketch_rows,
+    )
+    from documentai_ocr_spark.streaming import (
+        extract_stream_writer,
+        quantile_read_current,
+        stream_quantile_sketch,
+    )
+
+    base = tmp_path_factory.mktemp("qsk")
+    ind, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(5).write.parquet(ind)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ind)
+    )
+    sink = stream_quantile_sketch(spark, out)
+    q = (
+        extract_stream_writer(src, sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "quantile drain did not finish"
+
+    def snap(df):
+        return {
+            r["day"]: (r["n_tot"], r["p50_est"], r["p90_est"], r["p99_est"])
+            for r in df.collect()
+        }
+
+    got = snap(quantile_read_current(spark, out))
+    e = ev.select(
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("vc"),
+    )
+    want = snap(qsketch_quantiles(qsketch_rows(e, "vc", ["day"]), ["day"]))
+    assert got == want and len(got) > 0
+
+    # the estimates really are the exact order statistics' buckets
+    import pandas as pd
+
+    pev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    day = pev["ts"].astype("int64") // 1000 // 86400000
+    per: dict[int, list] = {}
+    for d, v in zip(day, pev["value"]):
+        import math
+
+        per.setdefault(int(d), []).append(int(math.floor(v * 100)))
+
+    def bucket(v):
+        s = str(v)
+        return v if len(s) <= 3 else int(s[:3] + "0" * (len(s) - 3))
+
+    for d, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        for q100, est in zip((50, 90, 99), got[d][1:]):
+            assert est == bucket(vals[(q100 * n + 99) // 100 - 1]), d
+
+    # retry: re-invoking the sink twice with the same batch_id leaves
+    # exactly one copy of that subset in the partition
+    sink(ev.limit(41), 0)
+    sink(ev.limit(41), 0)
+    batches = spark.read.parquet(f"{out}/qsk")
+    per0 = {
+        (r["day"], r["bucket"]): r["n"]
+        for r in batches.where(F.col("batch_id") == 0)
+        .groupBy("day", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    e41 = ev.limit(41).select(
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("vc"),
+    )
+    want41 = {
+        (r["day"], r["bucket"]): r["n"]
+        for r in qsketch_rows(e41, "vc", ["day"]).collect()
+    }
+    assert per0 == want41
