@@ -6032,3 +6032,127 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.sum(F.abs(F.col("n") - F.col("f1")))
         ).alias("seasonal_better"),
     )
+
+
+# ------------------------------------------------- CUSUM changepoint
+# "When did this metric change level?" — the classic CUSUM
+# changepoint on daily event counts, EXACT: the statistic
+# G_k = |S_k·N − k·S| (the cumulative sum's deviation from the
+# uniform ramp, cleared of divisions by cross-multiplication) is pure
+# integer arithmetic, the argmax tie-breaks to the earliest day, and
+# the two segment means publish as exact integer milli. Runs on the
+# DENSIFIED day grid (q_forecast_backtest's rule — missing days are
+# zeros, and a silent skip would shift every k). Scale: the
+# per-(type, day) rollup is the only corpus exchange; prefix sums and
+# the argmax run on O(types × days) calendar-bounded dims.
+@_q(
+    "q_changepoint",
+    """
+    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
+                        AS lo,
+                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
+                        AS hi
+               FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, g.d AS day
+             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
+    c AS (SELECT event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM events GROUP BY 1, 2),
+    d AS (SELECT grid.event_type, grid.day, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c
+            ON grid.event_type = c.event_type AND grid.day = c.day),
+    p AS (SELECT event_type, day, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY day)
+                   AS sk,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS k,
+                 SUM(n) OVER (PARTITION BY event_type) AS s,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nd
+          FROM d),
+    g AS (SELECT event_type, day, k, sk, s, nd,
+                 ABS(sk * nd - k * s) AS gstat
+          FROM p WHERE k < nd),
+    mx AS (SELECT event_type, MAX(gstat) AS mg FROM g GROUP BY 1),
+    best AS (SELECT g.event_type, MIN(g.day) AS split_day
+             FROM g JOIN mx
+               ON g.event_type = mx.event_type AND g.gstat = mx.mg
+             GROUP BY 1)
+    SELECT g.event_type, g.day AS split_day,
+           CAST(g.gstat AS bigint) AS g_stat,
+           CAST(1000 * g.sk // g.k AS bigint) AS mean_before_milli,
+           CAST(1000 * (g.s - g.sk) // (g.nd - g.k) AS bigint)
+             AS mean_after_milli
+    FROM g JOIN best
+      ON g.event_type = best.event_type AND g.day = best.split_day
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the CUSUM-argmax split day (level change ends
+    that day; earliest day on ties), the exact integer statistic, and
+    the exact milli means of the two segments. See family comment —
+    the oracle's IN-subquery argmax is a max(struct(gstat, −day))
+    aggregate here."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+    )
+    c = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
+        )
+    )
+    d = grid.join(c, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    p = d.select(
+        "event_type",
+        "day",
+        F.sum("n").over(wo).alias("sk"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("n").over(wa).alias("s"),
+        F.count(F.lit(1)).over(wa).alias("nd"),
+    ).where(F.col("k") < F.col("nd"))
+    g = p.withColumn(
+        "gstat", F.abs(F.col("sk") * F.col("nd") - F.col("k") * F.col("s"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("gstat").alias("g"), (-F.col("day")).alias("nd_")
+        )
+    )
+    picked = g.groupBy("event_type").agg(
+        best.alias("_b"),
+    )
+    return (
+        g.join(picked, "event_type")
+        .where(
+            (F.col("gstat") == F.col("_b.g"))
+            & (F.col("day") == -F.col("_b.nd_"))
+        )
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("gstat").cast("long").alias("g_stat"),
+            F.expr("1000 * sk div k").cast("long").alias(
+                "mean_before_milli"
+            ),
+            F.expr("1000 * (s - sk) div (nd - k)")
+            .cast("long")
+            .alias("mean_after_milli"),
+        )
+    )

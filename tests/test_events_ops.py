@@ -852,3 +852,80 @@ def test_forecast_backtest_engineered_seasonality(spark, tmp_path):
     assert s["n_scored"] == 14
     assert s["sae7"] == 2 and s["sae1"] == 1
     assert not s["seasonal_better"]
+
+
+# ------------------------------------------------- CUSUM changepoint
+def test_changepoint_engineered_level_shift(spark, tmp_path):
+    """A hand series of 10 days at 1 then 10 days at 5: the CUSUM
+    argmax lands exactly on the last low day (k=10: |10·20−10·60| =
+    400, strictly above every other split), means read exactly
+    1000/5000 milli; a CONSTANT series has gstat 0 everywhere and the
+    tie-break picks the EARLIEST day."""
+    from documentai_ocr_spark.queries.relational import q_changepoint
+
+    def ts(d):
+        return pd.Timestamp(d * 86400000 + 1000, unit="ms")
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        for _ in range(1 if d < 10 else 5):
+            rows.append((eid, ts(d), 1, "shift", 0.0, "{}"))
+            eid += 1
+    for d in range(20):
+        rows.append((eid, ts(d), 2, "const", 0.0, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    d = str(tmp_path / "cp")
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    got = {r["event_type"]: r for r in q_changepoint(spark, d).collect()}
+    s = got["shift"]
+    assert s["split_day"] == 9 and s["g_stat"] == 400
+    assert s["mean_before_milli"] == 1000
+    assert s["mean_after_milli"] == 5000
+    c = got["const"]
+    assert c["g_stat"] == 0 and c["split_day"] == 0
+
+
+def test_changepoint_python_recount(spark):
+    """sf0.001 replay on the densified grid: exact integer CUSUM per
+    type, argmax with earliest-day ties, exact milli segment means."""
+    from documentai_ocr_spark.queries.relational import q_changepoint
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = _epoch_ms(ev["ts"]) // 86400000
+    lo, hi = int(day.min()), int(day.max())
+    cnt: dict[tuple, int] = {}
+    for et, d in zip(ev["event_type"], day):
+        cnt[(et, int(d))] = cnt.get((et, int(d)), 0) + 1
+    want = {}
+    for et in sorted({t for t, _ in cnt}):
+        series = [cnt.get((et, d), 0) for d in range(lo, hi + 1)]
+        nd, s = len(series), sum(series)
+        best = None
+        sk = 0
+        for k in range(1, nd):
+            sk += series[k - 1]
+            g = abs(sk * nd - k * s)
+            if best is None or g > best[0]:
+                best = (g, lo + k - 1, sk, k)
+        g, dday, sk, k = best
+        want[et] = (
+            dday,
+            g,
+            1000 * sk // k,
+            1000 * (s - sk) // (nd - k),
+        )
+    got = {
+        r["event_type"]: (
+            r["split_day"],
+            r["g_stat"],
+            r["mean_before_milli"],
+            r["mean_after_milli"],
+        )
+        for r in q_changepoint(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0

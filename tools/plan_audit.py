@@ -53,6 +53,12 @@ BOUNDED_OK = {
         "the O(types) dim to densify the day grid — scalar broadcast, "
         "O(types × days) calendar-bounded fan-out",
     ),
+    "q_changepoint": (
+        "PRODUCT-JOIN",
+        "same densify pattern as q_forecast_backtest: crossJoin of the "
+        "1-row broadcast (lo, hi) day-bounds dim onto the O(types) dim "
+        "— scalar broadcast, O(types × days) calendar-bounded fan-out",
+    ),
     "q_domain_reputation": (
         "PRODUCT-JOIN",
         "crossJoin of the 1-row broadcast corpus-quality anchor dim "
