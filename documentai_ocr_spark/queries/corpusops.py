@@ -2848,3 +2848,84 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles(r, ["source"]).withColumnRenamed(
         "n_tot", "n_docs"
     )
+
+
+# ---------------------------------------------------------- skyline
+# The Pareto frontier of "long AND clean" documents per source —
+# maximize (n_chars, purity_milli) where purity is the exact integer
+# 1000·alnum_chars div n_chars. The classic 2-D skyline needs no
+# quadratic dominance test: collapse to one row per (source, n_chars)
+# keeping the best purity at that length (any lower purity at the
+# same length is dominated by it), then a single descending-length
+# scan keeps exactly the points whose purity strictly exceeds the
+# running max over all LONGER lengths. The oracle is the textbook
+# quadratic NOT-EXISTS dominance query over the same collapsed dim,
+# so the gate is a proof that the linear scan computes the skyline.
+# Scale: one corpus exchange builds the (source, n_chars) collapse
+# map-side-combined; the ordered scan runs on the per-source
+# distinct-length dim — bounded by the document-length value domain
+# (≤ max doc length), never corpus-sized.
+@_q(
+    "q_skyline_docs",
+    """
+    WITH d AS (SELECT source, CAST(n_chars AS bigint) AS x,
+                      CAST(1000 * length(regexp_replace(text,
+                             '[^a-zA-Z0-9]', '', 'g')) // n_chars
+                           AS bigint) AS y
+               FROM documents WHERE n_chars > 0),
+    g1 AS (SELECT source, x, y, CAST(COUNT(*) AS bigint) AS cnt
+           FROM d GROUP BY 1, 2, 3),
+    g2 AS (SELECT source, x, MAX(y) AS ymax FROM g1 GROUP BY 1, 2),
+    g3 AS (SELECT g2.source, g2.x, g2.ymax, g1.cnt
+           FROM g2 JOIN g1 ON g1.source = g2.source
+                          AND g1.x = g2.x AND g1.y = g2.ymax)
+    SELECT a.source, a.x AS n_chars, a.ymax AS purity_milli,
+           a.cnt AS n_docs
+    FROM g3 a
+    WHERE NOT EXISTS (SELECT 1 FROM g2 b
+                      WHERE b.source = a.source AND b.x > a.x
+                        AND b.ymax >= a.ymax)
+    """,
+)
+def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 2-D skyline on (n_chars, purity_milli): the
+    non-dominated (length, best-purity) points with the count of
+    documents sitting exactly on each point. See family comment —
+    linear descending scan vs the oracle's quadratic NOT EXISTS."""
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0).select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.expr(
+            "cast(1000 * length(regexp_replace(text, '[^a-zA-Z0-9]', ''))"
+            " div n_chars as bigint)"
+        ).alias("y"),
+    )
+    g1 = d.groupBy("source", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    g2 = g1.groupBy("source", "x").agg(
+        F.max(F.struct(F.col("y").alias("y"), F.col("cnt").alias("c"))).alias(
+            "_b"
+        )
+    ).select(
+        "source",
+        "x",
+        F.col("_b.y").alias("ymax"),
+        F.col("_b.c").alias("cnt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = F.max("ymax").over(w)
+    return (
+        g2.withColumn("_rm", run)
+        .where(F.col("_rm").isNull() | (F.col("ymax") > F.col("_rm")))
+        .select(
+            "source",
+            F.col("x").alias("n_chars"),
+            F.col("ymax").alias("purity_milli"),
+            F.col("cnt").alias("n_docs"),
+        )
+    )

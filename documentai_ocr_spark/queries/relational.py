@@ -6156,3 +6156,350 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_after_milli"),
         )
     )
+
+
+# ----------------------------------------------- weekly seasonality
+# "How weekly IS this metric?" — the day-of-week decomposition of
+# daily event counts, EXACT end to end: dev_milli is the L1 distance
+# between the dow-sum mix and the dow-day mix, Σ_d |N·s_d − n_d·S|
+# cleared of divisions by cross-multiplication (the q_changepoint
+# rule) and published as 1000·Σ|…| div (N·S) ∈ [0, 2000); peak and
+# trough day-of-week are argmax/argmin over the exact integer milli
+# means (ties break to the smaller dow — a tie AT milli precision is
+# a tie in the published statistic, so the break is deterministic in
+# both engines). Runs on the DENSIFIED day grid (q_forecast_backtest's
+# rule — a skipped empty day would inflate every dow mean and skew
+# n_d). dow = day % 7 on the epoch day number (dow 0 = Thursday;
+# pure integer arithmetic, no calendar-library divergence between
+# engines). Scale: the per-(type, day) rollup is the only corpus
+# exchange; the dow rollup and the argmax run on O(types × 7)
+# calendar-bounded dims.
+@_q(
+    "q_dow_seasonality",
+    """
+    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
+                        AS lo,
+                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
+                        AS hi
+               FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, g.d AS day
+             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
+    c AS (SELECT event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM events GROUP BY 1, 2),
+    d AS (SELECT grid.event_type, grid.day,
+                 grid.day % 7 AS dow,
+                 COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c
+            ON grid.event_type = c.event_type AND grid.day = c.day),
+    w AS (SELECT event_type, dow,
+                 CAST(COUNT(*) AS bigint) AS nd,
+                 CAST(SUM(n) AS bigint) AS sd
+          FROM d GROUP BY 1, 2),
+    tot AS (SELECT event_type,
+                   CAST(SUM(nd) AS bigint) AS ndays,
+                   CAST(SUM(sd) AS bigint) AS s
+            FROM w GROUP BY 1),
+    m AS (SELECT w.event_type, w.dow, w.nd, w.sd, tot.ndays, tot.s,
+                 CAST(1000 * w.sd // w.nd AS bigint) AS mean_milli
+          FROM w JOIN tot ON w.event_type = tot.event_type)
+    SELECT event_type,
+           MAX(ndays) AS n_days,
+           MAX(s) AS total,
+           CAST(1000 * SUM(ABS(ndays * sd - nd * s)) // (MAX(ndays)
+                * MAX(s)) AS bigint) AS dev_milli,
+           CAST(MAX_BY(dow, mean_milli * 8 + (7 - dow)) AS bigint)
+             AS peak_dow,
+           MAX(mean_milli) AS peak_mean_milli,
+           CAST(MIN_BY(dow, mean_milli * 8 + dow) AS bigint)
+             AS trough_dow,
+           MIN(mean_milli) AS trough_mean_milli
+    FROM m GROUP BY event_type
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: n_days, total events, the exact L1 uniformity
+    deviation of the day-of-week mix in milli, and the peak/trough
+    day-of-week with their exact milli mean daily counts. See family
+    comment for the cross-multiplication and dense-grid rules; the
+    oracle's MAX_BY/MIN_BY(struct) argmax mirrors the engine's
+    max(struct(mean_milli, −dow))."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+    )
+    c = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
+        )
+    )
+    d = grid.join(c, ["event_type", "day"], "left").select(
+        "event_type",
+        (F.col("day") % 7).alias("dow"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    w = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("sd"),
+    )
+    wa = Window.partitionBy("event_type")
+    m = w.select(
+        "event_type",
+        "dow",
+        "nd",
+        "sd",
+        F.sum("nd").over(wa).alias("ndays"),
+        F.sum("sd").over(wa).alias("s"),
+    ).withColumn(
+        "mean_milli", F.expr("1000 * sd div nd").cast("long")
+    )
+    return m.groupBy("event_type").agg(
+        F.max("ndays").alias("n_days"),
+        F.max("s").alias("total"),
+        F.expr(
+            "cast(1000 * sum(abs(ndays * sd - nd * s))"
+            " div (max(ndays) * max(s)) as bigint)"
+        ).alias("dev_milli"),
+        F.expr("max_by(dow, mean_milli * 8 + (7 - dow))")
+        .cast("long")
+        .alias("peak_dow"),
+        F.max("mean_milli").alias("peak_mean_milli"),
+        F.expr("min_by(dow, mean_milli * 8 + dow)")
+        .cast("long")
+        .alias("trough_dow"),
+        F.min("mean_milli").alias("trough_mean_milli"),
+    )
+
+
+# ------------------------------------------------- autocorrelation
+# "Does yesterday (or last week) predict today?" — lag-1 and lag-7
+# Pearson autocorrelation of the densified daily count series per
+# event type, the q_ols_per_source numeric discipline: six exact
+# bigint sums per (type, lag), then r² as ONE double expression over
+# the bigints (both engines perform the identical IEEE ops before the
+# single round-6), sign published separately from the exact integer
+# covariance numerator so the directional claim never rests on a
+# float. Constant series ⇒ zero variance ⇒ r² NULL via nullif.
+# Scale: the per-(type, day) rollup is the only corpus exchange; the
+# lag window and sums run on the O(types × days) calendar-bounded
+# dim (the q_forecast_backtest shape).
+@_q(
+    "q_autocorr",
+    """
+    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
+                        AS lo,
+                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
+                        AS hi
+               FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, g.d AS day
+             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
+    c AS (SELECT event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM events GROUP BY 1, 2),
+    d AS (SELECT grid.event_type, grid.day, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c
+            ON grid.event_type = c.event_type AND grid.day = c.day),
+    l AS (SELECT event_type, day, n,
+                 LAG(n, 1) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS l1,
+                 LAG(n, 7) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS l7
+          FROM d),
+    p AS (SELECT event_type, 1 AS lag, n AS y, l1 AS x FROM l
+          WHERE l1 IS NOT NULL
+          UNION ALL
+          SELECT event_type, 7 AS lag, n AS y, l7 AS x FROM l
+          WHERE l7 IS NOT NULL),
+    s AS (SELECT event_type, CAST(lag AS bigint) AS lag,
+                 CAST(COUNT(*) AS bigint) AS np,
+                 CAST(SUM(x) AS bigint) AS sx,
+                 CAST(SUM(y) AS bigint) AS sy,
+                 CAST(SUM(x * y) AS bigint) AS sxy,
+                 CAST(SUM(x * x) AS bigint) AS sxx,
+                 CAST(SUM(y * y) AS bigint) AS syy
+          FROM p GROUP BY 1, 2)
+    SELECT event_type, lag, np AS n_pairs,
+           CAST(np * sxy - sx * sy AS bigint) AS cov_num,
+           CAST(CASE WHEN np * sxy - sx * sy > 0 THEN 1
+                     WHEN np * sxy - sx * sy < 0 THEN -1
+                     ELSE 0 END AS bigint) AS r_sign,
+           ROUND(CAST(np * sxy - sx * sy AS double)
+                 * (np * sxy - sx * sy)
+                 / NULLIF((np * sxx - sx * sx)
+                          * CAST(np * syy - sy * sy AS double), 0),
+                 6) AS r2
+    FROM s
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event type, lag ∈ {1, 7}): pair count, exact integer
+    covariance numerator and its sign, and round-6 r² of the daily
+    count series against its own lag. See family comment — one double
+    expression, exact bigint sums, nullif on the zero-variance
+    denominator."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+    )
+    c = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
+        )
+    )
+    d = grid.join(c, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(wo).alias("l1"),
+        F.lag("n", 7).over(wo).alias("l7"),
+    )
+    p = lagged.select(
+        "event_type",
+        F.expr("stack(2, 1, l1, 7, l7)").alias("lag", "x"),
+        F.col("n").alias("y"),
+    ).where(F.col("x").isNotNull())
+    s = p.groupBy("event_type", F.col("lag").cast("long").alias("lag")).agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_type",
+        "lag",
+        F.col("np").alias("n_pairs"),
+        num.cast("long").alias("cov_num"),
+        F.when(num > 0, F.lit(1))
+        .when(num < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r_sign"),
+        F.round(
+            num.cast("double")
+            * num
+            / F.expr(
+                "nullif((np * sxx - sx * sx)"
+                " * cast(np * syy - sy * sy as double), 0)"
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------- Benford screen
+# The classic fabricated-numbers audit: the first significant digit
+# of order totals against Benford's law. Digits come from the CENTS
+# integer (cast(floor(o_totalprice * 100)) — floor() is the same
+# IEEE op in both engines, where a bare double→bigint cast would
+# truncate in Spark but round in DuckDB), so the digit extraction is
+# pure integer/string arithmetic. The Benford expectation log10(1 +
+# 1/d) is irrational — it enters as the FIXED milli constant table
+# [301, 176, 125, 97, 79, 67, 58, 51, 46] indexed in-row (no join),
+# and every published column is an exact integer: per-digit counts,
+# 1000·c div n shares, |share − benford| deviations, and the corpus
+# L1 total replicated per row. Scale: one 9-bucket map-side-combined
+# aggregation is the only exchange; the 1-row total dim joins back
+# as a scalar broadcast (the q_key_skew pattern).
+@_q(
+    "q_benford",
+    """
+    WITH c AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100)
+                             AS bigint) AS varchar), 1, 1) AS bigint)
+                        AS digit,
+                      CAST(COUNT(*) AS bigint) AS n
+               FROM orders
+               WHERE FLOOR(o_totalprice * 100) >= 1
+               GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS bigint) AS total FROM c),
+    m AS (SELECT c.digit, c.n, tot.total,
+                 CAST(1000 * c.n // tot.total AS bigint)
+                   AS share_milli,
+                 ([301, 176, 125, 97, 79, 67, 58, 51, 46])[c.digit]
+                   AS benford_milli
+          FROM c, tot)
+    SELECT digit, n, share_milli,
+           CAST(benford_milli AS bigint) AS benford_milli,
+           CAST(ABS(share_milli - benford_milli) AS bigint)
+             AS dev_milli,
+           CAST(SUM(ABS(share_milli - benford_milli)) OVER ()
+                AS bigint) AS l1_total_milli
+    FROM m
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law: 9
+    rows of exact integer counts, milli shares, per-digit deviation,
+    and the corpus L1 total. See family comment for the floor-cents
+    rule and the fixed milli constant table."""
+    cents = F.expr("cast(floor(o_totalprice * 100) as bigint)")
+    c = (
+        load(spark, sf_dir, "orders")
+        .where(F.expr("floor(o_totalprice * 100) >= 1"))
+        .select(
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    m = c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.expr("cast(1000 * n div total as bigint)").alias("share_milli"),
+        F.expr(
+            "element_at(array(301, 176, 125, 97, 79, 67, 58, 51, 46),"
+            " cast(digit as int))"
+        )
+        .cast("long")
+        .alias("benford_milli"),
+    )
+    # the L1 total runs over the ≤9-row digit dim — a bounded window
+    return m.select(
+        "digit",
+        "n",
+        "share_milli",
+        "benford_milli",
+        F.abs(F.col("share_milli") - F.col("benford_milli"))
+        .cast("long")
+        .alias("dev_milli"),
+        F.sum(F.abs(F.col("share_milli") - F.col("benford_milli")))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("l1_total_milli"),
+    )

@@ -59,6 +59,33 @@ BOUNDED_OK = {
         "1-row broadcast (lo, hi) day-bounds dim onto the O(types) dim "
         "— scalar broadcast, O(types × days) calendar-bounded fan-out",
     ),
+    "q_dow_seasonality": (
+        "PRODUCT-JOIN",
+        "the q_forecast_backtest densify pattern: crossJoin of the "
+        "1-row broadcast (lo, hi) day-bounds dim onto the O(types) dim "
+        "— O(types × days) calendar-bounded fan-out; the per-type "
+        "window runs on the 7-rows-per-type dow dim",
+    ),
+    "q_autocorr": (
+        "PRODUCT-JOIN",
+        "the q_forecast_backtest densify pattern: crossJoin of the "
+        "1-row broadcast (lo, hi) day-bounds dim — the lag window and "
+        "sums run on the O(types × days) calendar-bounded dim",
+    ),
+    "q_benford": (
+        ("PRODUCT-JOIN", "EMPTY-WINDOW"),
+        "crossJoin of the ONE-ROW broadcast digit-total dim (the "
+        "q_key_skew scalar-broadcast pattern); the global L1 window "
+        "runs over the ≤9-row digit frame post-aggregation",
+    ),
+    "q_skyline_docs": (
+        "LOW-CARD-WINDOW",
+        "the descending-length scan runs on the per-source DISTINCT-"
+        "n_chars dim — bounded by the document-length value domain "
+        "(≤ max doc length), never corpus-sized; the corpus-sized "
+        "work is the map-side-combined (source, n_chars, purity) "
+        "collapse before it",
+    ),
     "q_domain_reputation": (
         "PRODUCT-JOIN",
         "crossJoin of the 1-row broadcast corpus-quality anchor dim "
