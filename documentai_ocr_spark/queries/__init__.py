@@ -102,6 +102,12 @@ ROWS_ONLY = {
         "iterative PageRank over the near-dup graph — pinned against "
         "numpy (tests/test_simsearch.py)"
     ),
+    "x_kcore": (
+        "iterative peeling fixpoint — not expressible in DuckDB's "
+        "monotone recursive CTEs; gated by closed-form kernel graphs "
+        "(K4, star, wheel, chain) and a whole-corpus python peeling "
+        "replay (tests/test_kcore.py)"
+    ),
     "x_bloom_dedup": _SKETCH_GATED,
     "x_cms_heavyhitters": _SKETCH_GATED,
     "x_hll_cardinality": _SKETCH_GATED,

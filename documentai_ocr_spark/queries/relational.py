@@ -5927,6 +5927,64 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------- forecast backtest
+# ------------------------------------------- densified daily series
+# Shared core of the time-series family (q_forecast_backtest,
+# q_changepoint, q_dow_seasonality, q_autocorr): the per-type daily
+# count series DENSIFIED over the corpus day span — a day with no
+# events is an actual of 0, not a skipped row (a silent skip would
+# flatter forecasts, shift every CUSUM index and bias the dow mix).
+# One rendering on each side so the four gates all prove the same
+# grid: the SQL CTE chain below ends at `d(event_type, day, n)`, and
+# dense_daily_counts() is the DataFrame twin. Scale: the per-(type,
+# day) rollup is the only corpus exchange; the grid is the 1-row
+# broadcast (lo, hi) bounds dim crossJoined onto the O(types) dim —
+# O(types × days), calendar-bounded at any corpus size.
+_DENSE_DAILY_CTE = """
+    b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
+                   AS lo,
+                 CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
+                   AS hi
+          FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, g.d AS day
+             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
+    c AS (SELECT event_type,
+                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM events GROUP BY 1, 2),
+    d AS (SELECT grid.event_type, grid.day, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c
+            ON grid.event_type = c.event_type AND grid.day = c.day)"""
+
+
+def dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n) — the densified per-type daily count
+    series over the corpus day span. See family comment."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+    )
+    c = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
+        )
+    )
+    return grid.join(c, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
 # The ops-side question every event warehouse answers weekly: does a
 # seasonal-naive forecast (same weekday last week, lag 7) beat the
 # last-day carry-forward (lag 1) on daily event counts? Scored as a
@@ -5940,22 +5998,8 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(types × days) dims — calendar-bounded at any corpus size.
 @_q(
     "q_forecast_backtest",
-    """
-    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
-                        AS lo,
-                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
-                        AS hi
-               FROM events),
-    t AS (SELECT DISTINCT event_type FROM events),
-    grid AS (SELECT t.event_type, g.d AS day
-             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
-    c AS (SELECT event_type,
-                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
-                 CAST(COUNT(*) AS bigint) AS n
-          FROM events GROUP BY 1, 2),
-    d AS (SELECT grid.event_type, grid.day, COALESCE(c.n, 0) AS n
-          FROM grid LEFT JOIN c
-            ON grid.event_type = c.event_type AND grid.day = c.day),
+    f"""
+    WITH {_DENSE_DAILY_CTE},
     s AS (SELECT event_type, day, n,
                  lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
                    AS f7,
@@ -5981,31 +6025,7 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact absolute-error sums, integer-milli MAEs, and the
     seasonal_better verdict. See family comment for the dense-grid
     and exact-integer rules."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr(
-            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
-            " as bigint)"
-        ).alias("day"),
-    )
-    c = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    bounds = ev.agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
-    )
-    grid = (
-        c.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
-        )
-    )
-    d = grid.join(c, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
-    )
+    d = dense_daily_counts(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     s = d.select(
         "event_type",
@@ -6047,22 +6067,8 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the argmax run on O(types × days) calendar-bounded dims.
 @_q(
     "q_changepoint",
-    """
-    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
-                        AS lo,
-                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
-                        AS hi
-               FROM events),
-    t AS (SELECT DISTINCT event_type FROM events),
-    grid AS (SELECT t.event_type, g.d AS day
-             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
-    c AS (SELECT event_type,
-                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
-                 CAST(COUNT(*) AS bigint) AS n
-          FROM events GROUP BY 1, 2),
-    d AS (SELECT grid.event_type, grid.day, COALESCE(c.n, 0) AS n
-          FROM grid LEFT JOIN c
-            ON grid.event_type = c.event_type AND grid.day = c.day),
+    f"""
+    WITH {_DENSE_DAILY_CTE},
     p AS (SELECT event_type, day, n,
                  SUM(n) OVER (PARTITION BY event_type ORDER BY day)
                    AS sk,
@@ -6094,29 +6100,7 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact milli means of the two segments. See family comment —
     the oracle's IN-subquery argmax is a max(struct(gstat, −day))
     aggregate here."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr(
-            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
-            " as bigint)"
-        ).alias("day"),
-    )
-    c = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    grid = (
-        c.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
-        )
-    )
-    d = grid.join(c, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
-    )
+    d = dense_daily_counts(spark, sf_dir)
     wo = Window.partitionBy("event_type").orderBy("day")
     wa = Window.partitionBy("event_type")
     p = d.select(
@@ -6176,25 +6160,9 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # calendar-bounded dims.
 @_q(
     "q_dow_seasonality",
-    """
-    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
-                        AS lo,
-                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
-                        AS hi
-               FROM events),
-    t AS (SELECT DISTINCT event_type FROM events),
-    grid AS (SELECT t.event_type, g.d AS day
-             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
-    c AS (SELECT event_type,
-                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
-                 CAST(COUNT(*) AS bigint) AS n
-          FROM events GROUP BY 1, 2),
-    d AS (SELECT grid.event_type, grid.day,
-                 grid.day % 7 AS dow,
-                 COALESCE(c.n, 0) AS n
-          FROM grid LEFT JOIN c
-            ON grid.event_type = c.event_type AND grid.day = c.day),
-    w AS (SELECT event_type, dow,
+    f"""
+    WITH {_DENSE_DAILY_CTE},
+    w AS (SELECT event_type, day % 7 AS dow,
                  CAST(COUNT(*) AS bigint) AS nd,
                  CAST(SUM(n) AS bigint) AS sd
           FROM d GROUP BY 1, 2),
@@ -6226,30 +6194,8 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment for the cross-multiplication and dense-grid rules; the
     oracle's MAX_BY/MIN_BY(struct) argmax mirrors the engine's
     max(struct(mean_milli, −dow))."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr(
-            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
-            " as bigint)"
-        ).alias("day"),
-    )
-    c = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    grid = (
-        c.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
-        )
-    )
-    d = grid.join(c, ["event_type", "day"], "left").select(
-        "event_type",
-        (F.col("day") % 7).alias("dow"),
-        F.coalesce("n", F.lit(0)).alias("n"),
+    d = dense_daily_counts(spark, sf_dir).select(
+        "event_type", (F.col("day") % 7).alias("dow"), "n"
     )
     w = d.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
@@ -6298,22 +6244,8 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dim (the q_forecast_backtest shape).
 @_q(
     "q_autocorr",
-    """
-    WITH b AS (SELECT CAST(epoch_ms(MIN(ts)) // 86400000 AS bigint)
-                        AS lo,
-                      CAST(epoch_ms(MAX(ts)) // 86400000 AS bigint)
-                        AS hi
-               FROM events),
-    t AS (SELECT DISTINCT event_type FROM events),
-    grid AS (SELECT t.event_type, g.d AS day
-             FROM t, b, unnest(generate_series(b.lo, b.hi)) g(d)),
-    c AS (SELECT event_type,
-                 CAST(epoch_ms(ts) // 86400000 AS bigint) AS day,
-                 CAST(COUNT(*) AS bigint) AS n
-          FROM events GROUP BY 1, 2),
-    d AS (SELECT grid.event_type, grid.day, COALESCE(c.n, 0) AS n
-          FROM grid LEFT JOIN c
-            ON grid.event_type = c.event_type AND grid.day = c.day),
+    f"""
+    WITH {_DENSE_DAILY_CTE},
     l AS (SELECT event_type, day, n,
                  LAG(n, 1) OVER (PARTITION BY event_type
                                  ORDER BY day) AS l1,
@@ -6352,29 +6284,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     count series against its own lag. See family comment — one double
     expression, exact bigint sums, nullif on the zero-variance
     denominator."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr(
-            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
-            " as bigint)"
-        ).alias("day"),
-    )
-    c = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    grid = (
-        c.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.expr("sequence(lo, hi)")).alias("day"),
-        )
-    )
-    d = grid.join(c, ["event_type", "day"], "left").select(
-        "event_type", "day", F.coalesce("n", F.lit(0)).alias("n")
-    )
+    d = dense_daily_counts(spark, sf_dir)
     wo = Window.partitionBy("event_type").orderBy("day")
     lagged = d.select(
         "event_type",

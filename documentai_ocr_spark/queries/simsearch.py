@@ -2292,3 +2292,89 @@ def q_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("closure_milli"),
     )
+
+
+# ------------------------------------------------ k-core decomposition
+# The last graph-cohesion grain after components (who merges),
+# triangles (who closes) and closure (how clique-like): WHERE in a
+# component each document sits. A chain-merged mega-component has a
+# dense true-dup nucleus and a fringe of single-link attachments; the
+# k-core level (3 = survives 3-core peeling, 2 = 2-core, 1 = edge but
+# no cycle support) separates nucleus from fringe, which is exactly
+# the keep/re-review split a dedup reviewer wants inside a big
+# component. Peeling — repeatedly deleting every vertex of degree
+# < k — yields the unique maximal k-core regardless of deletion
+# order, so the simultaneous-deletion rounds below compute the same
+# set a sequential peel would. Scale: every round is one edge-sized
+# degree aggregation plus two semi-joins on the (doc_a, doc_b) pair
+# table — never corpus-sized; rounds are bounded by the peeling
+# depth (a path peels 2 vertices per round per end, so the cap is
+# generous-but-loud, the min_label_components discipline).
+_KCORE_MAX_ROUNDS = 100
+
+
+def kcore_vertices(edges: DataFrame, k: int) -> DataFrame:
+    """(doc_a, doc_b) edge table → (v) vertices of the maximal
+    k-core. Iterative simultaneous peeling; see family comment."""
+    e = edges.select("doc_a", "doc_b").localCheckpoint()
+    prev = None
+    for _ in range(_KCORE_MAX_ROUNDS):
+        deg = (
+            e.select(F.col("doc_a").alias("v"))
+            .unionAll(e.select(F.col("doc_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("v").localCheckpoint()
+        n = keep.count()
+        if n == 0:
+            return keep
+        if prev is not None and n == prev:
+            return keep
+        prev = n
+        e = (
+            e.join(
+                keep.withColumnRenamed("v", "doc_a"), "doc_a", "left_semi"
+            )
+            .join(
+                keep.withColumnRenamed("v", "doc_b"), "doc_b", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"kcore_vertices: no convergence in {_KCORE_MAX_ROUNDS} rounds"
+    )
+
+
+@_q("x_kcore")  # iterative peeling fixpoint — replay-gated in tests
+def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, core_level) for every vertex of the hamming≤8 simhash
+    near-dup graph: 3 = in the 3-core, 2 = 2-core only, 1 = edge but
+    peeled from every 2-core. Edge set is exactly
+    q_simhash_pairs_banded's. See family comment."""
+    edges = q_simhash_pairs_banded(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    c2 = kcore_vertices(edges, 2).withColumnRenamed("v", "doc_id")
+    c3 = kcore_vertices(edges, 3).withColumnRenamed("v", "doc_id")
+    return (
+        verts.join(
+            c2.withColumn("_in2", F.lit(1)), "doc_id", "left"
+        )
+        .join(c3.withColumn("_in3", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.lit(1)
+                + F.coalesce("_in2", F.lit(0))
+                + F.coalesce("_in3", F.lit(0))
+            )
+            .cast("long")
+            .alias("core_level"),
+        )
+    )
