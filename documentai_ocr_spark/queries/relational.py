@@ -29,7 +29,7 @@ from ..rules import (
     HYST_EXIT as _R_HYST_EXIT,
     MIN_LINE_LEN as _R_MIN_LINE_LEN,
 )
-from .util import inrow_pairs_expr, load, spread
+from .util import inrow_pairs_expr, load, spread, topk_by_count
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -6412,4 +6412,170 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy())
         .cast("long")
         .alias("l1_total_milli"),
+    )
+
+
+# ------------------------------------------------- session pathing
+# "Given where a session starts, where does it go?" — the funnel-
+# discovery complement to q_funnel's fixed-order scoring: sessions
+# are segmented by the SAME 30-minute gap rule as q_sessionize (one
+# constant, one rendering per engine), each session's first ≤5 event
+# types join into a '>' path under the deterministic (ms, event_id)
+# order, and the top-10 paths per entry type rank through the
+# digit-bucketed topk_by_count pruner (oracle = the plain whole-
+# partition rank window, so the gate again proves pruning
+# rank-preserving). Scale: one user_id exchange serves the session
+# windows; collect_list is session-bounded; the path-count dim is
+# value-domain-bounded (≤ types^5 distinct paths) and the rank
+# window only ever sees the pruned head.
+@_q(
+    "q_session_paths",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_ms
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, event_type, ms,
+             CAST(SUM(CASE WHEN prev_ms IS NULL
+                           OR ms - prev_ms > {_SESSION_GAP_MS}
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bigint) AS session_id
+      FROM s
+    ), p AS (
+      SELECT user_id, session_id,
+             (list(event_type ORDER BY ms, event_id))[1] AS entry,
+             array_to_string((list(event_type ORDER BY ms,
+                                   event_id))[1:5], '>') AS path
+      FROM r GROUP BY 1, 2
+    ), c AS (
+      SELECT entry, path, CAST(COUNT(*) AS bigint) AS n_sessions
+      FROM p GROUP BY 1, 2
+    )
+    SELECT entry, path, n_sessions, CAST(rnk AS bigint) AS rnk
+    FROM (SELECT entry, path, n_sessions,
+                 ROW_NUMBER() OVER (PARTITION BY entry
+                   ORDER BY n_sessions DESC, path ASC) AS rnk
+          FROM c)
+    WHERE rnk <= 10
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session paths (first ≤5 event types, '>'-joined) per
+    entry event type, with session counts and ranks. See family
+    comment — q_sessionize's gap rule, topk_by_count's pruner."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ordw = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    s = ev.withColumn("ms", ms).withColumn(
+        "prev_ms", F.lag("ms").over(ordw)
+    )
+    new_sess = F.when(
+        F.col("prev_ms").isNull()
+        | ((F.col("ms") - F.col("prev_ms")) > _SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    r = s.withColumn(
+        "session_id",
+        F.sum(new_sess)
+        .over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ms").alias("ms"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("et"),
+            )
+        )
+    )
+    p = r.groupBy("user_id", "session_id").agg(arr.alias("a")).select(
+        F.element_at("a", 1)["et"].alias("entry"),
+        F.array_join(
+            F.transform(F.slice("a", 1, 5), lambda x: x["et"]), ">"
+        ).alias("path"),
+    )
+    c = p.groupBy("entry", "path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    return topk_by_count(
+        c, ["entry"], ["path"], 10, cnt_col="n_sessions"
+    ).select("entry", "path", "n_sessions", F.col("rnk").cast("long"))
+
+
+# --------------------------------------------- lang×source coupling
+# "Are languages spread evenly across sources, or does each source
+# own its own languages?" — the independence audit on the documents
+# contingency table, EXACT: per cell the signed leverage
+# O·N − R·C (observed×total minus the row×column product — positive
+# = over-represented), and the corpus association as the total
+# variation distance between the joint and the product of marginals,
+# TVD = Σ|O·N − R·C| / (2·N²), published as exact integer milli via
+# cross-multiplication (the q_dow_seasonality rule; fits bigint up
+# to N ≈ 2·10⁹ documents since Σ|·| ≤ 2·N²). TVD 0 = independent;
+# k equal-mass monolingual sources read 1000·(1 − 1/k), approaching
+# 1000 as the block-diagonal grows. Scale: the
+# cell rollup is the only corpus exchange; marginals broadcast back
+# onto the O(langs × sources) cell dim (NOT a per-lang window — the
+# q_mean_filter agg+broadcast remedy), and the corpus TVD is a
+# global window over that same bounded cell dim.
+@_q(
+    "q_lang_source_assoc",
+    """
+    WITH o AS (SELECT lang, source, CAST(COUNT(*) AS bigint) AS n
+               FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(SUM(n) AS bigint) AS rt FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(n) AS bigint) AS ct FROM o GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS bigint) AS total FROM o),
+    m AS (SELECT r.lang, c.source, COALESCE(o.n, 0) AS n,
+                 r.rt, c.ct, t.total,
+                 COALESCE(o.n, 0) * t.total - r.rt * c.ct AS leverage
+          FROM r CROSS JOIN c CROSS JOIN t
+          LEFT JOIN o ON o.lang = r.lang AND o.source = c.source)
+    SELECT lang, source, n, CAST(leverage AS bigint) AS leverage,
+           CAST(1000 * SUM(ABS(leverage)) OVER ()
+                // (2 * total * total) AS bigint) AS tvd_milli
+    FROM m
+    """,
+)
+def q_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) cell of the DENSIFIED langs × sources grid
+    (an absent combination is O = 0 with leverage −R·C — dropping it
+    would understate the TVD and hide exactly the 'source X has no
+    lang-Y docs at all' cells a mix reviewer wants): document count,
+    exact signed leverage O·N − R·C, and the corpus TVD-from-
+    independence in milli replicated per row. See family comment."""
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = o.groupBy("lang").agg(F.sum("n").cast("long").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("n").cast("long").alias("ct"))
+    t = o.agg(F.sum("n").cast("long").alias("total"))
+    m = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(t))
+        .join(o, ["lang", "source"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn(
+            "leverage",
+            (F.col("n") * F.col("total") - F.col("rt") * F.col("ct"))
+            .cast("long"),
+        )
+    )
+    return m.select(
+        "lang",
+        "source",
+        "n",
+        "leverage",
+        F.expr(
+            "cast(1000 * sum(abs(leverage)) over ()"
+            " div (2 * total * total) as bigint)"
+        ).alias("tvd_milli"),
     )

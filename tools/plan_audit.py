@@ -78,6 +78,13 @@ BOUNDED_OK = {
         "q_key_skew scalar-broadcast pattern); the global L1 window "
         "runs over the ≤9-row digit frame post-aggregation",
     ),
+    "q_lang_source_assoc": (
+        ("PRODUCT-JOIN", "EMPTY-WINDOW", "LOW-CARD-WINDOW"),
+        "the langs-dim × sources-dim × 1-row-total crossJoin densifies "
+        "the contingency grid — all post-aggregation dims (the "
+        "q_forecast_backtest densify shape); the global TVD window "
+        "runs over the same O(langs × sources) cell dim",
+    ),
     "q_skyline_docs": (
         "LOW-CARD-WINDOW",
         "the descending-length scan runs on the per-source DISTINCT-"
