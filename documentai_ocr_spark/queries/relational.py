@@ -6579,3 +6579,89 @@ def q_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * total * total) as bigint)"
         ).alias("tvd_milli"),
     )
+
+
+# ------------------------------------------------------- SLO burn
+# The on-call question over the event stream: what share of events
+# errored each day, and is the trailing-7-day burn over budget? Runs
+# on the DENSIFIED day grid (the time-series family rule): totals
+# are the cross-type daily sum, the error series is the 'error'
+# type's row, both exact integers, and the trailing window publishes
+# its own day count so a partial window can never silently pass as a
+# full one (breach requires window_days = 7 AND burn over SLO — a
+# 3-day-old corpus reports burn but never breaches). SLO is the
+# fixed 250-milli error-share budget. Scale: the per-(type, day)
+# rollup is the only corpus exchange; the global day series and its
+# trailing window are calendar-bounded dims.
+_SLO_MILLI = 250
+
+
+@_q(
+    "q_slo_burn",
+    f"""
+    WITH {_DENSE_DAILY_CTE},
+    g AS (SELECT day,
+                 CAST(SUM(n) AS bigint) AS total,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN n
+                               ELSE 0 END) AS bigint) AS err
+          FROM d GROUP BY 1),
+    w AS (SELECT day, total, err,
+                 CAST(SUM(total) OVER (ORDER BY day ROWS BETWEEN
+                   6 PRECEDING AND CURRENT ROW) AS bigint) AS tot7,
+                 CAST(SUM(err) OVER (ORDER BY day ROWS BETWEEN
+                   6 PRECEDING AND CURRENT ROW) AS bigint) AS err7,
+                 CAST(COUNT(*) OVER (ORDER BY day ROWS BETWEEN
+                   6 PRECEDING AND CURRENT ROW) AS bigint)
+                   AS window_days
+          FROM g)
+    SELECT day, total, err,
+           CAST(CASE WHEN total > 0 THEN 1000 * err // total
+                     ELSE 0 END AS bigint) AS err_milli,
+           window_days,
+           CAST(CASE WHEN tot7 > 0 THEN 1000 * err7 // tot7
+                     ELSE 0 END AS bigint) AS burn7_milli,
+           (window_days = 7 AND tot7 > 0
+            AND 1000 * err7 // tot7 > {_SLO_MILLI}) AS breach
+    FROM w
+    """,
+)
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: totals, errors, exact milli error share, the
+    trailing-7-day burn with its window size, and the breach verdict
+    (full window AND burn over the 250-milli SLO). See
+    family comment."""
+    d = dense_daily_counts(spark, sf_dir)
+    g = d.groupBy("day").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("err"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w = g.select(
+        "day",
+        "total",
+        "err",
+        F.sum("total").over(w7).cast("long").alias("tot7"),
+        F.sum("err").over(w7).cast("long").alias("err7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("window_days"),
+    )
+    return w.select(
+        "day",
+        "total",
+        "err",
+        F.when(F.col("total") > 0, F.expr("1000 * err div total"))
+        .otherwise(0)
+        .cast("long")
+        .alias("err_milli"),
+        "window_days",
+        F.when(F.col("tot7") > 0, F.expr("1000 * err7 div tot7"))
+        .otherwise(0)
+        .cast("long")
+        .alias("burn7_milli"),
+        (
+            (F.col("window_days") == 7)
+            & (F.col("tot7") > 0)
+            & (F.expr("1000 * err7 div tot7") > _SLO_MILLI)
+        ).alias("breach"),
+    )

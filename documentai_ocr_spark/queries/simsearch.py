@@ -2378,3 +2378,120 @@ def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("core_level"),
         )
     )
+
+
+# ------------------------------------------------ dedup yield curve
+# "If we tightened (or loosened) the near-dup threshold, how much
+# would we delete?" — the threshold-sensitivity table a curation
+# review reads before committing a dedup pass: for every hamming
+# cutoff h ≤ the production threshold, the cumulative pair count and
+# the cumulative count of documents touched by ≥1 pair. Engine
+# expands each banded pair once per threshold it satisfies (edge-
+# sized × ≤9 — never corpus-sized) and distincts (h, doc) for the
+# doc counts; the ORACLE derives the same curve from the all-pairs
+# SQL, so the gate simultaneously re-proves banded completeness at
+# EVERY threshold, not just the production one.
+@_q(
+    "q_dedup_yield_curve",
+    f"""
+    WITH p AS ({_DEDUP_SIMHASH_PAIRS_SQL}),
+    th AS (SELECT g.h, p.doc_a, p.doc_b
+           FROM p, unnest(generate_series(0, 8)) g(h)
+           WHERE p.hamming <= g.h),
+    pc AS (SELECT h, CAST(COUNT(*) AS bigint) AS n_pairs_cum
+           FROM th GROUP BY 1),
+    dc AS (SELECT h, CAST(COUNT(DISTINCT d) AS bigint) AS n_docs_cum
+           FROM (SELECT h, doc_a AS d FROM th
+                 UNION SELECT h, doc_b FROM th)
+           GROUP BY 1)
+    SELECT CAST(g.h AS bigint) AS hamming_max,
+           COALESCE(pc.n_pairs_cum, 0) AS n_pairs_cum,
+           COALESCE(dc.n_docs_cum, 0) AS n_docs_cum
+    FROM unnest(generate_series(0, 8)) g(h)
+    LEFT JOIN pc ON pc.h = g.h
+    LEFT JOIN dc ON dc.h = g.h
+    """,
+)
+def q_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hamming cutoff 0..8: cumulative near-dup pairs and
+    documents touched. See family comment — the gate re-proves banded
+    completeness at every threshold."""
+    from .dedup import _SIMHASH_HAMMING_MAX
+
+    p = q_simhash_pairs_banded(spark, sf_dir).select(
+        "doc_a", "doc_b", "hamming"
+    )
+    th = p.select(
+        F.explode(
+            F.expr(f"sequence(hamming, {_SIMHASH_HAMMING_MAX})")
+        ).alias("h"),
+        "doc_a",
+        "doc_b",
+    )
+    pc = th.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_cum")
+    )
+    dc = (
+        th.select("h", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_cum"))
+    )
+    grid = spark.range(0, _SIMHASH_HAMMING_MAX + 1).select(
+        F.col("id").cast("long").alias("hamming_max")
+    )
+    return (
+        grid.join(pc.withColumnRenamed("h", "hamming_max"), "hamming_max", "left")
+        .join(dc.withColumnRenamed("h", "hamming_max"), "hamming_max", "left")
+        .select(
+            "hamming_max",
+            F.coalesce("n_pairs_cum", F.lit(0)).cast("long").alias(
+                "n_pairs_cum"
+            ),
+            F.coalesce("n_docs_cum", F.lit(0)).cast("long").alias(
+                "n_docs_cum"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------ degree histogram
+# The dup-storm early-warning gauge: the degree distribution of the
+# near-dup graph in exact digit buckets (1 = degree 1-9, 2 = 10-99,
+# … — the length of the decimal rendering, the topk_by_count
+# bucketing rule). A healthy corpus concentrates in bucket 1; mass in
+# bucket 3+ means template hubs are forming and the component-merge
+# inflation audits (q_dup_inflation, q_component_cohesion) are about
+# to matter. Everything after the banded equi-join is vertex-sized.
+@_q(
+    "q_dup_degree_hist",
+    f"""
+    WITH p AS ({_DEDUP_SIMHASH_PAIRS_SQL}),
+    deg AS (SELECT d, CAST(COUNT(*) AS bigint) AS deg
+            FROM (SELECT doc_a AS d FROM p
+                  UNION ALL SELECT doc_b FROM p)
+            GROUP BY 1)
+    SELECT CAST(length(CAST(deg AS varchar)) AS bigint) AS bucket,
+           CAST(COUNT(*) AS bigint) AS n_docs,
+           CAST(MIN(deg) AS bigint) AS min_deg,
+           CAST(MAX(deg) AS bigint) AS max_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def q_dup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-bucket degree histogram of the near-dup graph with per-
+    bucket min/max degree. See family comment."""
+    p = q_simhash_pairs_banded(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        p.select(F.col("doc_a").alias("d"))
+        .unionAll(p.select(F.col("doc_b").alias("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return deg.groupBy(
+        F.length(F.col("deg").cast("string")).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("deg").cast("long").alias("min_deg"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )

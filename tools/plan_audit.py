@@ -78,6 +78,12 @@ BOUNDED_OK = {
         "q_key_skew scalar-broadcast pattern); the global L1 window "
         "runs over the ≤9-row digit frame post-aggregation",
     ),
+    "q_slo_burn": (
+        ("PRODUCT-JOIN", "EMPTY-WINDOW"),
+        "the dense_daily_counts densify crossJoin (1-row bounds dim), "
+        "then the global day series and its trailing-7 window — both "
+        "calendar-bounded dims, never the corpus",
+    ),
     "q_lang_source_assoc": (
         ("PRODUCT-JOIN", "EMPTY-WINDOW", "LOW-CARD-WINDOW"),
         "the langs-dim × sources-dim × 1-row-total crossJoin densifies "
