@@ -6581,6 +6581,54 @@ def q_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def slo_burn_from_daily(g: DataFrame) -> DataFrame:
+    """(day, total, err) daily rollup — possibly SPARSE — → the full
+    burn table. Densifies over the rollup's own day span (a no-op on
+    already-dense input, which is how q_slo_burn calls it; the
+    streaming maintainer's SUM-merged partials arrive sparse), then
+    the trailing-7 window and the exact milli columns. ONE rendering
+    for the batch query and streaming.slo_burn_read_current — their
+    equality on the same corpus is pinned in pytest."""
+    bounds = g.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("day")
+    )
+    gd = grid.join(g, "day", "left").select(
+        "day",
+        F.coalesce("total", F.lit(0)).cast("long").alias("total"),
+        F.coalesce("err", F.lit(0)).cast("long").alias("err"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w = gd.select(
+        "day",
+        "total",
+        "err",
+        F.sum("total").over(w7).cast("long").alias("tot7"),
+        F.sum("err").over(w7).cast("long").alias("err7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("window_days"),
+    )
+    return w.select(
+        "day",
+        "total",
+        "err",
+        F.when(F.col("total") > 0, F.expr("1000 * err div total"))
+        .otherwise(0)
+        .cast("long")
+        .alias("err_milli"),
+        "window_days",
+        F.when(F.col("tot7") > 0, F.expr("1000 * err7 div tot7"))
+        .otherwise(0)
+        .cast("long")
+        .alias("burn7_milli"),
+        (
+            (F.col("window_days") == 7)
+            & (F.col("tot7") > 0)
+            & (F.expr("1000 * err7 div tot7") > _SLO_MILLI)
+        ).alias("breach"),
+    )
+
+
+
 # ------------------------------------------------------- SLO burn
 # The on-call question over the event stream: what share of events
 # errored each day, and is the trailing-7-day burn over budget? Runs
@@ -6637,31 +6685,4 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err"),
     )
-    w7 = Window.orderBy("day").rowsBetween(-6, 0)
-    w = g.select(
-        "day",
-        "total",
-        "err",
-        F.sum("total").over(w7).cast("long").alias("tot7"),
-        F.sum("err").over(w7).cast("long").alias("err7"),
-        F.count(F.lit(1)).over(w7).cast("long").alias("window_days"),
-    )
-    return w.select(
-        "day",
-        "total",
-        "err",
-        F.when(F.col("total") > 0, F.expr("1000 * err div total"))
-        .otherwise(0)
-        .cast("long")
-        .alias("err_milli"),
-        "window_days",
-        F.when(F.col("tot7") > 0, F.expr("1000 * err7 div tot7"))
-        .otherwise(0)
-        .cast("long")
-        .alias("burn7_milli"),
-        (
-            (F.col("window_days") == 7)
-            & (F.col("tot7") > 0)
-            & (F.expr("1000 * err7 div tot7") > _SLO_MILLI)
-        ).alias("breach"),
-    )
+    return slo_burn_from_daily(g)

@@ -842,3 +842,59 @@ def quantile_read_current(
         .agg(F.sum("n").cast("long").alias("n"))
     )
     return qsketch_quantiles(rows, ["day"])
+
+
+# --------------------------------------- streaming SLO-burn maintainer
+def stream_slo_burn(spark: SparkSession, output_dir: str):
+    """Exactly-once streaming error-budget maintenance: each
+    micro-batch reduces to its ≤-days (day, total, err) rollup and
+    writes it under its batch_id partition with dynamic overwrite —
+    replace-only like the CMS/quantile maintainers (merge law is SUM,
+    so a retried batch replaces itself via the checkpointed batch_id;
+    a double-delivery under a NEW id would double-count). The current
+    burn table is slo_burn_read_current: SUM-merge the partials and
+    run the SAME readout the batch query runs
+    (relational.slo_burn_from_daily) — never a rescan of the stream,
+    and pinned equal to q_slo_burn on the same corpus in pytest.
+
+    Returns the foreachBatch sink (expects ``ts`` and
+    ``event_type``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        g = batch_df.select(
+            F.expr(
+                "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+                " as bigint)"
+            ).alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("iserr"),
+        ).groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum("iserr").cast("long").alias("err"),
+        )
+        (
+            g.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(f"{output_dir}/slo")
+        )
+
+    return sink
+
+
+def slo_burn_read_current(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The burn table as of now: SUM-merge the per-batch daily
+    partials (O(batches × days) — never the stream), then the shared
+    readout (relational.slo_burn_from_daily)."""
+    from .queries.relational import slo_burn_from_daily
+
+    g = (
+        spark.read.parquet(f"{output_dir}/slo")
+        .groupBy("day")
+        .agg(
+            F.sum("total").cast("long").alias("total"),
+            F.sum("err").cast("long").alias("err"),
+        )
+    )
+    return slo_burn_from_daily(g)

@@ -1068,3 +1068,78 @@ def test_stream_quantile_sketch_exactly_once_and_merge_exact(
         for r in qsketch_rows(e41, "vc", ["day"]).collect()
     }
     assert per0 == want41
+
+
+def test_stream_slo_burn_parity_and_replace_only(spark, tmp_path_factory):
+    """The streaming burn maintainer: after an availableNow drain of
+    the sf0.001 event stream, slo_burn_read_current equals the batch
+    q_slo_burn row-for-row (shared slo_burn_from_daily readout over
+    SUM-merged partials — the merge-law proof end to end); retrying a
+    batch under its own batch_id replaces the partition instead of
+    double-counting."""
+    from documentai_ocr_spark.queries.relational import q_slo_burn
+    from documentai_ocr_spark.streaming import (
+        extract_stream_writer,
+        slo_burn_read_current,
+        stream_slo_burn,
+    )
+
+    base = tmp_path_factory.mktemp("slo")
+    ind, out, ckpt = str(base / "in"), str(base / "out"), str(base / "ckpt")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.repartition(5).write.parquet(ind)
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(ind)
+    )
+    sink = stream_slo_burn(spark, out)
+    q = (
+        extract_stream_writer(src, sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "slo drain did not finish"
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = snap(slo_burn_read_current(spark, out))
+    want = snap(q_slo_burn(spark, "/root/testdata/sf0.001"))
+    assert got == want and len(got) > 0
+
+    # retry: same batch_id twice → exactly one copy of that subset
+    sink(ev.limit(37), 0)
+    sink(ev.limit(37), 0)
+    per0 = {
+        r["day"]: (r["total"], r["err"])
+        for r in spark.read.parquet(f"{out}/slo")
+        .where(F.col("batch_id") == 0)
+        .groupBy("day")
+        .agg(
+            F.sum("total").cast("long").alias("total"),
+            F.sum("err").cast("long").alias("err"),
+        )
+        .collect()
+    }
+    sub = (
+        ev.limit(37)
+        .select(
+            F.expr(
+                "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+                " as bigint)"
+            ).alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("iserr"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum("iserr").cast("long").alias("err"),
+        )
+    )
+    want0 = {
+        r["day"]: (r["total"], r["err"]) for r in sub.collect()
+    }
+    assert per0 == want0
