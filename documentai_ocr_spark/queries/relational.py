@@ -6686,3 +6686,87 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("err"),
     )
     return slo_burn_from_daily(g)
+
+
+# ------------------------------------------------------ attribution
+# The conversion question: when a purchase happens, how long ago was
+# the same user's last view? A windowed carry-forward (the q_asof_join
+# rule — ZERO join nodes: last_value(view ms IGNORE NULLS) over the
+# strictly-preceding frame), lags bucketed by DECIMAL-DIGIT count
+# (the q_event_gaps rule — integer-exact where a log bucket could
+# straddle a libm ulp), never-viewed purchases published under the
+# explicit -1 bucket instead of silently dropping, and the milli
+# share over total purchases. Scale: the view/purchase filter pushes
+# to the scan, one user_id exchange serves the carry-forward, and
+# the histogram + share window run on the ≤20-row digit dim.
+@_q(
+    "q_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN epoch_ms(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS last_view_ms
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    p AS (SELECT ms - last_view_ms AS lag_ms FROM seq
+          WHERE event_type = 'purchase'),
+    b AS (SELECT CASE WHEN lag_ms IS NULL THEN -1
+                      ELSE LENGTH(CAST(lag_ms AS varchar)) END
+                   AS lag_digits,
+                 CAST(COUNT(*) AS bigint) AS n,
+                 CAST(MIN(lag_ms) AS bigint) AS min_lag_ms,
+                 CAST(MAX(lag_ms) AS bigint) AS max_lag_ms
+          FROM p GROUP BY 1)
+    SELECT CAST(lag_digits AS bigint) AS lag_digits, n,
+           min_lag_ms, max_lag_ms,
+           CAST(1000 * n // SUM(n) OVER () AS bigint) AS share_milli
+    FROM b
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-to-last-view lag histogram in decimal-digit buckets
+    (-1 = purchase with no prior view), with per-bucket min/max lag
+    and milli share of all purchases. See family comment."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("ms", ms).withColumn(
+        "last_view_ms",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ms")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    p = seq.where(F.col("event_type") == "purchase").select(
+        (F.col("ms") - F.col("last_view_ms")).alias("lag_ms")
+    )
+    b = p.groupBy(
+        F.when(F.col("lag_ms").isNull(), F.lit(-1))
+        .otherwise(F.length(F.col("lag_ms").cast("string")))
+        .cast("long")
+        .alias("lag_digits")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("lag_ms").cast("long").alias("min_lag_ms"),
+        F.max("lag_ms").cast("long").alias("max_lag_ms"),
+    )
+    return b.select(
+        "lag_digits",
+        "n",
+        "min_lag_ms",
+        "max_lag_ms",
+        F.expr("cast(1000 * n div sum(n) over () as bigint)").alias(
+            "share_milli"
+        ),
+    )

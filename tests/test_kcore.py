@@ -96,3 +96,23 @@ def test_x_kcore_replay(spark):
     got = {r["doc_id"]: r["core_level"] for r in x_kcore(spark, SF).collect()}
     assert got == want
     assert c3 <= c2 <= verts
+
+
+def test_kcore_random_graphs(spark):
+    """Seeded random graphs: simultaneous peeling equals sequential
+    python peeling for k in {2, 3} — order-independence on graphs with
+    no hand-chosen structure."""
+    import random
+
+    for seed in (7, 99, 1234):
+        rng = random.Random(seed)
+        n = 24
+        pairs = sorted(
+            {
+                (a, b)
+                for _ in range(40)
+                for a, b in [sorted(rng.sample(range(n), 2))]
+            }
+        )
+        for k in (2, 3):
+            assert _core(spark, pairs, k) == _py_peel(pairs, k), (seed, k)

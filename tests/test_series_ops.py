@@ -363,3 +363,75 @@ def test_slo_burn_replay(spark):
         burn = 1000 * e7 // t7 if t7 else 0
         assert r["burn7_milli"] == burn
         assert r["breach"] == (i - j + 1 == 7 and t7 > 0 and burn > 250)
+
+
+def test_attribution_engineered(spark, tmp_path):
+    """Hand sequence pins the carry-forward: purchases attribute to
+    the LATEST prior view (resets on each view), a purchase before
+    any view lands in the -1 bucket, other event types are invisible
+    to the window."""
+    from documentai_ocr_spark.queries.relational import q_attribution
+
+    t0 = dt.datetime(2024, 7, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (0, t0, 1, "purchase", 0.0, "{}"),          # no prior view -> -1
+        (1, t0 + 1 * s, 1, "view", 0.0, "{}"),
+        (2, t0 + 2 * s, 1, "click", 0.0, "{}"),     # invisible
+        (3, t0 + 3 * s, 1, "purchase", 0.0, "{}"),  # lag 2000 -> 4 digits
+        (4, t0 + 10 * s, 1, "view", 0.0, "{}"),     # resets
+        (5, t0 + 11 * s, 1, "purchase", 0.0, "{}"), # lag 1000 -> 4 digits
+        (6, t0 + 20 * s, 2, "view", 0.0, "{}"),
+        (7, t0 + 120 * s, 2, "purchase", 0.0, "{}"),# lag 100000 -> 6
+    ]
+    d = _write_events(spark, tmp_path, rows, "attr")
+    got = {r["lag_digits"]: r for r in q_attribution(spark, d).collect()}
+    assert set(got) == {-1, 4, 6}
+    assert got[-1]["n"] == 1
+    assert got[-1]["min_lag_ms"] is None and got[-1]["max_lag_ms"] is None
+    assert got[4]["n"] == 2
+    assert (got[4]["min_lag_ms"], got[4]["max_lag_ms"]) == (1000, 2000)
+    assert got[6]["n"] == 1 and got[6]["min_lag_ms"] == 100000
+    assert got[-1]["share_milli"] == 1000 * 1 // 4
+    assert got[4]["share_milli"] == 1000 * 2 // 4
+
+
+def test_attribution_replay(spark):
+    """sf0.001 replay of the carry-forward and the histogram."""
+    from documentai_ocr_spark.queries.relational import q_attribution
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ms = _epoch_ms(ev["ts"])
+    per: dict[int, list] = {}
+    for m, uid, eid, et in zip(
+        ms, ev["user_id"], ev["event_id"], ev["event_type"]
+    ):
+        if et in ("view", "purchase"):
+            per.setdefault(uid, []).append((int(m), int(eid), et))
+    buckets: dict[int, list] = {}
+    for uid, evs in per.items():
+        evs.sort()
+        last_view = None
+        for m, eid, et in evs:
+            if et == "purchase":
+                if last_view is None:
+                    buckets.setdefault(-1, []).append(None)
+                else:
+                    lag = m - last_view
+                    buckets.setdefault(len(str(lag)), []).append(lag)
+            else:
+                last_view = m
+    tot = sum(len(v) for v in buckets.values())
+    got = {
+        r["lag_digits"]: r for r in q_attribution(spark, SF).collect()
+    }
+    assert set(got) == set(buckets)
+    for k, lags in buckets.items():
+        g = got[k]
+        assert g["n"] == len(lags)
+        assert g["share_milli"] == 1000 * len(lags) // tot
+        if k != -1:
+            assert (g["min_lag_ms"], g["max_lag_ms"]) == (
+                min(lags),
+                max(lags),
+            )

@@ -78,6 +78,11 @@ BOUNDED_OK = {
         "q_key_skew scalar-broadcast pattern); the global L1 window "
         "runs over the ≤9-row digit frame post-aggregation",
     ),
+    "q_attribution": (
+        "EMPTY-WINDOW",
+        "the global share window runs over the ≤20-row lag-digit "
+        "histogram post-aggregation, never the corpus",
+    ),
     "q_slo_burn": (
         ("PRODUCT-JOIN", "EMPTY-WINDOW"),
         "the dense_daily_counts densify crossJoin (1-row bounds dim), "
