@@ -6770,3 +6770,135 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_milli"
         ),
     )
+
+
+# ----------------------------------------------- CUBE / RANGE / EXCEPT
+# Three operator shapes the registry had not yet demonstrated, each
+# in its canonical engine form. q_cube_revenue: full CUBE over
+# (priority, status) with the composite grouping id (Spark
+# grouping_id() == DuckDB GROUPING(a, b), same bit encoding, the
+# gate proves it) and '(all)' markers so every stratum row is
+# self-describing; revenue in exact floor-cents (the q_benford
+# rule). q_revenue_30d: the trailing-30-day revenue as a RANGE frame
+# over the numeric day — on the SPARSE per-day revenue dim a ROWS
+# frame would silently span gaps (30 rows ≠ 30 days); publishing
+# both the range sum and the in-window day count makes the gap
+# handling visible. q_window_shoppers: viewers-minus-purchasers as
+# EXCEPT DISTINCT (Spark subtract == DuckDB EXCEPT). Scale: one
+# map-side-combined rollup each; the 30-day window runs on the
+# calendar-bounded day dim; EXCEPT shuffles distinct user ids only.
+@_q(
+    "q_cube_revenue",
+    """
+    SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS bigint)
+             AS gid,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           CAST(COUNT(*) AS bigint) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS bigint))
+                AS bigint) AS rev_cents
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count and exact floor-cents revenue over the full
+    (priority, status) CUBE with the composite grouping id. See
+    family comment."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "rev_cents",
+        )
+    )
+
+
+@_q(
+    "q_revenue_30d",
+    """
+    WITH g AS (SELECT CAST(epoch_ms(o_orderdate) // 86400000 AS bigint)
+                        AS day,
+                      CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS bigint))
+                           AS bigint) AS rev_cents
+               FROM orders GROUP BY 1)
+    SELECT day, rev_cents,
+           CAST(SUM(rev_cents) OVER (ORDER BY day RANGE BETWEEN
+                29 PRECEDING AND CURRENT ROW) AS bigint) AS rev30_cents,
+           CAST(COUNT(*) OVER (ORDER BY day RANGE BETWEEN
+                29 PRECEDING AND CURRENT ROW) AS bigint) AS n30_days
+    FROM g
+    """,
+)
+def q_revenue_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-day: exact cents revenue, the trailing-30-day RANGE-
+    frame sum, and the count of revenue days inside the frame (gap
+    visibility). See family comment."""
+    g = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "cast(unix_millis(cast(o_orderdate as timestamp))"
+                " div 86400000 as bigint)"
+            ).alias("day"),
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = Window.orderBy("day").rangeBetween(-29, 0)
+    return g.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("rev30_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n30_days"),
+    )
+
+
+@_q(
+    "q_window_shoppers",
+    """
+    SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS bigint) AS day
+    FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS bigint)
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_window_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-shopping user-days: (user, day) pairs with a view but no
+    purchase that day — EXCEPT DISTINCT at the granularity where the
+    synthetic corpus actually separates the two (every heavy user
+    eventually purchases SOMEDAY, so plain user-level EXCEPT is empty
+    — the day grain is the one a re-engagement campaign keys on). See
+    family comment."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+        "event_type",
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "day"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "day"
+    )
+    return views.subtract(buys)

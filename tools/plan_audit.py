@@ -78,6 +78,11 @@ BOUNDED_OK = {
         "q_key_skew scalar-broadcast pattern); the global L1 window "
         "runs over the ≤9-row digit frame post-aggregation",
     ),
+    "q_revenue_30d": (
+        "EMPTY-WINDOW",
+        "the trailing-30-day RANGE frame runs over the per-day revenue "
+        "dim — calendar-bounded post-aggregation, never the corpus",
+    ),
     "q_attribution": (
         "EMPTY-WINDOW",
         "the global share window runs over the ≤20-row lag-digit "
