@@ -6902,3 +6902,35 @@ def q_window_shoppers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day"
     )
     return views.subtract(buys)
+
+
+@_q(
+    "q_convert_days",
+    """
+    SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS bigint) AS day
+    FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS bigint)
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_convert_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_window_shoppers' INTERSECT twin: (user, day) pairs with BOTH
+    a view and a purchase — same-day conversions, the set-op shape
+    completing EXCEPT/UNION coverage (Spark intersect == DuckDB
+    INTERSECT, distinct semantics both sides)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "cast(unix_millis(cast(ts as timestamp)) div 86400000"
+            " as bigint)"
+        ).alias("day"),
+        "event_type",
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "day"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "day"
+    )
+    return views.intersect(buys)

@@ -140,3 +140,27 @@ def test_window_shoppers_engineered(spark, tmp_path):
         (r["user_id"], r["day"]) for r in q_window_shoppers(spark, d).collect()
     )
     assert got == [(1, day0), (3, day0 + 2)]
+
+
+def test_convert_days_partition_law(spark, tmp_path):
+    """INTERSECT ∪ EXCEPT partitions the distinct view days: on the
+    engineered corpus AND sf0.001, window_shoppers ∪ convert_days ==
+    distinct (user, view-day) pairs, disjointly."""
+    from documentai_ocr_spark.queries.relational import q_convert_days
+
+    ws = {
+        (r["user_id"], r["day"])
+        for r in q_window_shoppers(spark, SF).collect()
+    }
+    cv = {
+        (r["user_id"], r["day"]) for r in q_convert_days(spark, SF).collect()
+    }
+    assert not (ws & cv)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    day = ev["ts"].astype("int64") // 1000 // 86400000
+    views = {
+        (int(u), int(d))
+        for u, d, t in zip(ev["user_id"], day, ev["event_type"])
+        if t == "view"
+    }
+    assert (ws | cv) == views and len(cv) > 0
