@@ -2929,3 +2929,83 @@ def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_docs"),
         )
     )
+
+
+# ------------------------------------------- per-type value profile
+# Third consumer of the mergeable quantile-sketch kernel (after the
+# batch n_chars readout and the streaming maintainer), proving the
+# machinery column- and table-agnostic: per event type, the exact
+# integer floor-cents stats (min / max / sum, mean as milli-cents =
+# 1000·sum div n — i.e. tenths of a cent, one integer division) next
+# to the sketch's p50/p90/p99 buckets of the same cents values. One
+# report fusing exact edges with bounded-error interior quantiles —
+# the shape a metrics dashboard actually serves. Scale: two map-side-
+# combined rollups of the same scan (stats + sketch rows); join and
+# readout run on O(types × buckets) sketch-sized dims.
+@_q(
+    "q_value_profile",
+    f"""
+    WITH e AS (SELECT event_type,
+                      CAST(FLOOR(value * 100) AS bigint) AS cents
+               FROM events),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS bigint) AS n,
+                 CAST(MIN(cents) AS bigint) AS min_cents,
+                 CAST(MAX(cents) AS bigint) AS max_cents,
+                 CAST(SUM(cents) AS bigint) AS sum_cents
+          FROM e GROUP BY 1),
+    r AS (SELECT event_type,
+                 {_QSK_BUCKET.format(c='cents')} AS bucket,
+                 CAST(COUNT(*) AS bigint) AS n
+          FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(SUM(n) AS bigint) AS n_tot
+          FROM r GROUP BY 1),
+    c AS (SELECT event_type, bucket, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS cum
+          FROM r),
+    q AS (SELECT c.event_type,
+                 CAST(MIN(CASE WHEN c.cum >= (50 * t.n_tot + 99) // 100
+                               THEN c.bucket END) AS bigint) AS p50_est,
+                 CAST(MIN(CASE WHEN c.cum >= (90 * t.n_tot + 99) // 100
+                               THEN c.bucket END) AS bigint) AS p90_est,
+                 CAST(MIN(CASE WHEN c.cum >= (99 * t.n_tot + 99) // 100
+                               THEN c.bucket END) AS bigint) AS p99_est
+          FROM c JOIN t ON c.event_type = t.event_type
+          GROUP BY 1)
+    SELECT s.event_type, s.n, s.min_cents, s.max_cents, s.sum_cents,
+           CAST(1000 * s.sum_cents // s.n AS bigint) AS mean_millicents,
+           q.p50_est, q.p90_est, q.p99_est
+    FROM s JOIN q ON s.event_type = q.event_type
+    """,
+)
+def q_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact floor-cents min/max/sum, exact integer
+    mean in milli-cents, and the sketch p50/p90/p99 buckets. See
+    family comment."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    q = qsketch_quantiles(
+        qsketch_rows(e, "cents", ["event_type"]), ["event_type"]
+    ).drop("n_tot")
+    return s.join(q, "event_type").select(
+        "event_type",
+        "n",
+        "min_cents",
+        "max_cents",
+        "sum_cents",
+        F.expr("cast(1000 * sum_cents div n as bigint)").alias(
+            "mean_millicents"
+        ),
+        "p50_est",
+        "p90_est",
+        "p99_est",
+    )

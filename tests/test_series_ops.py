@@ -435,3 +435,60 @@ def test_attribution_replay(spark):
                 min(lags),
                 max(lags),
             )
+
+
+def test_value_profile_engineered_and_replay(spark, tmp_path):
+    """Engineered cents pin exact min/max/sum/mean-millicents and the
+    sketch estimates' strongest claim — each p is the exact BUCKET of
+    the exact order statistic; then the sf0.001 replay of both
+    halves."""
+    import math
+
+    from documentai_ocr_spark.queries.corpusops import q_value_profile
+
+    t0 = dt.datetime(2024, 8, 1)
+    # values 0.01..1.00; expectations via the SAME IEEE floor(v*100)
+    # the engines apply (0.07*100 floors to 6 — the rule, not a bug)
+    vals100 = [(i + 1) / 100.0 for i in range(100)]
+    rows = [(i, t0, 1, "a", v, "{}") for i, v in enumerate(vals100)]
+    cents = sorted(int(math.floor(v * 100)) for v in vals100)
+    d = _write_events(spark, tmp_path, rows, "vp")
+    got = {r["event_type"]: r for r in q_value_profile(spark, d).collect()}
+    a = got["a"]
+    assert (a["n"], a["min_cents"], a["max_cents"]) == (
+        100, cents[0], cents[-1],
+    )
+    assert a["sum_cents"] == sum(cents)
+    assert a["mean_millicents"] == 1000 * sum(cents) // 100
+    # ranks ceil(q*n/100): the 50th/90th/99th smallest cents (≤3
+    # digits = their own buckets)
+    assert (a["p50_est"], a["p90_est"], a["p99_est"]) == (
+        cents[49], cents[89], cents[98],
+    )
+
+    def bucket(v):
+        s = str(v)
+        return v if len(s) <= 3 else int(s[:3] + "0" * (len(s) - 3))
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    per: dict[str, list] = {}
+    for et, v in zip(ev["event_type"], ev["value"]):
+        per.setdefault(et, []).append(int(math.floor(v * 100)))
+    got = {r["event_type"]: r for r in q_value_profile(spark, SF).collect()}
+    assert set(got) == set(per)
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        g = got[et]
+        assert (g["n"], g["min_cents"], g["max_cents"]) == (
+            n, vals[0], vals[-1],
+        )
+        assert g["sum_cents"] == sum(vals)
+        assert g["mean_millicents"] == 1000 * sum(vals) // n
+        for q100, est in zip(
+            (50, 90, 99), (g["p50_est"], g["p90_est"], g["p99_est"])
+        ):
+            assert est == bucket(vals[(q100 * n + 99) // 100 - 1]), (
+                et,
+                q100,
+            )
