@@ -381,3 +381,50 @@ def test_big_spenders_prunes_before_join(spark):
     # the lineitem scan reads only the two aggregate columns
     rs = [ln for ln in p.splitlines() if "ReadSchema" in ln and "l_quantity" in ln]
     assert rs and "l_extendedprice" not in rs[0]
+
+
+def test_attribution_has_no_join_node(spark):
+    """q_attribution is a windowed carry-forward — the as-of rule:
+    zero join nodes, and the view/purchase filter reaches the scan."""
+    p = plan(QUERIES["q_attribution"](spark, SF))
+    assert "Join" not in p
+    assert "In(event_type" in p or "PushedFilters" in p
+
+
+def test_session_paths_single_user_exchange(spark):
+    """One hash exchange on user_id feeds the session windows; the
+    rank stage joins only the broadcast pruned-bucket dim."""
+    p = plan(QUERIES["q_session_paths"](spark, SF))
+    assert p.count("hashpartitioning(user_id") >= 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_skyline_window_carries_collapsed_dim(spark):
+    """The descending scan partitions by source but its input is the
+    collapsed per-(source, n_chars) dim — the plan must show the
+    collapse aggregate BELOW the window."""
+    p = plan(QUERIES["q_skyline_docs"](spark, SF))
+    # the 3-key collapse aggregate (source, x, y) builds the dim …
+    assert "Keys [3]: [source" in p
+    # … and the scan-level filter/pruning reached parquet
+    assert "GreaterThan(n_chars,0)" in p
+    assert "Window" in p and "CartesianProduct" not in p
+
+
+def test_cube_expands_before_single_exchange(spark):
+    """CUBE plans as Expand + partial aggregate below ONE exchange —
+    map-side combine over all four grouping sets at once."""
+    p = plan(QUERIES["q_cube_revenue"](spark, SF))
+    assert "Expand" in p
+    assert n_exchanges(p) == 1
+
+
+def test_slo_burn_one_corpus_exchange(spark):
+    """Everything after the per-(type, day) rollup runs on calendar
+    dims: exactly one exchange keyed on corpus data columns."""
+    p = plan(QUERIES["q_slo_burn"](spark, SF))
+    parts = [
+        ln for ln in p.splitlines() if "hashpartitioning(event_type" in ln
+    ]
+    assert parts, "expected the (event_type, day) rollup exchange"
