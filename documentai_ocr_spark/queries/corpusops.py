@@ -2982,7 +2982,12 @@ def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: exact floor-cents min/max/sum, exact integer
     mean in milli-cents, and the sketch p50/p90/p99 buckets. See
-    family comment."""
+    family comment. The sketch half inherits qsketch's non-negative-
+    integer contract (the generator's value domain is ≥ 0; a negative
+    cent would bucket under its sign-prefixed string rendering —
+    identically in both engines, but outside the stated ≤1% relative-
+    error bound, so the exact min_cents column is also the guard a
+    reviewer checks)."""
     e = load(spark, sf_dir, "events").select(
         "event_type",
         F.expr("cast(floor(value * 100) as bigint)").alias("cents"),

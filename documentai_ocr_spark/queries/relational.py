@@ -6804,7 +6804,10 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order count and exact floor-cents revenue over the full
     (priority, status) CUBE with the composite grouping id. See
-    family comment."""
+    family comment. The '(all)' marker presumes non-null dimension
+    values (TPC-H guarantees both columns); on nullable dims the gid
+    column — not the marker — is the authoritative stratum tag, which
+    is why it is published at all."""
     o = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
         "o_orderstatus",
