@@ -2936,7 +2936,8 @@ def q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch n_chars readout and the streaming maintainer), proving the
 # machinery column- and table-agnostic: per event type, the exact
 # integer floor-cents stats (min / max / sum, mean as milli-cents =
-# 1000·sum div n — i.e. tenths of a cent, one integer division) next
+# 1000·sum div n — i.e. thousandths of a cent (milli-cents), one
+# integer division) next
 # to the sketch's p50/p90/p99 buckets of the same cents values. One
 # report fusing exact edges with bounded-error interior quantiles —
 # the shape a metrics dashboard actually serves. Scale: two map-side-

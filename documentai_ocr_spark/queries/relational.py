@@ -423,7 +423,7 @@ def q_tool_seq3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT event_type,
              epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS gap_ms
+               ORDER BY epoch_ms(ts), event_id) AS gap_ms
       FROM events
     )
     SELECT event_type,
@@ -477,7 +477,7 @@ _SESSION_GAP_MS = 30 * 60 * 1000
     WITH s AS (
       SELECT user_id, event_id, epoch_ms(ts) AS ms,
              lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_ms
+               ORDER BY epoch_ms(ts), event_id) AS prev_ms
       FROM events
     ), r AS (
       SELECT user_id, event_id, ms,
@@ -5687,7 +5687,7 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT event_type, epoch_ms(ts) AS ms,
              lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_ms
+                                     ORDER BY epoch_ms(ts), event_id) AS prev_ms
       FROM events
     ),
     g AS (SELECT event_type, ms - prev_ms AS gap
@@ -6434,7 +6434,7 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
              lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_ms
+               ORDER BY epoch_ms(ts), event_id) AS prev_ms
       FROM events
     ), r AS (
       SELECT user_id, event_id, event_type, ms,
@@ -6517,8 +6517,13 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = over-represented), and the corpus association as the total
 # variation distance between the joint and the product of marginals,
 # TVD = Σ|O·N − R·C| / (2·N²), published as exact integer milli via
-# cross-multiplication (the q_dow_seasonality rule; fits bigint up
-# to N ≈ 2·10⁹ documents since Σ|·| ≤ 2·N²). TVD 0 = independent;
+# cross-multiplication (the q_dow_seasonality rule). Headroom: each
+# leverage cell fits bigint to N ≈ 3·10⁹ (|O·N − R·C| ≤ N²), but
+# Σ|·| ≤ 2·N² with the extra ×1000 would overflow int64 near
+# N ≈ 6.8·10⁷ — so the Spark side sums |leverage| as decimal(38,0)
+# and divides decimal-exactly (ANSI mode would fail loudly, not
+# wrap, but the decimal form never reaches the fence); DuckDB's
+# bigint SUM already widens to HUGEINT. TVD 0 = independent;
 # k equal-mass monolingual sources read 1000·(1 − 1/k), approaching
 # 1000 as the block-diagonal grows. Scale: the
 # cell rollup is the only corpus exchange; marginals broadcast back
@@ -6575,8 +6580,8 @@ def q_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "leverage",
         F.expr(
-            "cast(1000 * sum(abs(leverage)) over ()"
-            " div (2 * total * total) as bigint)"
+            "cast(1000 * sum(cast(abs(leverage) as decimal(38,0))) over ()"
+            " div (cast(2 as decimal(38,0)) * total * total) as bigint)"
         ).alias("tvd_milli"),
     )
 
@@ -6706,7 +6711,7 @@ def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
              last_value(CASE WHEN event_type = 'view'
                              THEN epoch_ms(ts) END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND 1 PRECEDING) AS last_view_ms
       FROM events WHERE event_type IN ('view', 'purchase')

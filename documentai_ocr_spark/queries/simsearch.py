@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import SIMHASH_PAIRS_SQL as _DEDUP_SIMHASH_PAIRS_SQL
+from .dedup import _SIMHASH_HAMMING_MAX
 from .util import guard_allpairs, load, spread
 
 QUERIES: dict = {}
@@ -2396,7 +2397,7 @@ def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS ({_DEDUP_SIMHASH_PAIRS_SQL}),
     th AS (SELECT g.h, p.doc_a, p.doc_b
-           FROM p, unnest(generate_series(0, 8)) g(h)
+           FROM p, unnest(generate_series(0, {_SIMHASH_HAMMING_MAX})) g(h)
            WHERE p.hamming <= g.h),
     pc AS (SELECT h, CAST(COUNT(*) AS bigint) AS n_pairs_cum
            FROM th GROUP BY 1),
@@ -2407,7 +2408,7 @@ def x_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(g.h AS bigint) AS hamming_max,
            COALESCE(pc.n_pairs_cum, 0) AS n_pairs_cum,
            COALESCE(dc.n_docs_cum, 0) AS n_docs_cum
-    FROM unnest(generate_series(0, 8)) g(h)
+    FROM unnest(generate_series(0, {_SIMHASH_HAMMING_MAX})) g(h)
     LEFT JOIN pc ON pc.h = g.h
     LEFT JOIN dc ON dc.h = g.h
     """,

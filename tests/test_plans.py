@@ -422,9 +422,39 @@ def test_cube_expands_before_single_exchange(spark):
 
 def test_slo_burn_one_corpus_exchange(spark):
     """Everything after the per-(type, day) rollup runs on calendar
-    dims: exactly one exchange keyed on corpus data columns."""
+    dims: exactly ONE exchange keyed (event_type, day) — the corpus
+    rollup. The only other event_type-keyed exchanges the plan may
+    contain are the distinct-dim builds, and those must be map-side
+    combined (a partial HashAggregate below the exchange) so their
+    exchange input is dim-sized, never corpus-sized."""
     p = plan(QUERIES["q_slo_burn"](spark, SF))
-    parts = [
-        ln for ln in p.splitlines() if "hashpartitioning(event_type" in ln
+    # the formatted plan's detail section prints exactly one
+    # "Arguments: hashpartitioning(...)" line per Exchange node
+    rollups = [
+        ln.strip()
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning(event_type" in ln and ", day" in ln
     ]
-    assert parts, "expected the (event_type, day) rollup exchange"
+    assert len(rollups) == 1, rollups
+    # dim-build exchanges: single-key event_type, each directly above
+    # a keyed HashAggregate (the partial distinct) in the tree section
+    import re
+
+    others = [
+        ln.strip()
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning(event_type" in ln
+        and ", day" not in ln
+    ]
+    for ln in others:
+        node_id = re.search(r"plan_id=(\d+)", ln)
+        assert node_id is not None, ln
+    # each single-key exchange node must be fed by a HashAggregate:
+    # "(n) Exchange" detail blocks follow their child "(n-1)
+    # HashAggregate" in node numbering for this shape
+    for m in re.finditer(r"^\((\d+)\) Exchange\nInput \[1\]: \[event_type", p, re.M):
+        child = int(m.group(1)) - 1
+        assert f"({child}) HashAggregate" in p, (
+            "single-key event_type exchange not fed by a partial "
+            "distinct aggregate"
+        )
