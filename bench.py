@@ -8,8 +8,13 @@ plus representative operator queries at the same SF.
 
 Scaling evidence (BASELINE.json north_rule: ≥0.8 throughput scaling
 efficiency from N to 4N executors): the same extraction job runs on a
-larger replicated input at local[N] and local[4N]; efficiency =
-(throughput_4N / throughput_N) / 4. Disable with SPARK_GRAFT_SCALING=0.
+larger replicated input at N and 4N EXECUTOR PROCESSES —
+local-cluster[N,1,m] vs local-cluster[4N,1,m]: real executor JVMs,
+network shuffle, per-executor memory fences, the package shipped via
+addPyFile exactly as spark-submit --py-files would. efficiency =
+(throughput_4N / throughput_N) / 4. SPARK_GRAFT_SCALE_MODE=local
+falls back to the round-1..3 local[N] thread mode (one JVM);
+disable entirely with SPARK_GRAFT_SCALING=0.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
@@ -184,20 +189,57 @@ def main() -> None:
         # a single-box artifact that executor-per-node clusters don't hit)
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n_big = n_small * 4
+        # default: REAL executor processes (separate JVMs + network
+        # shuffle + per-executor memory) — N vs 4N single-core
+        # executors, the literal "N and 4N executors" of the north
+        # rule. "local" = the pre-round-4 thread mode (one JVM).
+        scale_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "local-cluster")
+        zip_path = "/tmp/documentai_ocr_spark_bench.zip"
+        if scale_mode == "local-cluster" and not os.path.exists(zip_path):
+            import zipfile
+
+            pkg_root = os.path.dirname(os.path.abspath(__file__))
+            with zipfile.ZipFile(zip_path, "w") as zf:
+                for root, _dirs, files in os.walk(
+                    os.path.join(pkg_root, "documentai_ocr_spark")
+                ):
+                    if "__pycache__" in root:
+                        continue
+                    for fn in files:
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, pkg_root))
         time.sleep(3)  # let the stopped session's workers drain
 
-        def one_run(cores: int) -> float:
+        def one_run(cores: int, mode: str | None = None) -> float:
             """One fresh session at `cores`, one warm pass, one timed
-            pass on the scale input; returns turns/sec."""
-            s = get_spark(
-                app_name=f"bench-scale-{cores}",
-                cores=cores,
-                shuffle_partitions=cores * 2,
-                extra={
-                    "spark.sql.files.maxPartitionBytes": "4m",
-                    "spark.sql.files.openCostInBytes": "1m",
-                },
-            )
+            pass on the scale input; returns turns/sec. In
+            local-cluster mode `cores` single-core executor PROCESSES
+            are launched and the package zip is shipped to them via
+            addPyFile (the --py-files path, not driver sys.path
+            inheritance)."""
+            if (mode or scale_mode) == "local-cluster":
+                s = get_spark(
+                    app_name=f"bench-scale-lc{cores}",
+                    cores=cores,
+                    shuffle_partitions=cores * 2,
+                    master=f"local-cluster[{cores},1,2560]",
+                    extra={
+                        "spark.sql.files.maxPartitionBytes": "4m",
+                        "spark.sql.files.openCostInBytes": "1m",
+                        "spark.executor.memory": "2g",
+                    },
+                )
+                s.sparkContext.addPyFile(zip_path)
+            else:
+                s = get_spark(
+                    app_name=f"bench-scale-{cores}",
+                    cores=cores,
+                    shuffle_partitions=cores * 2,
+                    extra={
+                        "spark.sql.files.maxPartitionBytes": "4m",
+                        "spark.sql.files.openCostInBytes": "1m",
+                    },
+                )
             _force_extract(s, bench_path)  # warm JVM + python workers
             t0 = time.time()
             n = _force_extract(s, scale_path)
@@ -233,9 +275,15 @@ def main() -> None:
         # published efficiency exactly (best-of-run tps are published
         # separately; they generally come from different pairs)
         med = sorted(pairs, key=lambda p: p["efficiency"])[len(pairs) // 2]
+        # the full-width probe is a total-machine-throughput datum,
+        # not scaling evidence — always thread mode (32 executor JVMs
+        # would measure launch storms, not the pipeline)
         probe_full = [CPUS] if CPUS > n_big else []
-        tps = {c: one_run(c) for c in probe_full}
+        tps = {c: one_run(c, mode="local") for c in probe_full}
         result["scaling"] = {
+            "mode": scale_mode,
+            "executors_n": n_small if scale_mode == "local-cluster" else None,
+            "executors_4n": n_big if scale_mode == "local-cluster" else None,
             "cores_n": n_small,
             "cores_4n": n_big,
             "turns_per_sec_n": med["tps_n"],

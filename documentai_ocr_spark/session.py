@@ -30,13 +30,20 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a session. ``cores=None`` → local[*] or
-    $SPARK_GRAFT_CPUS if set."""
+    $SPARK_GRAFT_CPUS if set. ``master`` overrides the local[N]
+    default — e.g. ``local-cluster[E,C,M]`` for real executor
+    processes (separate JVMs, network shuffle, per-executor memory
+    fences — the closest single-box stand-in for a multi-executor
+    cluster); ``cores``/``shuffle_partitions`` still size the
+    shuffle in that case."""
     env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cores is None and env_cpus:
         cores = int(env_cpus)
-    master = f"local[{cores}]" if cores else "local[*]"
+    if master is None:
+        master = f"local[{cores}]" if cores else "local[*]"
     n_shuffle = shuffle_partitions or (cores * 2 if cores else 32)
 
     builder = (

@@ -422,11 +422,13 @@ def test_embed_drift_python_recount(spark):
 
 
 def test_ivf_pq_recall_vs_exact(spark):
-    """IVF-PQ (exact coarse lists + 24-byte product-quantized data
-    vectors) must keep top-5 recall >= 0.65 against the exact kNN on
-    the random-gaussian fixture — PQ's structural worst case, 0.77
-    measured at the shipped (32, 64) config (see the simsearch.py
-    sweep note)."""
+    """IVF-PQ with exact re-rank (24-byte product-quantized data
+    vectors, PQ top-(4k) shortlist refined against the originals)
+    must keep top-5 recall >= 0.85 against the exact kNN on the
+    random-gaussian fixture — PQ's structural worst case (0.65-0.77
+    measured WITHOUT the refine stage at the shipped (32, 64)
+    config; see the simsearch.py sweep note). 0.85 is the same bar
+    the LSH and IVF-flat paths carry."""
     from documentai_ocr_spark.queries import QUERIES
     from documentai_ocr_spark.queries.simsearch import _KNN_K, x_knn_pq
 
@@ -439,7 +441,7 @@ def test_ivf_pq_recall_vs_exact(spark):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert set(approx) == set(exact)
     recalls = [len(exact[q] & approx[q]) / _KNN_K for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.65, sum(recalls) / len(recalls)
+    assert sum(recalls) / len(recalls) >= 0.85, sum(recalls) / len(recalls)
 
 
 def test_pq_codebooks_deterministic_and_shaped(spark):

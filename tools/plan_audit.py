@@ -16,6 +16,15 @@ plan, and extracts the scale-relevant facts:
   - Python-boundary nodes (ArrowEvalPython / MapInPandas / etc.)
 
 Run: python tools/plan_audit.py [sf_dir]  (default /root/testdata/sf0.001)
+
+Executed-bounds mode (round-4 verdict item 2): the BOUNDED_OK notes
+below are CLAIMS about dim sizes; `--measure [sf_dir]` (default
+sf0.1) EXECUTES every allowlisted query, walks the executed physical
+plan, reads the numOutputRows SQL metric of every flagged-shape node
+(global / corpus-constant-keyed Window, BroadcastNestedLoopJoin,
+CartesianProduct), and asserts the measured maximum is ≤ the entry's
+numeric bound in MEASURED_MAX_ROWS. PLANS.md then publishes the
+measured sizes next to each note; a violated bound exits nonzero.
 """
 
 from __future__ import annotations
