@@ -98,6 +98,12 @@ ROWS_ONLY = {
         "iterative PageRank keeper election — pinned against a numpy "
         "power-iteration reference (tests/test_simsearch.py)"
     ),
+    "x_zonemap_audit": (
+        "file-provenance query (input_file_name zone maps) — the "
+        "driver's DuckDB views erase file identity, so the "
+        "cross-engine gate lives in tests/test_zonemap.py with "
+        "path-aware read_parquet(filename=true) SQL at three SFs"
+    ),
     "x_neardup_centrality": (
         "iterative PageRank over the near-dup graph — pinned against "
         "numpy (tests/test_simsearch.py)"

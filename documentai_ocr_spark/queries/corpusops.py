@@ -3015,3 +3015,61 @@ def q_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_est",
         "p99_est",
     )
+
+
+# ---------------------------------------------------- zone-map audit
+# Does the physical file layout let scans SKIP? Per parquet file of
+# the documents table: row count, the doc_id zone map (min/max), and
+# the number of OTHER files whose [min, max] range overlaps — 0
+# overlaps per file = perfectly clustered layout (a point/range
+# predicate on doc_id prunes to one file); every-file-overlap = zone
+# maps useless, compaction needed (bucketing.zorder_layout is the
+# remedy this audit motivates). Scale: the per-file rollup is one
+# map-side-combined scan keyed by file identity (each task reads
+# whole file splits, so the "group" never crosses executors); the
+# pairwise overlap join runs on the FILE dim — one row per file,
+# thousands at 100 TB — and is a self range-join on that dim, never
+# data. Rows-only by governance: the driver's DuckDB views erase
+# file provenance, so the cross-engine gate lives in
+# tests/test_zonemap.py with path-aware read_parquet(filename=true)
+# SQL at three SFs.
+def x_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per documents-parquet file: basename, n_rows, doc_id min/max,
+    and how many other files' doc_id ranges overlap it. See family
+    comment — file-dim work only; DuckDB-gated in tests via
+    filename=true."""
+    d = load(spark, sf_dir, "documents").select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+            "file"
+        ),
+        "doc_id",
+    )
+    per_file = d.groupBy("file").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+    other = per_file.select(
+        F.col("file").alias("o_file"),
+        F.col("min_id").alias("o_min"),
+        F.col("max_id").alias("o_max"),
+    )
+    overlaps = (
+        per_file.join(
+            F.broadcast(other),
+            (F.col("file") != F.col("o_file"))
+            & (F.col("min_id") <= F.col("o_max"))
+            & (F.col("o_min") <= F.col("max_id")),
+            "left",
+        )
+        .groupBy("file", "n_rows", "min_id", "max_id")
+        .agg(
+            F.count("o_file").cast("long").alias("n_overlapping_files")
+        )
+    )
+    return overlaps.select(
+        "file", "n_rows", "min_id", "max_id", "n_overlapping_files"
+    )
+
+
+QUERIES["x_zonemap_audit"] = x_zonemap_audit

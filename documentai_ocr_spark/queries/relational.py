@@ -6942,3 +6942,160 @@ def q_convert_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "day"
     )
     return views.intersect(buys)
+
+
+# ------------------------------------------------------- SCD2 build
+# The warehouse dimension-history operator the registry lacked: from
+# an append-only change stream, build the slowly-changing-dimension
+# type-2 table — per user, one row per STATUS RUN (consecutive
+# same-type events collapse; only changes open a version) carrying
+# [valid_from, valid_to) millisecond validity, a per-user version
+# number, and the is_current flag (open interval). The deterministic
+# order is the house (epoch-ms, event_id) key on BOTH engines (the
+# round-3 advisor rule). Scale: ONE user_id exchange serves the
+# change-detect lag, the interval lead AND the version row_number —
+# all three windows share (user_id | ms, event_id), so Catalyst plans
+# a single sort, and a 10^12-event stream pays one shuffle. The
+# output is change-grain (≤ event count, typically ≪), and a
+# point-in-time probe against it is q_asof_join's carry-forward — no
+# new machinery.
+@_q(
+    "q_scd2_intervals",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM events
+    ),
+    c AS (SELECT user_id, event_type AS status, ms, event_id
+          FROM s WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, status,
+           CAST(ms AS bigint) AS valid_from_ms,
+           CAST(lead(ms) OVER (PARTITION BY user_id
+                ORDER BY ms, event_id) AS bigint) AS valid_to_ms,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ms, event_id) AS bigint) AS version,
+           lead(ms) OVER (PARTITION BY user_id
+                ORDER BY ms, event_id) IS NULL AS is_current
+    FROM c
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event stream: per user, one
+    row per status run with [valid_from_ms, valid_to_ms) validity,
+    version number and is_current. See family comment — one user_id
+    exchange, three windows on one sort."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    ch = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "ms",
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    nxt = F.lead("ms").over(w2)
+    return ch.select(
+        "user_id",
+        "status",
+        F.col("ms").cast("long").alias("valid_from_ms"),
+        nxt.cast("long").alias("valid_to_ms"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# -------------------------------------------------- lateness profile
+# Watermark sizing from the data instead of folklore: how late do
+# events actually arrive? Arrival order is the monotone ingest id
+# (event_id); event time is ms. Per user, the running event-time
+# maximum over STRICTLY PRIOR arrivals (1-preceding frame — a row is
+# never late vs itself); an arrival is late iff its ms is behind that
+# max, and its lateness = max − ms. The profile buckets lateness by
+# DECIMAL-DIGIT count (the q_event_gaps integer-exact rule), with
+# on-time arrivals published under the explicit 0 bucket (first
+# arrival per user included — nothing precedes it), so the shares sum
+# to 1000 over ALL events and a streaming operator can read
+# "watermark = 10^d ms covers X‰ of arrivals" straight off the rows.
+# Scale: one user_id exchange for the running max; histogram + share
+# window on the ≤20-row digit dim.
+@_q(
+    "q_lateness_profile",
+    """
+    WITH s AS (
+      SELECT epoch_ms(ts) AS ms,
+             max(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prior_max
+      FROM events
+    ),
+    l AS (SELECT CASE WHEN prior_max IS NULL OR ms >= prior_max THEN 0
+                      ELSE LENGTH(CAST(prior_max - ms AS varchar)) END
+                   AS late_digits,
+                 CASE WHEN prior_max IS NOT NULL AND ms < prior_max
+                      THEN prior_max - ms END AS late_ms
+          FROM s),
+    b AS (SELECT late_digits, CAST(COUNT(*) AS bigint) AS n,
+                 CAST(MIN(late_ms) AS bigint) AS min_late_ms,
+                 CAST(MAX(late_ms) AS bigint) AS max_late_ms
+          FROM l GROUP BY 1)
+    SELECT CAST(late_digits AS bigint) AS late_digits, n,
+           min_late_ms, max_late_ms,
+           CAST(1000 * n // SUM(n) OVER () AS bigint) AS share_milli
+    FROM b
+    """,
+)
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival profile in decimal-digit lateness buckets
+    (0 = on-time), with milli shares over all events — the table a
+    watermark configuration review reads. See family comment."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.withColumn("prior_max", F.max("ms").over(w))
+    late = F.when(
+        F.col("prior_max").isNotNull()
+        & (F.col("ms") < F.col("prior_max")),
+        F.col("prior_max") - F.col("ms"),
+    )
+    l = s.select(
+        F.when(late.isNull(), F.lit(0))
+        .otherwise(F.length(late.cast("string")))
+        .alias("late_digits"),
+        late.alias("late_ms"),
+    )
+    b = l.groupBy("late_digits").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("late_ms").cast("long").alias("min_late_ms"),
+        F.max("late_ms").cast("long").alias("max_late_ms"),
+    )
+    return b.select(
+        F.col("late_digits").cast("long"),
+        "n",
+        "min_late_ms",
+        "max_late_ms",
+        F.expr("cast(1000 * n div sum(n) over () as bigint)").alias(
+            "share_milli"
+        ),
+    )

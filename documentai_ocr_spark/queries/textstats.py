@@ -2590,3 +2590,85 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risk_milli"),
         (F.min("sz") >= _KANON_K).alias("k_anonymous"),
     )
+
+
+# --------------------------------------------------- weighted median
+# "The median DOCUMENT is 2 KB, but the median CHAR lives in a 40 KB
+# document" — the char-weighted median is the length statistic that
+# matches what a trainer actually ingests (tokens, not files), and
+# the registry's unweighted quantiles cannot see it. Per source: the
+# smallest n_chars L such that documents of length ≤ L hold at least
+# HALF the source's total chars, integer-exact via the 2·cum ≥ total
+# cross-multiplication (no floating halves). Scale: the corpus
+# exchange is the map-side-combined per-(source, n_chars) rollup;
+# the cumulative window walks that VALUE-DOMAIN dim (≤ distinct
+# lengths per source — the q_skyline_docs bound), never documents.
+@_q(
+    "q_weighted_median",
+    """
+    WITH d AS (SELECT source, n_chars,
+                      CAST(COUNT(*) AS bigint) AS n_docs,
+                      CAST(SUM(n_chars) AS bigint) AS chars_at
+               FROM documents GROUP BY 1, 2),
+    c AS (SELECT source, n_chars, n_docs, chars_at,
+                 SUM(chars_at) OVER (PARTITION BY source
+                   ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_chars,
+                 SUM(chars_at) OVER (PARTITION BY source) AS total_chars,
+                 SUM(n_docs) OVER (PARTITION BY source) AS n_docs_src
+          FROM d)
+    SELECT source,
+           CAST(n_docs_src AS bigint) AS n_docs,
+           CAST(total_chars AS bigint) AS total_chars,
+           CAST(MIN(CASE WHEN 2 * cum_chars >= total_chars
+                         THEN n_chars END)
+                OVER (PARTITION BY source) AS bigint) AS wmedian_len
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) = 1
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: doc count, total chars, and the char-weighted
+    median document length (smallest L with 2·cum_chars(≤L) ≥ total).
+    See family comment — dim-window only, integer-exact."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "n_chars")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_at"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("source")
+    c = d.select(
+        "source",
+        "n_chars",
+        "n_docs",
+        F.sum("chars_at").over(wcum).alias("cum_chars"),
+        F.sum("chars_at").over(wall).alias("total_chars"),
+        F.sum("n_docs").over(wall).alias("n_docs_src"),
+    )
+    out = c.select(
+        "source",
+        F.col("n_docs_src").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.min(
+            F.when(
+                2 * F.col("cum_chars") >= F.col("total_chars"),
+                F.col("n_chars"),
+            )
+        )
+        .over(wall)
+        .cast("long")
+        .alias("wmedian_len"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars"))
+        .alias("_rn"),
+    )
+    return out.where(F.col("_rn") == 1).drop("_rn")

