@@ -7099,3 +7099,145 @@ def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_milli"
         ),
     )
+
+
+# ------------------------------------------------- activity bitmaps
+# The bitmap-index retention pattern: per user, the first 64 days
+# after first contact packed into ONE bigint (bit d set = active on
+# day base+d; day 63 intentionally uses the sign bit — two's-
+# complement bigint semantics are identical in both engines), then
+# the corpus rolled up by active-day count with the day-7-retained
+# tally read straight off bit 7. Fixed 8 bytes of state per user
+# replaces a (user × day) table for every downstream retention
+# question — the reason bitmap indexes exist. Scale: the (user, day)
+# dedup and the bit_or rollup are ONE map-side-combinable exchange
+# chain on user_id; the final histogram is a ≤65-row dim.
+@_q(
+    "q_activity_bitmap",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(epoch_ms(ts) // 86400000 AS bigint) AS day
+                FROM events),
+    b AS (SELECT user_id, MIN(day) AS base_day FROM ud GROUP BY 1),
+    m AS (SELECT ud.user_id,
+                 bit_or(CASE WHEN ud.day - b.base_day < 64
+                        THEN (CAST(1 AS bigint) << CAST(ud.day - b.base_day AS int))
+                        ELSE 0 END) AS mask
+          FROM ud JOIN b USING (user_id) GROUP BY 1)
+    SELECT CAST(bit_count(mask) AS bigint) AS n_active_64,
+           CAST(COUNT(*) AS bigint) AS n_users,
+           CAST(SUM((mask >> 7) & 1) AS bigint) AS n_d7_active
+    FROM m GROUP BY 1
+    """,
+)
+def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users histogrammed by active-day count within their first 64
+    days (bitmap-packed), with the day-7-retained tally per bucket.
+    See family comment — 8 bytes of state per user, one exchange."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            / F.lit(86400000)
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    ud = ev.distinct()
+    b = ud.groupBy("user_id").agg(F.min("day").alias("base_day"))
+    m = (
+        ud.join(b, "user_id")
+        .select(
+            "user_id",
+            F.when(
+                F.col("day") - F.col("base_day") < 64,
+                F.expr(
+                    "shiftleft(cast(1 as bigint),"
+                    " cast(day - base_day as int))"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+    return m.select(
+        F.bit_count("mask").cast("long").alias("n_active_64"),
+        F.col("mask"),
+    ).groupBy("n_active_64").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.expr("(mask >> 7) & 1")).cast("long").alias("n_d7_active"),
+    )
+
+
+# ------------------------------------------- floor-clamped balance
+# The "balance never goes below zero" recurrence — token buckets,
+# inventory floors, queue workloads: b_i = max(0, b_{i-1} + d_i).
+# NOT expressible as a plain cumulative sum — but the ONE-SIDED clamp
+# has the closed form b_i = S_i − min(0, min_{j≤i} S_j) (Lindley's
+# recursion / the reflected random walk), which IS two stacked
+# windows: a cumulative sum and a running minimum over the same
+# (user | ms, event_id) sort. The ENGINE ships the closed form; the
+# ORACLE runs the literal recurrence through a DuckDB recursive CTE —
+# so the value-hash gate machine-checks the reflection identity on
+# real data, not just the textbook proof. Deltas are deterministic
+# small ints by event type (mixed signs, so the floor actually
+# binds). Scale: one user_id exchange, both windows on one sort,
+# state O(1) per row — a 10^12-event stream pays exactly what
+# q_sessionize pays.
+_BAL_DELTA_SQL = """CASE event_type WHEN 'view' THEN 2
+        WHEN 'purchase' THEN -5 WHEN 'signup' THEN 1 ELSE -1 END"""
+
+
+@_q(
+    "q_floor_balance",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             {_BAL_DELTA_SQL} AS d,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, rn,
+             CAST(GREATEST(0, d) AS bigint) AS balance
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.rn,
+             CAST(GREATEST(0, r.balance + t.d) AS bigint)
+      FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, balance FROM r
+    """,
+)
+def q_floor_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the floor-clamped running balance of type-derived
+    deltas, via the reflected-walk closed form (two windows — cumsum
+    and running min — on one sort). The oracle replays the literal
+    max(0, prev + d) recurrence; see family comment."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.expr(_BAL_DELTA_SQL).cast("long").alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = ev.withColumn("s", F.sum("d").over(w)).withColumn(
+        "runmin", F.min("s").over(w)
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        (
+            F.col("s")
+            - F.least(F.lit(0).cast("long"), F.col("runmin"))
+        )
+        .cast("long")
+        .alias("balance"),
+    )

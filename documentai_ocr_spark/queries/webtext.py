@@ -1619,3 +1619,66 @@ def q_refusal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000 * sum(hit) div count(1)") > _REFUSAL_HIGH_MILLI
         ).alias("high_refusal"),
     )
+
+
+# ------------------------------------------------ FD-strength audit
+# Schema archaeology for a corpus nobody documented: does `source`
+# functionally determine `lang`? Per determinant value: the row
+# count, the distinct dependent count, the majority dependent (ties
+# broken lexicographically — deterministic across engines), and the
+# FD strength as exact integer milli (1000·majority_n div n — the
+# complement of Kivinen-Mannila g3 error, 1000 = the FD holds
+# exactly). A source at 1000 is safe to treat as monolingual
+# downstream; anything below is the violation list a data contract
+# review reads. Scale: the (source, lang) rollup is the only corpus
+# exchange (map-side combined); the majority election is the house
+# rank window on that O(sources × langs) dim, never documents.
+@_q(
+    "q_fd_audit",
+    """
+    WITH c AS (SELECT source, lang, CAST(COUNT(*) AS bigint) AS n
+               FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, lang, n,
+                 SUM(n) OVER (PARTITION BY source) AS n_docs,
+                 COUNT(*) OVER (PARTITION BY source) AS n_langs,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n DESC, lang) AS rk
+          FROM c)
+    SELECT source,
+           CAST(n_docs AS bigint) AS n_docs,
+           CAST(n_langs AS bigint) AS n_langs,
+           lang AS top_lang,
+           n AS top_n,
+           CAST(1000 * n // n_docs AS bigint) AS fd_milli
+    FROM r WHERE rk = 1
+    """,
+)
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: how strongly source→lang holds (exact milli g3
+    complement), with the majority language and distinct-lang count.
+    See family comment — dim windows only."""
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wsrc = Window.partitionBy("source")
+    wrk = Window.partitionBy("source").orderBy(
+        F.desc("n"), F.asc("lang")
+    )
+    r = c.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(wsrc).alias("n_docs"),
+        F.count(F.lit(1)).over(wsrc).alias("n_langs"),
+        F.row_number().over(wrk).alias("rk"),
+    )
+    return r.where(F.col("rk") == 1).select(
+        "source",
+        F.col("n_docs").cast("long"),
+        F.col("n_langs").cast("long"),
+        F.col("lang").alias("top_lang"),
+        F.col("n").alias("top_n"),
+        F.expr("cast(1000 * n div n_docs as bigint)").alias("fd_milli"),
+    )

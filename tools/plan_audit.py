@@ -360,6 +360,12 @@ BOUNDED_OK = {
         "broadcast non-equi by construction; the corpus-sized work is "
         "the map-side-combined per-file rollup before it",
     ),
+    "q_fd_audit": (
+        "LOW-CARD-WINDOW",
+        "the majority election and totals run on the (source, lang) "
+        "count dim — O(sources × langs) rows post-aggregation (the "
+        "q_lang_source_assoc cell dim), never documents",
+    ),
     "q_embed_label_margin": (
         "PRODUCT-JOIN",
         "crossJoin of the O(labels) broadcast centroid dim — bounded "
@@ -437,6 +443,7 @@ MEASURED_MAX_ROWS: dict[str, int] = {
     "q_lateness_profile": 64,
     "q_weighted_median": 30_000,
     "x_zonemap_audit": 4_096,
+    "q_fd_audit": 2_000,
 }
 
 
