@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     #   shuffle per round) is pinned by tests/test_components.py
     "q_turn_supersede",         # transcript upsert: generation + turn-key window
     "q_prefix_share",           # prompt-cache planning (conv-bounded window)
+    # round-4 additions
+    "q_scd2_intervals",         # SCD2 build: three windows on one user sort
+    "q_floor_balance",          # Lindley closed form (cumsum + running min)
+    "q_activity_bitmap",        # bit_or bitmap retention (8 B state/user)
+    "q_weighted_median",        # char-weighted median on the value-domain dim
+    "q_cube_revenue",           # full CUBE via Expand below one exchange
 ]
 
 _SF_TAG = SF_DIR.strip("/").replace("/", "_")
@@ -195,7 +201,9 @@ def main() -> None:
         # rule. "local" = the pre-round-4 thread mode (one JVM).
         scale_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "local-cluster")
         zip_path = "/tmp/documentai_ocr_spark_bench.zip"
-        if scale_mode == "local-cluster" and not os.path.exists(zip_path):
+        if scale_mode == "local-cluster":
+            # ALWAYS rebuild — a cached zip would ship stale code to
+            # the executors after an edit (<1 s, not worth the risk)
             import zipfile
 
             pkg_root = os.path.dirname(os.path.abspath(__file__))

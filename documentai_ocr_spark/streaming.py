@@ -898,3 +898,71 @@ def slo_burn_read_current(spark: SparkSession, output_dir: str) -> DataFrame:
         )
     )
     return slo_burn_from_daily(g)
+
+
+# ------------------------------------------- streaming activity bitmap
+BITMAP_STATE_SCHEMA = "base_day long, mask long"
+BITMAP_OUT_SCHEMA = (
+    "user_id long, base_day long, mask long, n_active_64 int"
+)
+
+
+def stream_activity_bitmap(stream: DataFrame) -> DataFrame:
+    """Streaming twin of q_activity_bitmap's per-user bitmap state
+    (queries/relational.py): first-64-days activity packed into one
+    bigint, maintained incrementally. bit_or is commutative,
+    associative AND idempotent, so the maintainer is ORDER-INDEPENDENT
+    across any delivery interleaving — with one subtlety: a LATE
+    arrival carrying an EARLIER day than the current base re-bases the
+    window (mask shifts left by the base delta; bits pushed past the
+    64-day horizon drop — exactly what the batch query computes on the
+    full data, where those days sit ≥64 after the true minimum).
+    Python's unbounded ints do the shift exactly; the stored mask is
+    the low 64 bits reinterpreted as a signed bigint (two's
+    complement, the engine convention — day 63 is the sign bit).
+
+    State per user is 16 bytes, the whole point of the bitmap: a
+    10^9-user fleet holds its entire retention state in ~16 GB.
+
+    Expected input columns: user_id (long), day (long)."""
+    import pandas as pd  # noqa: F401 (worker-side import)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            base, mask = state.get
+            mask &= (1 << 64) - 1  # unsigned view for the shifts
+        else:
+            base, mask = None, 0
+        for pdf in pdfs:
+            for day in pdf["day"]:
+                day = int(day)
+                if base is None:
+                    base = day
+                elif day < base:
+                    mask = (mask << (base - day)) & ((1 << 64) - 1)
+                    base = day
+                off = day - base
+                if off < 64:
+                    mask |= 1 << off
+        signed = mask - (1 << 64) if mask >= (1 << 63) else mask
+        state.update((base, signed))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "base_day": [base],
+                "mask": [signed],
+                "n_active_64": [bin(mask).count("1")],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=BITMAP_OUT_SCHEMA,
+        stateStructType=BITMAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

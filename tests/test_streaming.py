@@ -1143,3 +1143,69 @@ def test_stream_slo_burn_parity_and_replace_only(spark, tmp_path_factory):
         r["day"]: (r["total"], r["err"]) for r in sub.collect()
     }
     assert per0 == want0
+
+
+def test_stream_activity_bitmap_rebase_any_order(spark, tmp_path_factory):
+    """Incremental bitmap maintenance across micro-batches equals the
+    batch first-64-days semantics REGARDLESS of delivery order — the
+    hostile file arrives LAST carrying the EARLIEST day, forcing the
+    re-base shift; a day ≥64 after the true base contributes nothing;
+    day 63 lands on the sign bit and must round-trip the signed-bigint
+    state intact."""
+    import pandas as pd
+
+    from documentai_ocr_spark.streaming import stream_activity_bitmap
+
+    base = tmp_path_factory.mktemp("stream")
+    d = str(base / "in")
+    ckpt = str(base / "ckpt")
+
+    # user 1: delivered days 50, 7, 113, then LATE arrival day 0
+    #   → true base 0, active {0, 7, 50, 63←not set: 113-0 ≥ 64? 113
+    #   drops; wait 63 comes from user 2}. After rebase: {0, 7, 50},
+    #   the pre-rebase bits shift left by 50.
+    # user 2: days 63 then 0 → after rebase {0, 63}: sign bit set.
+    batches = [
+        pd.DataFrame({"user_id": [1, 1], "day": [50, 7]}),
+        pd.DataFrame({"user_id": [1, 2], "day": [113, 63]}),
+        pd.DataFrame({"user_id": [1, 2], "day": [0, 0]}),
+    ]
+    schema = "user_id long, day long"
+    for pdf in batches:
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_activity_bitmap(src)
+        .writeStream.format("memory")
+        .queryName("bitmap")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "bitmap drain did not finish"
+    final = {}
+    for r in spark.sql("SELECT * FROM bitmap").collect():
+        final[r.user_id] = (r.base_day, r.mask, r.n_active_64)
+
+    def batch_ref(days):
+        b = min(days)
+        m = 0
+        for day in days:
+            if day - b < 64:
+                m |= 1 << (day - b)
+        return (b, m - (1 << 64) if m >= (1 << 63) else m,
+                bin(m).count("1"))
+
+    assert final[1] == batch_ref([50, 7, 113, 0])
+    assert final[2] == batch_ref([63, 0])
+    # the engineered facts the test exists for:
+    assert final[1][2] == 3          # day 113 dropped by the horizon
+    assert final[2][1] < 0           # sign bit set (day 63)

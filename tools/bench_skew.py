@@ -204,7 +204,8 @@ def _one_run(width: int, mode: str) -> tuple[float, bool]:
 
 def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_SKEW_MODE", "local-cluster")
-    if mode == "local-cluster" and not os.path.exists(ZIP_PATH):
+    if mode == "local-cluster":
+        # always rebuild — a cached zip would ship stale executor code
         import zipfile
 
         pkg_root = os.path.dirname(

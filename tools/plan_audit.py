@@ -767,6 +767,24 @@ def main() -> int:
         for name, why in bad:
             lines.append(f"- {name}: {why}")
 
+    if not do_measure:
+        # a fast (plan-only) run must not CLOBBER the measured-bounds
+        # table a previous --measure run published — carry it forward
+        # verbatim (its own header names the sf it ran at)
+        try:
+            prev = open(
+                os.path.join(
+                    os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))
+                    ),
+                    "PLANS.md",
+                )
+            ).read()
+            k = prev.index("## Measured bounds")
+            lines += ["", prev[k:].rstrip()]
+        except (OSError, ValueError):
+            pass
+
     if do_measure:
         measured = measure_bounds(spark, measure_sf)
         n_viol = sum(1 for r in measured if not r[4])
