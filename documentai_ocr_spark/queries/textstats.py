@@ -2672,3 +2672,86 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_rn"),
     )
     return out.where(F.col("_rn") == 1).drop("_rn")
+
+
+# -------------------------------------------------- stump split scan
+# The ML-primitive the registry lacked: the EXACT threshold-scan
+# table a decision-stump (tree-node) learner consumes. For every
+# candidate threshold t on n_chars: the left/right partition sizes
+# and each side's sum of squared per-lang class counts — every
+# impurity measure (Gini, entropy-gain after the caller's own log)
+# derives from these four integers, and keeping the table integer
+# avoids the argmin-tie instability a float impurity would smuggle
+# across engines (the caller picks the argmin with whatever rational
+# comparison it trusts). Scale: the ONLY corpus exchange is the
+# map-side-combined (n_chars, lang) rollup; the threshold × lang grid
+# is a dim product (value domain × classes), the cumulative windows
+# walk it per lang, and the final rollup is per threshold — documents
+# are never re-scanned per candidate, the trick that makes histogram
+# tree learners (LightGBM-style) scale.
+@_q(
+    "q_split_scan",
+    """
+    WITH d AS (SELECT n_chars, lang, CAST(COUNT(*) AS bigint) AS n
+               FROM documents GROUP BY 1, 2),
+    grid AS (SELECT t.n_chars, l.lang
+             FROM (SELECT DISTINCT n_chars FROM d) t
+             CROSS JOIN (SELECT DISTINCT lang FROM d) l),
+    c AS (SELECT g.n_chars, g.lang,
+                 SUM(COALESCE(d.n, 0)) OVER (PARTITION BY g.lang
+                   ORDER BY g.n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_lc,
+                 SUM(COALESCE(d.n, 0)) OVER (PARTITION BY g.lang)
+                   AS n_c
+          FROM grid g LEFT JOIN d
+            ON d.n_chars = g.n_chars AND d.lang = g.lang)
+    SELECT n_chars AS threshold,
+           CAST(SUM(n_lc) AS bigint) AS n_left,
+           CAST(SUM(n_c - n_lc) AS bigint) AS n_right,
+           CAST(SUM(n_lc * n_lc) AS bigint) AS sumsq_left,
+           CAST(SUM((n_c - n_lc) * (n_c - n_lc)) AS bigint)
+             AS sumsq_right
+    FROM c GROUP BY 1
+    """,
+)
+def q_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate threshold on n_chars: left/right sizes and each
+    side's sum of squared per-lang class counts (docs with n_chars ≤
+    t go left) — the exact-integer stump-learner input. See family
+    comment."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .groupBy("n_chars", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    th = d.select("n_chars").distinct()
+    lg = d.select("lang").distinct()
+    grid = th.crossJoin(F.broadcast(lg))
+    j = grid.join(d, ["n_chars", "lang"], "left").select(
+        "n_chars", "lang", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("lang")
+    c = j.select(
+        "n_chars",
+        F.sum("n").over(wcum).alias("n_lc"),
+        F.sum("n").over(wall).alias("n_c"),
+    )
+    return c.groupBy(F.col("n_chars").alias("threshold")).agg(
+        F.sum("n_lc").cast("long").alias("n_left"),
+        F.sum(F.col("n_c") - F.col("n_lc")).cast("long").alias("n_right"),
+        F.sum(F.col("n_lc") * F.col("n_lc")).cast("long").alias(
+            "sumsq_left"
+        ),
+        F.sum(
+            (F.col("n_c") - F.col("n_lc"))
+            * (F.col("n_c") - F.col("n_lc"))
+        )
+        .cast("long")
+        .alias("sumsq_right"),
+    )

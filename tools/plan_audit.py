@@ -360,6 +360,14 @@ BOUNDED_OK = {
         "broadcast non-equi by construction; the corpus-sized work is "
         "the map-side-combined per-file rollup before it",
     ),
+    "q_split_scan": (
+        ("LOW-CARD-WINDOW", "PRODUCT-JOIN"),
+        "the cumulative class-count windows walk the threshold × lang "
+        "GRID dim (value domain × classes — the q_skyline_docs bound "
+        "per class); the crossJoin is that same dim product with the "
+        "≤classes-row lang dim broadcast; the only corpus exchange is "
+        "the map-side-combined (n_chars, lang) rollup before it",
+    ),
     "q_fd_audit": (
         "LOW-CARD-WINDOW",
         "the majority election and totals run on the (source, lang) "
@@ -444,6 +452,7 @@ MEASURED_MAX_ROWS: dict[str, int] = {
     "q_weighted_median": 30_000,
     "x_zonemap_audit": 4_096,
     "q_fd_audit": 2_000,
+    "q_split_scan": 60_000,
 }
 
 
