@@ -7241,3 +7241,84 @@ def q_floor_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("balance"),
     )
+
+
+# ------------------------------------------ rolling distinct, 90-day
+# Exact trailing-90-day distinct users per day — the q_dau_wau
+# problem at the window size where its bounded-fan-out trick stops
+# scaling (7× in-row fan-out is fine; 90× is ~13 copies of the
+# corpus). The difference-array method does it in O(pairs): a (user,
+# day) pair is the LAST activity of u inside the window ending D iff
+# day ≤ D < min(next_day, day + 90) — so each pair supports exactly
+# the window-ends in [day, min(next_day − 1, day + 89)], and the
+# per-day distinct count is the prefix sum of +1/−1 interval
+# endpoints over the dense day grid. No fan-out, no per-day rescan,
+# one lead window per user. The ORACLE is the deliberately naive
+# independent formulation — a day × activity range join with
+# COUNT(DISTINCT) — so the gate proves the interval algebra, not the
+# implementation, at every tested SF. Scale: one user_id exchange
+# (dedup + lead share the sort), endpoint rollup on the day dim, the
+# prefix sum a global window over the CALENDAR-bounded day grid
+# (BOUNDED_OK), corpus never rescanned per day.
+_ROLL_WIN = 90
+
+
+@_q(
+    "q_rolling_distinct_90",
+    f"""
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(epoch_ms(ts) // 86400000 AS bigint) AS day
+                FROM events),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+    days AS (SELECT unnest(generate_series(lo, hi)) AS day FROM span)
+    SELECT d.day, CAST(COUNT(DISTINCT ud.user_id) AS bigint)
+             AS n_active_90
+    FROM days d LEFT JOIN ud
+      ON ud.day BETWEEN d.day - {_ROLL_WIN - 1} AND d.day
+    GROUP BY 1
+    """,
+)
+def q_rolling_distinct_90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day of the corpus span: the exact count of users active in
+    the trailing 90 days, via interval endpoints + one prefix sum.
+    See family comment — the oracle is the naive range join."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            / F.lit(86400000)
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    ud = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = ud.withColumn("next_day", F.lead("day").over(w))
+    starts = pairs.select(F.col("day").alias("d"), F.lit(1).alias("delta"))
+    ends = pairs.select(
+        F.least(
+            F.coalesce(F.col("next_day"), F.lit(2**62)),
+            F.col("day") + F.lit(_ROLL_WIN),
+        ).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionAll(ends).groupBy("d").agg(
+        F.sum("delta").alias("delta")
+    )
+    span = ud.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    days = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = days.join(deltas, days["day"] == deltas["d"], "left").select(
+        "day", F.coalesce("delta", F.lit(0)).alias("delta")
+    )
+    wprefix = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "day",
+        F.sum("delta").over(wprefix).cast("long").alias("n_active_90"),
+    )

@@ -261,3 +261,66 @@ def test_split_scan_replay_sf0001(spark):
     tmax = max(got)
     assert got[tmax][1] == 0
     assert got[tmax][2] == int((class_tot**2).sum())
+
+
+# ---------------------------------------------- rolling distinct 90
+
+
+def test_rolling_distinct_90_replay_sf0001(spark):
+    """Difference-array rolling distinct vs a brute-force python
+    replay over the full sf0.001 events, plus the structural
+    invariants: monotone ≤ total users, and a window fully inside a
+    gap longer than 90 days would read 0 (vacuous on this data; the
+    fixture below forces it)."""
+    from documentai_ocr_spark.queries.relational import (
+        q_rolling_distinct_90,
+    )
+
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr(
+            "user_id", "unix_millis(cast(ts as timestamp)) as ms"
+        )
+        .toPandas()
+    )
+    ev["day"] = ev["ms"] // 86400000
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    lo, hi = int(ud["day"].min()), int(ud["day"].max())
+    want = {}
+    for d in range(lo, hi + 1):
+        w = ud[(ud["day"] >= d - 89) & (ud["day"] <= d)]
+        want[d] = w["user_id"].nunique()
+    got = {
+        int(r.day): int(r.n_active_90)
+        for r in q_rolling_distinct_90(spark, SF).collect()
+    }
+    assert got == want
+    assert max(got.values()) <= ud["user_id"].nunique()
+
+
+def test_rolling_distinct_90_gap_fixture(spark, tmp_path):
+    """Two users active on day 0; one returns on day 200. The count
+    must fall to 0 for days 90..199 (the >90-day silence), then read
+    1 — the interval-endpoint algebra's decay edge, which the
+    fan-out method gets for free but a buggy difference array (e.g.
+    a missing −1 endpoint) would corrupt forever after."""
+    rows = [
+        (0, 1, "view", 0),
+        (1, 2, "view", 3600_000),             # same day 0
+        (2, 1, "view", 200 * 86400000),       # day 200
+    ]
+    sf = _events_pdf(rows, tmp_path)
+    from documentai_ocr_spark.queries.relational import (
+        q_rolling_distinct_90,
+    )
+
+    got = {
+        int(r.day): int(r.n_active_90)
+        for r in q_rolling_distinct_90(spark, sf).collect()
+    }
+    assert got[0] == 2
+    assert got[89] == 2
+    assert got[90] == 0
+    assert got[199] == 0
+    assert got[200] == 1
+    assert len(got) == 201

@@ -360,6 +360,12 @@ BOUNDED_OK = {
         "broadcast non-equi by construction; the corpus-sized work is "
         "the map-side-combined per-file rollup before it",
     ),
+    "q_rolling_distinct_90": (
+        "EMPTY-WINDOW",
+        "the prefix sum runs over the CALENDAR-bounded dense day grid "
+        "(the q_slo_burn densify bound); the corpus-sized work is the "
+        "(user, day) dedup + lead before the endpoint rollup",
+    ),
     "q_split_scan": (
         ("LOW-CARD-WINDOW", "PRODUCT-JOIN"),
         "the cumulative class-count windows walk the threshold × lang "
@@ -453,6 +459,7 @@ MEASURED_MAX_ROWS: dict[str, int] = {
     "x_zonemap_audit": 4_096,
     "q_fd_audit": 2_000,
     "q_split_scan": 60_000,
+    "q_rolling_distinct_90": 10_000,
 }
 
 
