@@ -7322,3 +7322,50 @@ def q_rolling_distinct_90(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.sum("delta").over(wprefix).cast("long").alias("n_active_90"),
     )
+
+
+# ------------------------------------------------- trailing-1h rate
+# The rate-limiter's view of the stream: at EVERY event, how many
+# events (and how much value, in exact floor-cents) did the same
+# user produce in the trailing hour including this one? A TIME-RANGE
+# frame (RANGE BETWEEN 3599999 PRECEDING) on the millisecond axis —
+# the frame kind that is CORRECT on irregular event spacing where a
+# ROWS frame would count a fixed number of events regardless of how
+# long ago they happened (the q_revenue_30d distinction, here at
+# EVENT grain rather than on a daily rollup dim). Scale: one user_id
+# exchange, one sort, O(1) sliding-frame state per row — Spark's
+# range-frame implementation advances two pointers over the sorted
+# partition, never re-scanning the window per row.
+@_q(
+    "q_rate_window",
+    """
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS bigint) AS n_1h,
+           CAST(SUM(CAST(FLOOR(value * 100) AS bigint)) OVER w
+                AS bigint) AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: same-user event count and exact floor-cents value
+    over the trailing hour (time-RANGE frame, not ROWS). See family
+    comment."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-3599999, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum("cents").over(w).cast("long").alias("cents_1h"),
+    )

@@ -324,3 +324,41 @@ def test_rolling_distinct_90_gap_fixture(spark, tmp_path):
     assert got[199] == 0
     assert got[200] == 1
     assert len(got) == 201
+
+
+# -------------------------------------------------- rate window (1h)
+
+
+def test_rate_window_range_vs_rows_fixture(spark, tmp_path):
+    """Events at minutes 0, 30, 59.999, 90, 200: the trailing-hour
+    RANGE frame reads 1,2,3,2,1 — at minute 90 the minute-30 event
+    sits exactly 3,600,000 ms back, ONE millisecond outside the
+    3,599,999-PRECEDING frame (the inclusive-bound edge), and a
+    ROWS frame would instead count a fixed number of events
+    regardless of age (reading 3 at minute 200). Also pins peer
+    inclusion: two events in the SAME millisecond must see each
+    other."""
+    from documentai_ocr_spark.queries.relational import q_rate_window
+
+    m = 60_000
+    rows = [
+        (0, 1, "view", 0),
+        (1, 1, "view", 30 * m),
+        (2, 1, "view", 60 * m - 1),
+        (3, 1, "view", 90 * m),
+        (4, 1, "view", 200 * m),
+        # user 2: same-ms peers
+        (5, 2, "view", 1000),
+        (6, 2, "view", 1000),
+    ]
+    sf = _events_pdf(rows, tmp_path)
+    got = {
+        int(r.event_id): int(r.n_1h)
+        for r in q_rate_window(spark, sf).collect()
+    }
+    assert got[0] == 1
+    assert got[1] == 2
+    assert got[2] == 3          # 0, 30m, 59.999m all inside the hour
+    assert got[3] == 2          # minute-30 is 1 ms outside the frame
+    assert got[4] == 1          # everything aged out
+    assert got[5] == 2 and got[6] == 2  # same-ms peers see each other
