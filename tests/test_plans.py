@@ -458,3 +458,78 @@ def test_slo_burn_one_corpus_exchange(spark):
             "single-key event_type exchange not fed by a partial "
             "distinct aggregate"
         )
+
+
+def test_scd2_single_user_sort(spark):
+    """q_scd2_intervals: the change-detect lag, the interval lead AND
+    the version row_number must share ONE user_id exchange (all three
+    windows ride the same (user_id | ms, event_id) sort) — and the
+    plan carries no join at all."""
+    p = plan(QUERIES["q_scd2_intervals"](spark, SF))
+    user_ex = [
+        ln
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning(user_id" in ln
+    ]
+    assert len(user_ex) == 1, user_ex
+    assert "Join" not in p
+
+
+def test_floor_balance_closed_form_plan(spark):
+    """q_floor_balance: the Lindley closed form is one user exchange,
+    zero joins, zero Python nodes — cumsum + running min on one
+    sort."""
+    p = plan(QUERIES["q_floor_balance"](spark, SF))
+    user_ex = [
+        ln
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning(user_id" in ln
+    ]
+    assert len(user_ex) == 1, user_ex
+    assert "Join" not in p
+    assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+
+
+def test_rolling_distinct_no_corpus_fanout(spark):
+    """q_rolling_distinct_90: the difference-array form must NOT
+    explode the corpus (the q_dau_wau fan-out would show a Generate
+    over event-grain rows); its only Generate is the 1-row span's
+    day-sequence explode, and the corpus-side work is one user_id
+    exchange chain."""
+    p = plan(QUERIES["q_rolling_distinct_90"](spark, SF))
+    # the day-grid explode exists… (detail section prints
+    # "Arguments: explode(sequence(lo…" under the Generate node)
+    assert "explode(sequence(lo" in p
+    # …and it is the ONLY Generate in the plan
+    import re
+
+    gens = re.findall(r"^\(\d+\) Generate", p, re.M)
+    assert len(gens) == 1, gens
+    assert "CartesianProduct" not in p
+
+
+def test_rate_window_single_exchange_range_frame(spark):
+    """q_rate_window: one user_id exchange, one Window node carrying
+    a RANGE frame (not ROWS) on the millisecond axis."""
+    p = plan(QUERIES["q_rate_window"](spark, SF))
+    user_ex = [
+        ln
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning(user_id" in ln
+    ]
+    assert len(user_ex) == 1, user_ex
+    assert "RangeFrame, -3599999" in p  # a ROWS regression prints RowFrame
+
+
+def test_split_scan_one_corpus_exchange(spark):
+    """q_split_scan: documents are scanned and shuffled ONCE — the
+    (n_chars, lang) rollup — and every other partitioning in the plan
+    is over the threshold/lang dim columns, never doc_id."""
+    p = plan(QUERIES["q_split_scan"](spark, SF))
+    # column pruning: every scan reads ONLY (n_chars, lang) or less —
+    # doc_id / text / source never leave parquet
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs
+    for ln in rs:
+        assert "doc_id" not in ln and "text" not in ln, ln
+        assert "source" not in ln, ln
