@@ -49,6 +49,7 @@ def pin_arrow_pools() -> None:
 
 from ..rules import (
     pdfish_box_valid,
+    pdfish_coord,
     BOILER_RE,
     DENSE_CHAR_RE,
     DENSITY_THRESH,
@@ -442,7 +443,13 @@ def _parse_boxes_fast(texts: pd.Series) -> dict | None:
 
     def col(name, default):
         arr = pc.fill_null(table.column(name), default).combine_chunks()
-        return arr.to_numpy(zero_copy_only=False)[idx]
+        v = arr.to_numpy(zero_copy_only=False)[idx]
+        # same rule as pdfish_coord: a JSON literal like 1e309 overflows
+        # to inf; non-finite coordinates default to 0.0 on both the
+        # kernel and oracle sides so geometry math never sees NaN/inf
+        if not np.isfinite(v).all():
+            v = np.where(np.isfinite(v), v, 0.0)
+        return v
 
     return {
         "row": row[idx],
@@ -477,11 +484,11 @@ def _parse_boxes_loop(texts: pd.Series) -> dict:
         return {}
     return {
         "row": np.asarray(rows, dtype=np.int64),
-        "page": np.asarray([r.get("page", 0) or 0 for r in recs], dtype=np.float64),
-        "y": np.asarray([r.get("y", 0.0) or 0.0 for r in recs], dtype=np.float64),
-        "x": np.asarray([r.get("x", 0.0) or 0.0 for r in recs], dtype=np.float64),
-        "w": np.asarray([r.get("w", 0.0) or 0.0 for r in recs], dtype=np.float64),
-        "h": np.asarray([r.get("h", 0.0) or 0.0 for r in recs], dtype=np.float64),
+        "page": np.asarray([pdfish_coord(r.get("page")) for r in recs], dtype=np.float64),
+        "y": np.asarray([pdfish_coord(r.get("y")) for r in recs], dtype=np.float64),
+        "x": np.asarray([pdfish_coord(r.get("x")) for r in recs], dtype=np.float64),
+        "w": np.asarray([pdfish_coord(r.get("w")) for r in recs], dtype=np.float64),
+        "h": np.asarray([pdfish_coord(r.get("h")) for r in recs], dtype=np.float64),
         "c": np.asarray([str(r["c"]) for r in recs], dtype=object),
     }
 

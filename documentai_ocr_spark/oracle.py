@@ -27,6 +27,7 @@ from typing import Any
 from .extract.htmlparse import html_blocks
 from .rules import (
     pdfish_box_valid,
+    pdfish_normalize_box,
     BOILER_RE,
     DENSE_CHAR_RE,
     DENSITY_THRESH,
@@ -199,16 +200,7 @@ def extract_pdfish(text: str) -> tuple[str, list[Span]]:
         except (ValueError, TypeError):
             continue
         if pdfish_box_valid(b):
-            boxes.append(
-                {
-                    "c": b["c"],
-                    "page": b.get("page") or 0,
-                    "y": b.get("y") or 0.0,
-                    "x": b.get("x") or 0.0,
-                    "w": b.get("w") or 0.0,
-                    "h": b.get("h") or 0.0,
-                }
-            )
+            boxes.append(pdfish_normalize_box(b))
 
     boxes.sort(key=lambda b: (b.get("page", 0), b.get("y", 0.0), b.get("x", 0.0)))
 
@@ -277,7 +269,7 @@ def word_boxes(text: str) -> list[tuple[int, int, float, float]]:
         except (ValueError, TypeError):
             continue
         if pdfish_box_valid(b):
-            boxes.append(b)
+            boxes.append(pdfish_normalize_box(b))
     boxes.sort(key=lambda b: (b.get("page") or 0, b.get("y") or 0.0,
                               b.get("x") or 0.0))
 

@@ -24,6 +24,7 @@ Rule provenance (reference semantics, re-derived — not copied):
 
 from __future__ import annotations
 
+import math
 import re
 
 # ---------------------------------------------------------------- plain text
@@ -95,6 +96,30 @@ def pdfish_box_valid(b) -> bool:
         if v is not None and not isinstance(v, (int, float)):
             return False
     return True
+
+
+def pdfish_coord(v) -> float:
+    """Shared coordinate defaulting: absent / None / non-finite → 0.0.
+    Python's json accepts ``Infinity``/``NaN`` literals and overflows
+    ``1e309`` to inf, so hostile payloads can inject non-finite
+    coordinates; both the vectorized kernel and the per-turn oracle
+    apply this rule at parse time so neither side ever carries a
+    NaN/inf into the geometry arithmetic (where NaN comparisons would
+    silently diverge between numpy and pure Python code paths)."""
+    if v is None:
+        return 0.0
+    v = float(v)
+    return v if math.isfinite(v) else 0.0
+
+
+def pdfish_normalize_box(b: dict) -> dict:
+    """Normalize one validity-gated box record to the canonical shape:
+    ``c`` plus the five numeric fields, every coordinate defaulted via
+    :func:`pdfish_coord`. Shared by both oracle parse sites."""
+    out = {"c": b["c"]}
+    for k in _PDF_NUM_FIELDS:
+        out[k] = pdfish_coord(b.get(k))
+    return out
 
 # ------------------------------------------------------ word-span fixups
 # the reference's char-run post-processing over a line's word intervals

@@ -94,6 +94,9 @@ def _corrupt_pdfish(rng: random.Random) -> str:
                 '{"c":"a"}', '{"x":1,"y":2}',
                 '{"c":"a","x":1e309,"y":0,"w":8,"h":10,"page":0}',
                 '{"c":null,"x":1,"y":1,"w":8,"h":10,"page":0}',
+                '{"c":"a","x":Infinity,"y":-Infinity,"w":8,"h":10,"page":0}',
+                '{"c":"a","x":NaN,"y":NaN,"w":NaN,"h":NaN,"page":NaN}',
+                '{"c":"a","x":5,"y":1e309,"w":-1e309,"h":10,"page":0}',
             ]))
         else:
             lines.append(
@@ -202,6 +205,39 @@ def test_megabyte_single_line_turns():
         ("​‮" + "ab " * 400_000)[:mb],       # bidi-prefixed
     ]
     _assert_batch_equals_oracle(payloads)
+
+
+def test_nonfinite_coordinate_boxes():
+    """Round-5 verdict item 7: hostile non-finite coordinates (json's
+    Infinity/NaN literals, 1e309 overflow) must produce zero numpy
+    RuntimeWarnings in the kernel (run the suite under
+    ``-W error::RuntimeWarning``) and stay kernel==oracle — the shared
+    pdfish_coord rule defaults them to 0.0 at parse time on BOTH
+    sides, so NaN never reaches the geometry arithmetic where numpy
+    and pure-Python comparison semantics could diverge."""
+    all_nan = "\n".join(
+        '{"c":"%s","x":NaN,"y":NaN,"w":NaN,"h":NaN,"page":NaN}' % ch
+        for ch in "abc文档x"
+    )
+    payloads = [
+        all_nan,
+        # inf x after a finite box: gap arithmetic site
+        '{"c":"a","x":1,"y":1,"w":8,"h":10,"page":0}\n'
+        '{"c":"b","x":Infinity,"y":1,"w":8,"h":10,"page":0}\n'
+        '{"c":"c","x":30,"y":1,"w":8,"h":10,"page":0}',
+        # inf y adjacent to inf y: the inf-inf line-grouping site
+        '{"c":"a","x":1,"y":1e309,"w":8,"h":10,"page":0}\n'
+        '{"c":"b","x":9,"y":1e309,"w":8,"h":10,"page":0}',
+        # mixed: -inf w (prev_x + prev_w site), NaN h (y-tol site)
+        '{"c":"a","x":1,"y":1,"w":-1e309,"h":10,"page":0}\n'
+        '{"c":"b","x":9,"y":1,"w":8,"h":NaN,"page":0}\n'
+        '{"c":"c","x":17,"y":1,"w":8,"h":10,"page":Infinity}',
+    ]
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        _assert_batch_equals_oracle(payloads)
 
 
 def test_null_and_empty_rows_interleaved():
