@@ -2688,7 +2688,13 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is a dim product (value domain × classes), the cumulative windows
 # walk it per lang, and the final rollup is per threshold — documents
 # are never re-scanned per candidate, the trick that makes histogram
-# tree learners (LightGBM-style) scale.
+# tree learners (LightGBM-style) scale. Overflow: n_lc² wraps int64
+# once a class's cumulative count passes ~3.04e9 docs (inside 100-TB
+# reach), and Spark non-ANSI wraps SILENTLY where DuckDB's hugeint
+# widens — so the squares go through decimal(19,0) operands (product
+# decimal(38,0), exact to n_lc ~ 1e17 per class) before the final
+# bigint cast, the same widening as q_lineitem_leverage's |leverage|
+# sum (relational.py:6523).
 @_q(
     "q_split_scan",
     """
@@ -2742,16 +2748,11 @@ def q_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wcum).alias("n_lc"),
         F.sum("n").over(wall).alias("n_c"),
     )
+    n_lc_d = F.col("n_lc").cast("decimal(19,0)")
+    n_rc_d = (F.col("n_c") - F.col("n_lc")).cast("decimal(19,0)")
     return c.groupBy(F.col("n_chars").alias("threshold")).agg(
         F.sum("n_lc").cast("long").alias("n_left"),
         F.sum(F.col("n_c") - F.col("n_lc")).cast("long").alias("n_right"),
-        F.sum(F.col("n_lc") * F.col("n_lc")).cast("long").alias(
-            "sumsq_left"
-        ),
-        F.sum(
-            (F.col("n_c") - F.col("n_lc"))
-            * (F.col("n_c") - F.col("n_lc"))
-        )
-        .cast("long")
-        .alias("sumsq_right"),
+        F.sum(n_lc_d * n_lc_d).cast("long").alias("sumsq_left"),
+        F.sum(n_rc_d * n_rc_d).cast("long").alias("sumsq_right"),
     )

@@ -467,12 +467,21 @@ def _walk_executed(node):
     """Depth-first over an EXECUTED physical plan, descending through
     AQE wrappers (AdaptiveSparkPlanExec → its final executed plan,
     QueryStageExec → its materialized subplan, ReusedExchange →
-    child)."""
+    child). The seen-set keys on JVM object IDENTITY
+    (System.identityHashCode), not hashCode(): plan nodes are case
+    classes with structural hashing, so an identical sibling subtree
+    (a self-join scanning the same table twice without ReusedExchange)
+    would otherwise be skipped and its runtime metrics excluded from
+    the measured max — the dedupe only exists to visit genuinely
+    SHARED (reused) nodes once."""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
     stack = [node]
     seen = set()
     while stack:
         n = stack.pop()
-        oid = n.hashCode()
+        oid = jvm.java.lang.System.identityHashCode(n)
         if oid in seen:
             continue
         seen.add(oid)
@@ -774,6 +783,14 @@ def main() -> int:
                 " ".join(flags) or "",
             )
         )
+    # run --measure BEFORE rendering the headline so measured-bound
+    # violations are counted in the published "Audit result" line
+    # (previously the line was rendered first and understated them)
+    measured = measure_bounds(spark, measure_sf) if do_measure else []
+    for name, worst, bnd, kinds, ok in measured:
+        if not ok:
+            bad.append((name, f"measured {worst} rows > bound {bnd}"))
+
     lines += [
         "",
         f"**Audit result: {len(bad)} flagged / {len(rows)} queries.**",
@@ -802,7 +819,6 @@ def main() -> int:
             pass
 
     if do_measure:
-        measured = measure_bounds(spark, measure_sf)
         n_viol = sum(1 for r in measured if not r[4])
         lines += [
             "",
@@ -834,10 +850,6 @@ def main() -> int:
                     "yes" if ok else "**VIOLATED**",
                 )
             )
-            if not ok:
-                bad.append(
-                    (name, f"measured {worst} rows > bound {bnd}")
-                )
         lines.append("")
         lines.append(
             f"**Measured-bounds result: {n_viol} violated / "
