@@ -1,0 +1,276 @@
+"""Incremental (rolling-ingest) dedup against persisted signature state.
+
+Round-5 addition: every dedup query in the registry is one-shot over
+the full corpus, but a rolling 100-TB ingest dedups NEW shards against
+the accumulated corpus without rescanning it. This module persists the
+accepted corpus ONLY as its signature tables — the normalized-content
+exact hash and the MinHash LSH band buckets, O(survivors) rows with
+none of the original text — so the increment for batch N+1 computes
+signatures for ITS OWN rows exactly once and anti-joins them against
+the persisted state. Batch ≤N text is never rescanned; batch ≤N
+signatures are never recomputed (tests/test_incdedup.py pins the
+state files byte-stable across later increments).
+
+Reference anchor: the insert-if-absent probe + per-run seen-set of
+/root/reference/ocrclient/redisdata.py:106-108,170 — the per-key Redis
+``setnx``-style probe generalized to corpus scale: the "seen set"
+becomes two parquet signature tables and the N probe round-trips
+become two anti-joins per batch.
+
+Policy — identical, by construction, to the oracled one-shot fold
+``q_incdedup_fold`` (queries/dedup.py), which unrolls the same rules
+over a fixed batch list in both Spark and DuckDB:
+
+  * exact rule: a doc is dropped iff its normalized-content hash
+    (util.content_hash_col) equals an ACCEPTED doc's hash from an
+    earlier committed batch, or a smaller-doc_id doc in its OWN batch
+    shares the hash.
+  * near rule (applied to exact survivors): a doc is dropped iff it
+    shares a MinHash band bucket (band, bh) with an ACCEPTED doc from
+    an earlier batch, or with a smaller-doc_id exact-survivor of its
+    own batch — whether or not that blocker itself survives (the
+    PAIRWISE rule: order-free given doc_id order, SQL-expressible,
+    and exactly what a signature-state probe can answer; exact
+    duplicates carry identical band sets, so restricting in-batch
+    blockers to exact survivors loses nothing).
+  * the accepted state grows by the batch's survivors only — a doc is
+    never retroactively un-accepted (rolling-ingest semantics).
+
+State layout (plain parquet; on a real cluster each table maps to an
+Iceberg table and the ledger append to a snapshot commit — the same
+emulation boundary as lineage.py):
+
+  state_dir/exact/batch-<id>/       (doc_id, h)        survivors only
+  state_dir/signatures/batch-<id>/  (doc_id, band, bh) survivors only
+  state_dir/survivors/batch-<id>/   (doc_id)
+  state_dir/ledger/                 one row per committed batch
+
+A batch is committed iff its ledger row exists; the ledger row is
+appended LAST, so a crash anywhere earlier leaves per-batch staging
+directories that are invisible to readers (state readers enumerate
+committed batch ids from the ledger, never glob the data dirs) and
+are idempotently overwritten when the batch is retried.
+
+Scale notes: per increment the only corpus-sized work is the new
+batch's own shingle scan (one groupBy(doc_id) with map-side partial
+mins, see dedup._mh_sig_df). The anti-joins are equi-joins on a
+32-char hash / (band int, 32-char bh) — they shuffle signatures,
+never text. Accumulated state grows O(total survivors × bands); at
+10^12 turns you would bucket the signature tables by bh (Iceberg
+``bucket(N, bh)``) so the per-batch probe join is partition-pruned
+to the buckets the new batch actually touches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .lineage import _path_exists
+from .queries.util import content_hash_col
+
+LEDGER_SCHEMA = (
+    "batch_seq int, batch_id string, n_in bigint, n_exact_dropped bigint, "
+    "n_near_dropped bigint, n_survivors bigint"
+)
+_EXACT_SCHEMA = "doc_id bigint, h string"
+_SIG_SCHEMA = "doc_id bigint, band int, bh string"
+_SURV_SCHEMA = "doc_id bigint"
+
+
+def _ledger_rows(spark: SparkSession, state_dir: str) -> list:
+    path = f"{state_dir}/ledger"
+    if not _path_exists(spark, path):
+        return []
+    return (
+        spark.read.schema(LEDGER_SCHEMA)
+        .parquet(path)
+        .orderBy("batch_seq")
+        .collect()
+    )
+
+
+def committed_batches(spark: SparkSession, state_dir: str) -> list[str]:
+    """Committed batch ids in commit (batch_seq) order."""
+    return [r["batch_id"] for r in _ledger_rows(spark, state_dir)]
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str, sub: str, schema: str, ids: list[str]
+) -> DataFrame:
+    """Union of one state table over the COMMITTED batches only — an
+    uncommitted (crashed) batch's staging directory is never read."""
+    paths = [f"{state_dir}/{sub}/batch-{b}" for b in ids]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def accepted_state(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(exact hashes, band signatures) of every accepted doc so far."""
+    ids = committed_batches(spark, state_dir)
+    return (
+        _read_state(spark, state_dir, "exact", _EXACT_SCHEMA, ids),
+        _read_state(spark, state_dir, "signatures", _SIG_SCHEMA, ids),
+    )
+
+
+def read_survivors(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(batch_seq, doc_id) of every accepted doc, committed batches only."""
+    rows = _ledger_rows(spark, state_dir)
+    if not rows:
+        return spark.createDataFrame([], "batch_seq int, doc_id bigint")
+    out = None
+    for r in rows:
+        part = _read_state(
+            spark, state_dir, "survivors", _SURV_SCHEMA, [r["batch_id"]]
+        ).select(F.lit(r["batch_seq"]).cast("int").alias("batch_seq"), "doc_id")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def batch_survivors(
+    docs: DataFrame, acc_exact: DataFrame, acc_bands: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Pure-DataFrame core of one increment: apply the policy to
+    ``docs`` (doc_id, text) against the accepted state; returns
+    (survivor (doc_id, h), survivor (doc_id, band, bh)). Shared by the
+    state-backed increment AND the one-shot fold so the two can only
+    differ in where the accepted state comes from."""
+    from .queries.dedup import _mh_band_df
+
+    dd = docs.select("doc_id", content_hash_col().alias("h"))
+    # in-batch exact rule: survivor = min doc_id per hash
+    wmin = Window.partitionBy("h")
+    ek = (
+        dd.withColumn("mind", F.min("doc_id").over(wmin))
+        .where(F.col("doc_id") == F.col("mind"))
+        .drop("mind")
+        .join(acc_exact.select("h"), "h", "left_anti")
+    )
+    ek_docs = docs.join(ek.select("doc_id"), "doc_id")
+    bands = _mh_band_df(ek_docs)
+    dropped_state = (
+        bands.join(acc_bands.select("band", "bh"), ["band", "bh"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    blockers = bands.select("band", "bh", F.col("doc_id").alias("doc_b"))
+    dropped_in = (
+        bands.join(blockers, ["band", "bh"])
+        .where(F.col("doc_b") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = dropped_state.unionByName(dropped_in).distinct()
+    sk = ek.join(dropped, "doc_id", "left_anti")
+    return sk, bands.join(sk.select("doc_id"), "doc_id")
+
+
+def dedup_increment(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    batch_id: str,
+    _crash_before_commit: bool = False,
+) -> dict:
+    """One rolling increment: dedup ``docs`` (the NEW batch only —
+    doc_id, text) against the committed state, persist the survivors'
+    signatures, commit the batch. Idempotent: a batch_id that is
+    already committed is a no-op returning its ledger stats, so a
+    retried driver never double-appends. ``_crash_before_commit``
+    simulates dying after the data writes but before the ledger append
+    (the staging dirs are left behind, like a real crash)."""
+    led = _ledger_rows(spark, state_dir)
+    for r in led:
+        if r["batch_id"] == batch_id:
+            return {k: r[k] for k in r.asDict()}
+    seq = (max((r["batch_seq"] for r in led), default=-1)) + 1
+    ids = [r["batch_id"] for r in led]
+    acc_exact = _read_state(spark, state_dir, "exact", _EXACT_SCHEMA, ids)
+    acc_bands = _read_state(spark, state_dir, "signatures", _SIG_SCHEMA, ids)
+
+    n_in = docs.count()
+    sk, sk_bands = batch_survivors(docs, acc_exact, acc_bands)
+    n_exact_kept = (
+        docs.select("doc_id", content_hash_col().alias("h"))
+        .withColumn("mind", F.min("doc_id").over(Window.partitionBy("h")))
+        .where(F.col("doc_id") == F.col("mind"))
+        .join(acc_exact.select("h"), "h", "left_anti")
+        .count()
+    )
+
+    sk.write.mode("overwrite").parquet(f"{state_dir}/exact/batch-{batch_id}")
+    sk_bands.write.mode("overwrite").parquet(
+        f"{state_dir}/signatures/batch-{batch_id}"
+    )
+    sk.select("doc_id").write.mode("overwrite").parquet(
+        f"{state_dir}/survivors/batch-{batch_id}"
+    )
+    if _crash_before_commit:
+        return {"batch_seq": seq, "batch_id": batch_id, "committed": False}
+
+    # counts from the files just written (write verification, the
+    # lineage.py idiom): the commit records what is durably on disk
+    n_surv = (
+        spark.read.schema(_SURV_SCHEMA)
+        .parquet(f"{state_dir}/survivors/batch-{batch_id}")
+        .count()
+    )
+    stats = {
+        "batch_seq": seq,
+        "batch_id": batch_id,
+        "n_in": n_in,
+        "n_exact_dropped": n_in - n_exact_kept,
+        "n_near_dropped": n_exact_kept - n_surv,
+        "n_survivors": n_surv,
+    }
+    spark.createDataFrame(
+        [tuple(stats[f] for f in (
+            "batch_seq", "batch_id", "n_in", "n_exact_dropped",
+            "n_near_dropped", "n_survivors",
+        ))],
+        LEDGER_SCHEMA,
+    ).write.mode("append").parquet(f"{state_dir}/ledger")
+    return stats
+
+
+def rolling_fold(
+    docs: DataFrame, n_batches: int, seq_col=None
+) -> DataFrame:
+    """One-shot reference fold: the SAME policy applied to a batched
+    corpus entirely in memory (no filesystem state) — batch k of
+    ``n_batches`` is ``doc_id % n_batches == k`` unless ``seq_col``
+    (an int Column) is given. Returns (batch_seq, doc_id) survivors.
+    The batch loop is driver-side over the BATCH COUNT (a bounded
+    ingest-schedule constant, never data-sized); all per-batch work is
+    the shared batch_survivors() DataFrame core."""
+    spark = docs.sparkSession
+    seq = (
+        seq_col
+        if seq_col is not None
+        else (F.col("doc_id") % n_batches).cast("int")
+    )
+    batched = docs.withColumn("seq", seq)
+    acc_exact = spark.createDataFrame([], _EXACT_SCHEMA)
+    acc_bands = spark.createDataFrame([], _SIG_SCHEMA)
+    out = None
+    for k in range(n_batches):
+        bk = batched.where(F.col("seq") == k).select("doc_id", "text")
+        # localCheckpoint truncates lineage per round (the components
+        # idiom, dedup.py:892): without it batch k's plan embeds and
+        # RE-EXECUTES every earlier batch's plan — exponential in the
+        # batch count instead of linear
+        sk, sk_bands = batch_survivors(bk, acc_exact, acc_bands)
+        sk = sk.localCheckpoint()
+        sk_bands = sk_bands.localCheckpoint()
+        part = sk.select(
+            F.lit(k).cast("int").alias("batch_seq"), "doc_id"
+        )
+        out = part if out is None else out.unionByName(part)
+        acc_exact = acc_exact.unionByName(sk.select("doc_id", "h"))
+        acc_bands = acc_bands.unionByName(sk_bands)
+    return out

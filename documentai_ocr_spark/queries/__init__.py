@@ -114,6 +114,15 @@ ROWS_ONLY = {
         "(K4, star, wheel, chain) and a whole-corpus python peeling "
         "replay (tests/test_kcore.py)"
     ),
+    "x_incdedup_state": (
+        "filesystem-stateful rolling ingest (persisted signature "
+        "tables + ledger commits in a temp dir) — no DuckDB view can "
+        "reproduce the state machine; the POLICY is oracled via "
+        "q_incdedup_fold, and tests/test_incdedup.py pins the "
+        "state-backed increments equal to that fold on the union, "
+        "resume without recompute, and crash-before-commit "
+        "invisibility"
+    ),
     "x_bloom_dedup": _SKETCH_GATED,
     "x_cms_heavyhitters": _SKETCH_GATED,
     "x_hll_cardinality": _SKETCH_GATED,

@@ -1413,3 +1413,111 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("canonical"),
         )
     )
+
+
+# ------------------------------------------------- incremental (rolling)
+# Round-5: dedup-against-prior-corpus. The state-backed machinery lives
+# in incdedup.py (persisted signature tables, ledger commits, resume);
+# q_incdedup_fold below is its ORACLE: the identical policy unrolled
+# over a fixed 3-batch schedule with no filesystem state, expressible
+# in one DuckDB SQL (the batch count is an ingest-schedule constant,
+# so the fold unrolls to a fixed CTE chain — e_k = exact survivors of
+# batch k, s_k = its accepted survivors, each referencing only s_<k).
+# tests/test_incdedup.py then pins the state-backed increments equal to
+# this fold on the union, proving the persisted path computes the same
+# corpus the oracled path does.
+_INC_FOLD_SQL = f"""
+    WITH {_MH_BAND_CTE},
+    dd AS (SELECT doc_id, {content_hash_sql()} AS h,
+                  CAST(doc_id % 3 AS int) AS seq
+           FROM documents),
+    e0 AS (SELECT d.doc_id, d.h FROM dd d WHERE d.seq = 0
+             AND NOT EXISTS (SELECT 1 FROM dd x WHERE x.seq = 0
+                             AND x.h = d.h AND x.doc_id < d.doc_id)),
+    s0 AS (SELECT e.doc_id, e.h FROM e0 e WHERE NOT EXISTS (
+             SELECT 1 FROM band b1
+             JOIN band b2 ON b1.band = b2.band AND b1.bh = b2.bh
+             JOIN e0 x ON x.doc_id = b2.doc_id
+             WHERE b1.doc_id = e.doc_id AND b2.doc_id < e.doc_id)),
+    e1 AS (SELECT d.doc_id, d.h FROM dd d WHERE d.seq = 1
+             AND NOT EXISTS (SELECT 1 FROM dd x WHERE x.seq = 1
+                             AND x.h = d.h AND x.doc_id < d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM s0 x WHERE x.h = d.h)),
+    s1 AS (SELECT e.doc_id, e.h FROM e1 e WHERE NOT EXISTS (
+             SELECT 1 FROM band b1
+             JOIN band b2 ON b1.band = b2.band AND b1.bh = b2.bh
+             WHERE b1.doc_id = e.doc_id
+               AND (b2.doc_id IN (SELECT doc_id FROM s0)
+                    OR (b2.doc_id < e.doc_id
+                        AND b2.doc_id IN (SELECT doc_id FROM e1))))),
+    e2 AS (SELECT d.doc_id, d.h FROM dd d WHERE d.seq = 2
+             AND NOT EXISTS (SELECT 1 FROM dd x WHERE x.seq = 2
+                             AND x.h = d.h AND x.doc_id < d.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM s0 x WHERE x.h = d.h)
+             AND NOT EXISTS (SELECT 1 FROM s1 x WHERE x.h = d.h)),
+    s2 AS (SELECT e.doc_id, e.h FROM e2 e WHERE NOT EXISTS (
+             SELECT 1 FROM band b1
+             JOIN band b2 ON b1.band = b2.band AND b1.bh = b2.bh
+             WHERE b1.doc_id = e.doc_id
+               AND (b2.doc_id IN (SELECT doc_id FROM s0)
+                    OR b2.doc_id IN (SELECT doc_id FROM s1)
+                    OR (b2.doc_id < e.doc_id
+                        AND b2.doc_id IN (SELECT doc_id FROM e2)))))
+    SELECT CAST(0 AS int) AS batch_seq, CAST(doc_id AS bigint) AS doc_id
+    FROM s0
+    UNION ALL
+    SELECT CAST(1 AS int), CAST(doc_id AS bigint) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS int), CAST(doc_id AS bigint) FROM s2
+    """
+
+
+@_q("q_incdedup_fold", _INC_FOLD_SQL)
+def q_incdedup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(batch_seq, doc_id) survivors of the rolling dedup policy over a
+    fixed 3-batch ingest schedule (batch = doc_id mod 3) — the one-shot
+    oracle of incdedup.dedup_increment. See incdedup.py for the policy
+    and the 100-TB shape (every probe is a signature equi-join; text
+    is scanned once per batch, never re-scanned across batches)."""
+    from ..incdedup import rolling_fold
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return rolling_fold(docs, 3)
+
+
+@_q("x_incdedup_state")
+def x_incdedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL state-backed rolling ingest, end-to-end: three
+    dedup_increment calls against a fresh persisted-state dir (exact +
+    band-signature tables, ledger commits), returning the committed
+    ledger — one row per batch with input/dropped/survivor counts.
+    Deterministic: the state dir is recreated per call. Rows-only by
+    necessity (filesystem state); the SEMANTICS are oracled via
+    q_incdedup_fold and tests/test_incdedup.py pins this path equal to
+    that fold on the union."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..incdedup import LEDGER_SCHEMA, dedup_increment
+
+    state = os.path.join(
+        tempfile.gettempdir(),
+        "incdedup_state_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = []
+    for k in range(3):
+        st = dedup_increment(
+            spark,
+            docs.where((F.col("doc_id") % 3).cast("int") == k),
+            state,
+            f"b{k}",
+        )
+        rows.append(tuple(st[f] for f in (
+            "batch_seq", "batch_id", "n_in", "n_exact_dropped",
+            "n_near_dropped", "n_survivors",
+        )))
+    return spark.createDataFrame(rows, LEDGER_SCHEMA)
