@@ -126,10 +126,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF1_DIR}/{t}.parquet')"
-        )
+        # the 10× tables are Spark-written parquet DIRECTORIES, not
+        # single files — glob the part files for DuckDB
+        p = f"{SF1_DIR}/{t}.parquet"
+        if os.path.isdir(p):
+            p += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     gate = {}
     for name, (srows, scols) in kept.items():
         rel = con.sql(ORACLES[name])

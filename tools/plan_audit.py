@@ -710,7 +710,7 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     do_measure = "--measure" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    measure_sf = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    measure_sfs = args[1:] if len(args) > 1 else ["/root/testdata/sf0.1"]
     from documentai_ocr_spark.queries import QUERIES
     from documentai_ocr_spark.session import get_spark
 
@@ -785,11 +785,21 @@ def main() -> int:
         )
     # run --measure BEFORE rendering the headline so measured-bound
     # violations are counted in the published "Audit result" line
-    # (previously the line was rendered first and understated them)
-    measured = measure_bounds(spark, measure_sf) if do_measure else []
-    for name, worst, bnd, kinds, ok in measured:
-        if not ok:
-            bad.append((name, f"measured {worst} rows > bound {bnd}"))
+    # (previously the line was rendered first and understated them).
+    # Multiple measure dirs (e.g. sf0.1 AND the 10× tables) each get a
+    # column — bounds measured at one sf prove the dims are small
+    # TODAY; a second, 10× column proves they are scale-INVARIANT
+    # (a "dim" that grows linearly with the corpus is a latent
+    # corpus window).
+    measured_by_sf = {}
+    if do_measure:
+        for msf in measure_sfs:
+            measured_by_sf[msf] = measure_bounds(spark, msf)
+            for name, worst, bnd, kinds, ok in measured_by_sf[msf]:
+                if not ok:
+                    bad.append(
+                        (name, f"measured {worst} rows > bound {bnd} @ {msf}")
+                    )
 
     lines += [
         "",
@@ -819,11 +829,20 @@ def main() -> int:
             pass
 
     if do_measure:
-        n_viol = sum(1 for r in measured if not r[4])
+        n_viol = sum(
+            1
+            for rows_ in measured_by_sf.values()
+            for r in rows_
+            if not r[4]
+        )
+        n_meas = sum(len(v) for v in measured_by_sf.values())
+        sf_names = list(measured_by_sf)
         lines += [
             "",
             "## Measured bounds (executed at "
-            f"`{measure_sf}` — round-4 verdict item 2)",
+            + ", ".join(f"`{s}`" for s in sf_names)
+            + " — round-4 verdict item 2; the second, 10× column is "
+            "round-5 item 5: scale-INVARIANCE of the dims)",
             "",
             "Every BOUNDED_OK claim above, EXECUTED: the numOutputRows "
             "SQL metric of each flagged-shape node (global/corpus-"
@@ -837,23 +856,38 @@ def main() -> int:
             "flagged shape vanished at runtime (e.g. AQE replanned "
             "it) — vacuously within bound.",
             "",
-            "| query | measured max rows | bound | flagged nodes | ok |",
-            "|---|---|---|---|---|",
+            "| query | "
+            + " | ".join(f"measured @ {os.path.basename(s)}" for s in sf_names)
+            + " | bound | flagged nodes (last sf) | ok |",
+            "|---" * (len(sf_names) + 4) + "|",
         ]
-        for name, worst, bnd, kinds, ok in measured:
+        by_name: dict[str, dict] = {}
+        for msf, rows_ in measured_by_sf.items():
+            for name, worst, bnd, kinds, ok in rows_:
+                e = by_name.setdefault(
+                    name, {"bnd": bnd, "worst": {}, "kinds": kinds, "ok": True}
+                )
+                e["worst"][msf] = worst
+                e["kinds"] = kinds
+                e["ok"] = e["ok"] and ok
+        for name in sorted(by_name):
+            e = by_name[name]
             lines.append(
                 "| {} | {} | {} | {} | {} |".format(
                     name,
-                    worst,
-                    bnd,
-                    "; ".join(kinds) or "—",
-                    "yes" if ok else "**VIOLATED**",
+                    " | ".join(
+                        str(e["worst"].get(s, "—")) for s in sf_names
+                    ),
+                    e["bnd"],
+                    "; ".join(e["kinds"]) or "—",
+                    "yes" if e["ok"] else "**VIOLATED**",
                 )
             )
         lines.append("")
         lines.append(
             f"**Measured-bounds result: {n_viol} violated / "
-            f"{len(measured)} measured.**"
+            f"{n_meas} measured ({len(by_name)} queries × "
+            f"{len(sf_names)} sf).**"
         )
     open(
         os.path.join(os.path.dirname(os.path.dirname(
