@@ -388,6 +388,70 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The hot-bucket cap: on template-heavy corpora (extracted TURN text,
+# boilerplate-rich web pages) a single band bucket can collect tens of
+# thousands of docs whose shingle sets coincide at the band's two
+# minhash components without the docs being near-duplicates of each
+# other — measured on the 960k-turn-derived corpus: ONE bucket of
+# 62,876 docs = 2.0e9 candidate pairs from that bucket alone
+# (BENCH.md round 5). A bucket that big is a TEMPLATE collision, not a
+# near-dup candidate set, and every production LSH pipeline drops or
+# splits such buckets (the stop-shingle argument — CCNet/Gopher drop
+# hot buckets; SURVEY.md §4's fan-out note). Cap chosen so a true
+# K-clone near-dup family (K ≤ 256) still pairs fully while bucket
+# cost is bounded by CAP²·n_buckets — the join becomes linear in
+# corpus size for fixed template density.
+_MH_BUCKET_CAP = 256
+
+MINHASH_PAIRS_CAPPED_SQL = f"""
+    WITH {_MH_BAND_CTE},
+    keep AS (SELECT band, bh FROM band
+             GROUP BY 1, 2 HAVING COUNT(*) <= {_MH_BUCKET_CAP}),
+    kb AS (SELECT b.doc_id, b.band, b.bh
+           FROM band b JOIN keep USING (band, bh))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS bigint) AS n_shared_bands
+    FROM kb a JOIN kb b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@_q("q_minhash_lsh_pairs_capped", MINHASH_PAIRS_CAPPED_SQL)
+def q_minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_minhash_lsh_pairs with the hot-bucket cap (family comment
+    above): band buckets holding more than _MH_BUCKET_CAP docs are
+    template collisions and are dropped before the pair join. The
+    bucket-size rollup and the semi-join both hash on (band, bh) —
+    the same key the pair join shuffles on, so the cap costs one
+    map-side-combined count on an exchange the plan already has.
+    This is the variant the round-5 dedup scaling record runs
+    (tools/bench_scale_dedup.py)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    band = _mh_band_df(docs)
+    keep = (
+        band.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= _MH_BUCKET_CAP)
+        .select("band", "bh")
+    )
+    kb = band.join(keep, ["band", "bh"], "left_semi")
+    a = kb.alias("a")
+    b = kb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
 @_q(
     "q_minhash_calibration",
     f"""

@@ -39,14 +39,27 @@ from pyspark.sql import functions as F  # noqa: E402
 from documentai_ocr_spark.session import get_spark  # noqa: E402
 
 SCALE_TR = "/tmp/spark_graft_bench/root_testdata_sf0.1_t192_scaling.parquet"
-CORPUS = "/tmp/spark_graft_bench/dedup_corpus_t192/documents.parquet"
+FULL_CORPUS = "/tmp/spark_graft_bench/dedup_corpus_t192/documents.parquet"
 WARM_SF = "/root/testdata/sf0.01"
 N_SMALL = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-QUERY = os.environ.get("SPARK_GRAFT_DEDUP_QUERY", "q_minhash_lsh_pairs")
+QUERY = os.environ.get("SPARK_GRAFT_DEDUP_QUERY", "q_minhash_lsh_pairs_capped")
+# the full 568k-survivor corpus makes the N=2 side a ~30-minute job —
+# far more data than a THROUGHPUT RATIO needs. Default: a
+# deterministic 1-in-4 doc_id sample (~142k turn-docs, still minutes
+# per side); SPARK_GRAFT_DEDUP_SAMPLE_MOD=1 runs the full corpus
+SAMPLE_MOD = int(os.environ.get("SPARK_GRAFT_DEDUP_SAMPLE_MOD", "4"))
+CORPUS = (
+    FULL_CORPUS
+    if SAMPLE_MOD == 1
+    else (
+        "/tmp/spark_graft_bench/"
+        f"dedup_corpus_t192_s{SAMPLE_MOD}/documents.parquet"
+    )
+)
 
 
 def build_corpus() -> None:
-    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    if os.path.exists(os.path.join(FULL_CORPUS, "_SUCCESS")):
         return
     from pyspark.sql.window import Window
 
@@ -76,13 +89,29 @@ def build_corpus() -> None:
         .where(F.col("doc_id") == F.col("mind"))
         .select("doc_id", "text")
     )
-    docs.repartition(64).write.mode("overwrite").parquet(CORPUS)
+    docs.repartition(64).write.mode("overwrite").parquet(FULL_CORPUS)
+    spark.stop()
+    time.sleep(2)
+
+
+def build_sample() -> None:
+    if SAMPLE_MOD == 1 or os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    spark = get_spark(app_name="dedup-corpus-sample", cores=16)
+    (
+        spark.read.parquet(FULL_CORPUS)
+        .where((F.col("doc_id") % SAMPLE_MOD) == 0)
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(CORPUS)
+    )
     spark.stop()
     time.sleep(2)
 
 
 def main() -> int:
     build_corpus()
+    build_sample()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     zip_path = "/tmp/documentai_ocr_spark_dedupscale.zip"
     with zipfile.ZipFile(zip_path, "w") as zf:
