@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_region_revenue",
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
+    "q_minhash_lsh_pairs_capped",  # the hot-bucket-capped scale path (r5)
     "q_simhash_fingerprint",
     "q_simhash_pairs_banded",  # the dedup scale path (pigeonhole equi-join)
     "q_simhash_wide_banded",   # 120-bit variant (density-knee remedy)
