@@ -132,27 +132,30 @@ def read_survivors(spark: SparkSession, state_dir: str) -> DataFrame:
     return out
 
 
-def batch_survivors(
-    docs: DataFrame, acc_exact: DataFrame, acc_bands: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Pure-DataFrame core of one increment: apply the policy to
-    ``docs`` (doc_id, text) against the accepted state; returns
-    (survivor (doc_id, h), survivor (doc_id, band, bh)). Shared by the
-    state-backed increment AND the one-shot fold so the two can only
-    differ in where the accepted state comes from."""
-    from .queries.dedup import _mh_band_df
-
-    dd = docs.select("doc_id", content_hash_col().alias("h"))
-    # in-batch exact rule: survivor = min doc_id per hash
+def exact_survivors(dd: DataFrame, acc_exact: DataFrame) -> DataFrame:
+    """Exact rule over (doc_id, h): keep min doc_id per hash within
+    the batch, then drop hashes the accepted state already holds."""
     wmin = Window.partitionBy("h")
-    ek = (
+    return (
         dd.withColumn("mind", F.min("doc_id").over(wmin))
         .where(F.col("doc_id") == F.col("mind"))
         .drop("mind")
         .join(acc_exact.select("h"), "h", "left_anti")
     )
-    ek_docs = docs.join(ek.select("doc_id"), "doc_id")
-    bands = _mh_band_df(ek_docs)
+
+
+def near_filter(
+    ek: DataFrame, bands: DataFrame, acc_bands: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Near rule over the exact survivors ``ek`` (doc_id, h) and
+    THEIR band rows ``bands`` (doc_id, band, bh — any superset is
+    filtered to ek here): drop docs sharing a bucket with the
+    accepted state or with a smaller-doc_id exact survivor. Returns
+    (survivor (doc_id, h), survivor bands). This pair of helpers is
+    the single policy implementation shared by the state-backed
+    increment and the one-shot fold — the two can only differ in
+    where the accepted state comes from."""
+    bands = bands.join(ek.select("doc_id"), "doc_id")
     dropped_state = (
         bands.join(acc_bands.select("band", "bh"), ["band", "bh"], "left_semi")
         .select("doc_id")
@@ -168,6 +171,23 @@ def batch_survivors(
     dropped = dropped_state.unionByName(dropped_in).distinct()
     sk = ek.join(dropped, "doc_id", "left_anti")
     return sk, bands.join(sk.select("doc_id"), "doc_id")
+
+
+def batch_survivors(
+    docs: DataFrame, acc_exact: DataFrame, acc_bands: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One increment's policy from raw (doc_id, text): the exact rule
+    first, then MinHash bands computed for the EXACT SURVIVORS ONLY —
+    at web scale 30–50 % of a batch can be exact twins, and their
+    shingle md5 work is pure waste (a twin's bands are identical to
+    its keeper's, so the blocker set is unchanged — see the policy
+    note in the module docstring)."""
+    from .queries.dedup import _mh_band_df
+
+    dd = docs.select("doc_id", content_hash_col().alias("h"))
+    ek = exact_survivors(dd, acc_exact)
+    ek_docs = docs.join(ek.select("doc_id"), "doc_id")
+    return near_filter(ek, _mh_band_df(ek_docs), acc_bands)
 
 
 def dedup_increment(
@@ -248,6 +268,8 @@ def rolling_fold(
     The batch loop is driver-side over the BATCH COUNT (a bounded
     ingest-schedule constant, never data-sized); all per-batch work is
     the shared batch_survivors() DataFrame core."""
+    from .queries.dedup import _mh_band_df
+
     spark = docs.sparkSession
     seq = (
         seq_col
@@ -255,16 +277,33 @@ def rolling_fold(
         else (F.col("doc_id") % n_batches).cast("int")
     )
     batched = docs.withColumn("seq", seq)
+    # the fold replays every batch in ONE session, so signatures are
+    # computed for the whole corpus in ONE shingle scan up front
+    # (localCheckpoint-ed: each batch round reuses the materialized
+    # rows instead of re-scanning text n_batches times) — the
+    # state-backed path gets the same economy from its parquet state
+    dd_all = batched.select(
+        "seq", "doc_id", content_hash_col().alias("h")
+    ).localCheckpoint()
+    bands_all = (
+        _mh_band_df(batched)
+        .join(dd_all.select("doc_id", "seq"), "doc_id")
+        .localCheckpoint()
+    )
     acc_exact = spark.createDataFrame([], _EXACT_SCHEMA)
     acc_bands = spark.createDataFrame([], _SIG_SCHEMA)
     out = None
     for k in range(n_batches):
-        bk = batched.where(F.col("seq") == k).select("doc_id", "text")
         # localCheckpoint truncates lineage per round (the components
         # idiom, dedup.py:892): without it batch k's plan embeds and
         # RE-EXECUTES every earlier batch's plan — exponential in the
         # batch count instead of linear
-        sk, sk_bands = batch_survivors(bk, acc_exact, acc_bands)
+        ek = exact_survivors(
+            dd_all.where(F.col("seq") == k).drop("seq"), acc_exact
+        )
+        sk, sk_bands = near_filter(
+            ek, bands_all.where(F.col("seq") == k).drop("seq"), acc_bands
+        )
         sk = sk.localCheckpoint()
         sk_bands = sk_bands.localCheckpoint()
         part = sk.select(

@@ -533,3 +533,45 @@ def test_split_scan_one_corpus_exchange(spark):
     for ln in rs:
         assert "doc_id" not in ln and "text" not in ln, ln
         assert "source" not in ln, ln
+
+
+def test_activity_bitmap_single_exchange_chain(spark):
+    """q_activity_bitmap (round-5 rework): base_day is a window min
+    on the SAME user_id exchange the bit_or rollup uses — no join, no
+    second scan branch, and no (user, day) distinct (bit_or is
+    duplicate-insensitive). Exactly two exchanges total: user_id,
+    then the ≤65-row histogram key."""
+    import re
+
+    p = plan(QUERIES["q_activity_bitmap"](spark, SF))
+    assert "Join" not in p
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, re.M)
+    assert len(scans) == 1, scans
+    ex = re.findall(r"hashpartitioning\(([^,)]+)", p)
+    keys = sorted({re.sub(r"#\d+L?", "", k) for k in ex})
+    assert keys == ["n_active_64", "user_id"], keys
+
+
+def test_minhash_capped_reuses_band_exchange(spark):
+    """q_minhash_lsh_pairs_capped: the bucket-size rollup, the
+    semi-join and the pair join all hash on (band, bh) — the cap must
+    not introduce any NEW shuffle key beyond the uncapped query's,
+    and the hot-bucket filter must sit under a plain equi-join plan
+    (no cartesian, no corpus-keyed exchange)."""
+    import re
+
+    p = plan(QUERIES["q_minhash_lsh_pairs_capped"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    ex = re.findall(r"hashpartitioning\(([^)]*?), \d+\)", p)
+    keys = sorted({re.sub(r"#\d+L?", "", k) for k in ex})
+    # doc_id appears only for the map-side signature groupBy; every
+    # OTHER exchange is the shared (band, bh) key or the final pair
+    # rollup (doc_a=a.doc_id, doc_b=b.doc_id)
+    for k in keys:
+        assert k in (
+            "doc_id",
+            "band, bh",
+            "a.doc_id, b.doc_id",
+            "doc_id, doc_id",
+        ), keys
