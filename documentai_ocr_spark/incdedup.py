@@ -313,3 +313,167 @@ def rolling_fold(
         acc_exact = acc_exact.unionByName(sk.select("doc_id", "h"))
         acc_bands = acc_bands.unionByName(sk_bands)
     return out
+
+
+# ---------------------------------------------- simhash rolling layer
+# A SECOND rolling policy over the same commit machinery, with a
+# stronger semantics than the minhash layer: VERIFY-AFTER-PROBE. The
+# minhash policy drops on any shared band bucket (a probabilistic
+# Jaccard screen — fast, but a bucket collision IS the decision); the
+# simhash policy's decision is the EXACT hamming rule
+#   drop d  ⟺  ∃ accepted/earlier doc a with
+#               hamming(fp_d, fp_a) ≤ SIMHASH_ROLL_HAMMING
+# and the pigeonhole band probe (simsearch.simhash_band_segments,
+# n_bands = hamming_max + 1) is only the COMPLETE candidate generator
+# — every qualifying pair shares a segment, the exact bit_count(xor)
+# check after the join rejects false-positive bucket collisions. The
+# DuckDB oracle of q_incdedup_simhash_fold therefore needs NO banding
+# at all (plain NOT EXISTS over the hamming predicate): the gate
+# machine-checks probe-then-verify == the exact rule, per batch.
+# State per accepted doc: 16 bytes (doc_id, fp) — the fingerprint IS
+# the index (band keys are bit slices, recomputed in the probe).
+
+from .queries.dedup import _SIMHASH_HAMMING_MAX as SIMHASH_ROLL_HAMMING  # noqa: E402 (= 8; one source of truth with the pair anchors)
+
+_FP_SCHEMA = "doc_id bigint, simhash bigint"
+
+
+def simhash_near_filter(
+    ek: DataFrame, fps: DataFrame, acc_fp: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Verify-after-probe near rule: drop exact-survivor d when an
+    accepted doc, or a smaller-doc_id exact survivor of its own
+    batch, sits within SIMHASH_ROLL_HAMMING of d's fingerprint.
+    ``fps`` = (doc_id, simhash) covering at least ek's docs. Returns
+    (survivor (doc_id, h), survivor (doc_id, simhash))."""
+    from .queries.simsearch import simhash_band_segments
+
+    fps = fps.join(ek.select("doc_id"), "doc_id")
+    segs = simhash_band_segments(fps, SIMHASH_ROLL_HAMMING)
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
+    seg_join = lambda a, b: (  # noqa: E731
+        (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.seg_val") == F.col("b.seg_val"))
+    )
+    a = segs.alias("a")
+    acc_segs = simhash_band_segments(acc_fp, SIMHASH_ROLL_HAMMING)
+    dropped_state = (
+        a.join(acc_segs.alias("b"), seg_join("a", "b"))
+        .where(ham <= SIMHASH_ROLL_HAMMING)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    dropped_in = (
+        a.join(
+            segs.alias("b"),
+            seg_join("a", "b") & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .where(ham <= SIMHASH_ROLL_HAMMING)
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    dropped = dropped_state.unionByName(dropped_in).distinct()
+    sk = ek.join(dropped, "doc_id", "left_anti")
+    return sk, fps.join(sk.select("doc_id"), "doc_id")
+
+
+def simhash_increment(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    batch_id: str,
+    _crash_before_commit: bool = False,
+) -> dict:
+    """One rolling increment under the simhash policy — same ledger
+    machinery and commit discipline as dedup_increment (ledger row
+    LAST; staging invisible until committed; idempotent on replay),
+    with fingerprint state under ``fps/batch-<id>``."""
+    from .queries.dedup import _simhash_df
+
+    led = _ledger_rows(spark, state_dir)
+    for r in led:
+        if r["batch_id"] == batch_id:
+            return {k: r[k] for k in r.asDict()}
+    seq = (max((r["batch_seq"] for r in led), default=-1)) + 1
+    ids = [r["batch_id"] for r in led]
+    acc_exact = _read_state(spark, state_dir, "exact", _EXACT_SCHEMA, ids)
+    acc_fp = _read_state(spark, state_dir, "fps", _FP_SCHEMA, ids)
+
+    n_in = docs.count()
+    dd = docs.select("doc_id", content_hash_col().alias("h"))
+    ek = exact_survivors(dd, acc_exact)
+    ek_docs = docs.join(ek.select("doc_id"), "doc_id")
+    sk, sk_fp = simhash_near_filter(ek, _simhash_df(ek_docs), acc_fp)
+    n_exact_kept = ek.count()
+
+    sk.write.mode("overwrite").parquet(f"{state_dir}/exact/batch-{batch_id}")
+    sk_fp.write.mode("overwrite").parquet(f"{state_dir}/fps/batch-{batch_id}")
+    sk.select("doc_id").write.mode("overwrite").parquet(
+        f"{state_dir}/survivors/batch-{batch_id}"
+    )
+    if _crash_before_commit:
+        return {"batch_seq": seq, "batch_id": batch_id, "committed": False}
+
+    n_surv = (
+        spark.read.schema(_SURV_SCHEMA)
+        .parquet(f"{state_dir}/survivors/batch-{batch_id}")
+        .count()
+    )
+    stats = {
+        "batch_seq": seq,
+        "batch_id": batch_id,
+        "n_in": n_in,
+        "n_exact_dropped": n_in - n_exact_kept,
+        "n_near_dropped": n_exact_kept - n_surv,
+        "n_survivors": n_surv,
+    }
+    spark.createDataFrame(
+        [tuple(stats[f] for f in (
+            "batch_seq", "batch_id", "n_in", "n_exact_dropped",
+            "n_near_dropped", "n_survivors",
+        ))],
+        LEDGER_SCHEMA,
+    ).write.mode("append").parquet(f"{state_dir}/ledger")
+    return stats
+
+
+def simhash_rolling_fold(
+    docs: DataFrame, n_batches: int, seq_col=None
+) -> DataFrame:
+    """One-shot reference fold of the simhash rolling policy (the
+    rolling_fold twin — see its docstring for the loop/localCheckpoint
+    rationale). Returns (batch_seq, doc_id) survivors."""
+    from .queries.dedup import _simhash_df
+
+    spark = docs.sparkSession
+    seq = (
+        seq_col
+        if seq_col is not None
+        else (F.col("doc_id") % n_batches).cast("int")
+    )
+    batched = docs.withColumn("seq", seq)
+    dd_all = batched.select(
+        "seq", "doc_id", content_hash_col().alias("h")
+    ).localCheckpoint()
+    fp_all = (
+        _simhash_df(batched)
+        .join(dd_all.select("doc_id", "seq"), "doc_id")
+        .localCheckpoint()
+    )
+    acc_exact = spark.createDataFrame([], _EXACT_SCHEMA)
+    acc_fp = spark.createDataFrame([], _FP_SCHEMA)
+    out = None
+    for k in range(n_batches):
+        ek = exact_survivors(
+            dd_all.where(F.col("seq") == k).drop("seq"), acc_exact
+        )
+        sk, sk_fp = simhash_near_filter(
+            ek, fp_all.where(F.col("seq") == k).drop("seq"), acc_fp
+        )
+        sk = sk.localCheckpoint()
+        sk_fp = sk_fp.localCheckpoint()
+        part = sk.select(F.lit(k).cast("int").alias("batch_seq"), "doc_id")
+        out = part if out is None else out.unionByName(part)
+        acc_exact = acc_exact.unionByName(sk.select("doc_id", "h"))
+        acc_fp = acc_fp.unionByName(sk_fp)
+    return out
