@@ -1719,3 +1719,55 @@ def x_incdedup_simhash_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_near_dropped", "n_survivors",
         )))
     return spark.createDataFrame(rows, LEDGER_SCHEMA)
+
+
+# The cap's OBSERVABILITY twin: before trusting a bucket cap you look
+# at what it throws away. Per log2 bucket-size class: bucket count,
+# entries, candidate pairs, and the pairs the _MH_BUCKET_CAP would
+# drop — the curve that justified 256 on the turn corpus (BENCH.md:
+# one 62,876-doc bucket carried 2.0e9 of the 2.78e9 candidate pairs).
+# Pair counts square bucket sizes, so they go through decimal(19,0)
+# operands before the bigint cast (the q_split_scan widening) —
+# int64 wraps silently at buckets past ~4.3e9 docs otherwise.
+@_q(
+    "q_minhash_bucket_profile",
+    f"""
+    WITH {_MH_BAND_CTE},
+    s AS (SELECT band, bh, CAST(COUNT(*) AS bigint) AS n
+          FROM band GROUP BY 1, 2)
+    SELECT CAST(floor(log2(n)) AS int) AS size_class,
+           CAST(COUNT(*) AS bigint) AS n_buckets,
+           CAST(SUM(n) AS bigint) AS n_entries,
+           CAST(SUM(n * (n - 1) // 2) AS bigint) AS cand_pairs,
+           CAST(SUM(CASE WHEN n > {_MH_BUCKET_CAP}
+                         THEN n * (n - 1) // 2 ELSE 0 END) AS bigint)
+             AS pairs_dropped_by_cap
+    FROM s GROUP BY 1
+    """,
+)
+def q_minhash_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket size profile with the cap's cost: see family
+    comment. One (band, bh) rollup (the exchange the pair join
+    shuffles on anyway), then a ≤64-row log2-class dim rollup."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    s = (
+        _mh_band_df(docs)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    n_d = F.col("n").cast("decimal(19,0)")
+    pairs = (n_d * (n_d - 1) / 2).cast("decimal(38,0)")
+    return s.groupBy(
+        F.floor(F.log2("n")).cast("int").alias("size_class")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_entries"),
+        F.sum(pairs).cast("long").alias("cand_pairs"),
+        F.sum(
+            F.when(F.col("n") > _MH_BUCKET_CAP, pairs).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("long")
+        .alias("pairs_dropped_by_cap"),
+    )
